@@ -1,0 +1,378 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A19).
+
+Spark-first re-expressions of the reference's `EventAggregator`
+(`opensea_pipeline/pipeline/src/aggregate.py:16-274`) and the analytics
+scripts' rollups. Everything is ``groupBy().agg()`` — Spark's physical
+planner does partial (map-side) + final aggregation, spill, and
+distinct-aggregate rewrites automatically, so each of these scales to
+arbitrarily large inputs as long as the group-key cardinality per partition
+is sane (AQE handles skewed keys).
+
+Determinism notes (SURVEY.md §7.3): Polars ``first``/``last`` depend on
+encounter order; here every order-sensitive aggregate is expressed as
+``min_by``/``max_by`` with an explicit ordering column so results are
+stable and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def det_mean(col: str | Column, digits: int = 6) -> Column:
+    """Cross-engine-deterministic mean: ``round(sum(x), digits) / count(x)``.
+
+    A plain ``avg`` over doubles is order-dependent in its ulps (Spark and a
+    SQL oracle sum partitions in different orders), so when the true mean
+    lands exactly on the midpoint of the comparison-rounding digit, the two
+    engines round opposite ways and value-hash comparison flips. Source data
+    here carries ≤6 decimal digits, so rounding the *sum* first recovers the
+    exact decimal sum identically on both engines; the final IEEE division
+    is then bit-identical. Oracle-side equivalent:
+    ``round(sum(x), digits) / count(x)``.
+    """
+    return F.round(F.sum(col), digits) / F.count(col)
+
+
+def daily_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    user_col: str,
+    price_col: str,
+    event_type_col: str = "event_type",
+    event_types: Sequence[str] | None = None,
+) -> DataFrame:
+    """A1+A2+A3+J1: the reference's flagship daily-collection-stats query
+    (`aggregate.py:16-94`): per-group transaction counts + distinct actors,
+    price stats over priced rows only (`aggregate.py:29`), event-type pivot
+    counts (`aggregate.py:32-37`), left-joined back and sorted.
+
+    One logical plan → Catalyst shares the shuffle on ``group_cols`` where
+    possible; the three branches are map-side-combined hash aggregates.
+    """
+    keys = list(group_cols)
+
+    base = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("total_transactions"),
+        F.countDistinct(user_col).alias("unique_users"),
+    )
+
+    # Price stats over priced events only (`aggregate.py:29` filters >0).
+    price = (
+        df.filter(F.col(price_col) > 0)
+        .groupBy(*keys)
+        .agg(
+            F.sum(price_col).alias("volume_total"),
+            det_mean(price_col).alias("price_mean"),
+            F.median(price_col).alias("price_median"),
+            F.min(price_col).alias("price_min"),
+            F.max(price_col).alias("price_max"),
+        )
+    )
+
+    # Event-type pivot with a FIXED value list: stable schema regardless of
+    # which types appear in the slice (fixes the reference's per-column
+    # existence checks, `aggregate.py:60-86`), and avoids the extra job
+    # Spark needs to discover pivot values.
+    pivot_src = df.groupBy(*keys).pivot(
+        event_type_col, list(event_types) if event_types else None
+    )
+    pivoted = pivot_src.count()
+    # null → 0 like the reference (`aggregate.py:88`).
+    count_cols = [c for c in pivoted.columns if c not in keys]
+    pivoted = pivoted.select(
+        *keys,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"{c}_count")
+            for c in count_cols
+        ],
+    )
+
+    out = base.join(price, on=keys, how="left").join(pivoted, on=keys, how="left")
+    return out.orderBy(*keys)
+
+
+def entity_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    price_col: str,
+    ts_col: str,
+    distinct_col: str,
+) -> DataFrame:
+    """A4+A5: per-token stats (`aggregate.py:109-140`) generalized to any
+    entity key: counts, volume, mean price, distinct counterparties,
+    first/last timestamps, and the price at the latest event.
+
+    The reference's ``first``/``last`` (encounter order, `aggregate.py:119,
+    128-129`) become explicit ``min``/``max``/``max_by`` orderings.
+    """
+    keys = list(key_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(price_col).alias("volume_total"),
+            det_mean(price_col).alias("price_mean"),
+            F.countDistinct(distinct_col).alias("n_distinct"),
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+            F.max_by(price_col, ts_col).alias("last_price"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def two_sided_stats(
+    df: DataFrame,
+    side_a_key: str,
+    side_b_key: str,
+    price_col: str,
+    ts_col: str,
+    entity_name: str = "entity",
+) -> DataFrame:
+    """A7: the wallet-dimension pattern (`aggregate.py:181-212`): aggregate
+    each side (buyer/seller) independently, full-outer join on the entity
+    key, and combine horizontal min/max via least/greatest.
+
+    Full-outer join with *list-form* ``on`` so the key is coalesced
+    (SURVEY.md §7.3 trap 8).
+    """
+    def _present(col: str) -> F.Column:
+        # '' is the missing sentinel for string keys (FIXTURES.md conv. 4);
+        # numeric keys only need the null check.
+        cond = F.col(col).isNotNull()
+        if dict(df.dtypes)[col] == "string":
+            cond = cond & (F.col(col) != "")
+        return cond
+
+    a = (
+        df.filter(_present(side_a_key))
+        .groupBy(F.col(side_a_key).alias(entity_name))
+        .agg(
+            F.count(F.lit(1)).alias("a_events"),
+            F.sum(price_col).alias("a_volume"),
+            F.min(ts_col).alias("a_first"),
+            F.max(ts_col).alias("a_last"),
+        )
+    )
+    b = (
+        df.filter(_present(side_b_key))
+        .groupBy(F.col(side_b_key).alias(entity_name))
+        .agg(
+            F.count(F.lit(1)).alias("b_events"),
+            F.sum(price_col).alias("b_volume"),
+            F.min(ts_col).alias("b_first"),
+            F.max(ts_col).alias("b_last"),
+        )
+    )
+    joined = a.join(b, on=[entity_name], how="full_outer")
+    return joined.select(
+        entity_name,
+        F.coalesce("a_events", F.lit(0)).alias("a_events"),
+        F.coalesce("b_events", F.lit(0)).alias("b_events"),
+        (F.coalesce("a_volume", F.lit(0.0)) + F.coalesce("b_volume", F.lit(0.0))).alias(
+            "total_volume"
+        ),
+        F.least("a_first", "b_first").alias("first_active"),
+        F.greatest("a_last", "b_last").alias("last_active"),
+    ).orderBy(entity_name)
+
+
+def summary_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """A8: collection summary with quartiles (`aggregate.py:251-268`).
+
+    Continuous (linear) interpolation on both engines: Spark exact
+    ``percentile`` ↔ DuckDB ``quantile_cont`` (FIXTURES.md convention 3).
+    """
+    keys = list(group_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+            det_mean(value_col).alias("mean_value"),
+            F.median(value_col).alias("median_value"),
+            F.percentile(value_col, 0.25).alias("p25_value"),
+            F.percentile(value_col, 0.75).alias("p75_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def monthly_stats(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """A10: monthly market stats (`prepare_visual_market_data.py:156-161`):
+    mean/median/count/std by (year, month). ``stddev_samp`` matches
+    pandas/Polars ``std`` (ddof=1)."""
+    return (
+        df.groupBy(
+            F.year(ts_col).alias("year"), F.month(ts_col).alias("month")
+        )
+        .agg(
+            det_mean(value_col).alias("mean_value"),
+            F.median(value_col).alias("median_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.stddev_samp(value_col).alias("std_value"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+def weekday_rollup(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """A13: weekday rollup (`advanced_timeseries_analysis.py:36-40`).
+
+    ISO weekday 1=Mon..7=Sun via ``weekday()+1`` — matches Polars and DuckDB
+    ``isodow`` (SURVEY.md §7.3 trap 2; Spark ``dayofweek`` is 1=Sun).
+    """
+    return (
+        df.groupBy((F.weekday(ts_col) + 1).alias("iso_weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+            det_mean(value_col).alias("mean_value"),
+        )
+        .orderBy("iso_weekday")
+    )
+
+
+def hourly_rollup(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """A13: hourly rollup (`advanced_timeseries_analysis.py:104-106`)."""
+    return (
+        df.groupBy(F.hour(ts_col).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+            det_mean(value_col).alias("mean_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+def top_n(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    measure_col: str,
+    n: int,
+) -> DataFrame:
+    """A14/O4: top-N entities by an aggregate measure
+    (`generate_visualizations.py:226-239`). ``orderBy().limit(n)`` compiles
+    to a distributed TakeOrdered — no global sort materialized.
+
+    Ties broken by group key for deterministic, oracle-stable output.
+    """
+    keys = list(group_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum(measure_col).alias("total"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("total"), *keys)
+        .limit(n)
+    )
+
+
+def mode_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """A15: most-frequent value per group (`analyze_cluster_traits.py:355-360`)
+    via count + row_number — deterministic tie-break on the value itself."""
+    counted = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.col(value_col))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(group_col, F.col(value_col).alias("mode_value"), F.col("cnt").alias("mode_count"))
+        .orderBy(group_col)
+    )
+
+
+def duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """A16: duplicate detection over a key subset (`validate.py:82-91`):
+    groups with >1 row, with their multiplicity."""
+    keys = list(key_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+        .orderBy(*keys)
+    )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+    value_col: str,
+    series_values: Sequence[str],
+) -> DataFrame:
+    """A17: correlation matrix between per-series time series
+    (`advanced_timeseries_analysis.py:336-344`): pivot wide by series, then
+    pairwise Pearson ``F.corr`` over the aligned frame.
+
+    Output is long-form (series_a, series_b, corr) — scale-friendly and
+    trivially comparable to a SQL oracle.
+    """
+    wide = (
+        df.groupBy(time_col)
+        .pivot(series_col, list(series_values))
+        .agg(F.sum(value_col))
+        .na.fill(0.0, list(series_values))
+    )
+    pairs = [
+        (a, b) for i, a in enumerate(series_values) for b in series_values[i + 1 :]
+    ]
+    agg_exprs = [
+        F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    row = wide.agg(*agg_exprs)
+    # unpivot to long form
+    stack_expr = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) as (series_a, series_b, corr)"
+    ).orderBy("series_a", "series_b")
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """A18: z-score anomaly detection over a daily series
+    (`advanced_timeseries_analysis.py:291-297`).
+
+    Global mean/std computed as a 1-row aggregate and cross-joined back
+    (broadcast — it is one row), instead of an unpartitioned window which
+    would serialize the whole series through a single task at scale.
+    """
+    stats = df.agg(
+        F.avg(value_col).alias("_mu"), F.stddev_samp(value_col).alias("_sigma")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("zscore", (F.col(value_col) - F.col("_mu")) / F.col("_sigma"))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("_mu", "_sigma")
+        .orderBy(time_col)
+    )
+
+
+def quality_metrics(
+    df: DataFrame,
+    ts_col: str,
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """A9: global data-quality scalars (`clean_events.py:292-316`) as a
+    single-row DataFrame: row count, distinct counts, date range."""
+    exprs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in id_cols:
+        exprs.append(F.countDistinct(c).alias(f"distinct_{c}"))
+    exprs.append(F.min(F.to_date(ts_col)).alias("min_date"))
+    exprs.append(F.max(F.to_date(ts_col)).alias("max_date"))
+    return df.agg(*exprs)

@@ -1,0 +1,252 @@
+"""Deduplication operators — exact and near-dup (LLM-data-pipeline
+extension mandated by BASELINE.json; plus the reference's own key-subset
+dedup, `opensea_pipeline/pipeline/src/clean_events.py:218-231`).
+
+Design notes for scale:
+
+- Exact dedup is hash-groupBy on a content digest — one shuffle on the
+  digest, no row comparison.
+- MinHash uses *portable* hash functions (md5 of seed-prefixed shingle,
+  compared lexicographically): deterministic, identical in Spark SQL and
+  the DuckDB oracle, and free of any engine-specific hash seed. A random
+  permutation only needs a consistent total order, so "min md5 hex string"
+  is a valid minwise hash family.
+- LSH banding turns the quadratic candidate problem into an equi-join on
+  (band_id, band_signature) — the only pairs materialized are bucket
+  collisions. Candidates are then verified with true Jaccard.
+- SimHash packs word-level md5 bits into a 64-bit signature; near-dups are
+  signatures within a Hamming radius, found by exact-match on rotated
+  bit-blocks (here: exact signature match + verify, the common
+  block-permutation scheme being a straightforward extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+# Normalization shared by all text-dedup paths: lowercase, collapse
+# whitespace, trim. Mirrors standard LLM-corpus dedup preprocessing.
+def _norm_text(col: str) -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def _words(col: str) -> F.Column:
+    return F.split(_norm_text(col), " ")
+
+
+def dedup_by_key(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """O5: deterministic keep-'first' dedup by key subset
+    (`clean_events.py:218-231`). Polars ``keep='first'`` is encounter
+    order; the stable distributed form is row_number over an explicit
+    tie-break ordering (SURVEY.md §7.3 trap 1)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup: md5 digest of normalized text, keep the lowest
+    id per digest. One hash-shuffle; survivors carry group size."""
+    digest = F.md5(_norm_text(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), F.col(text_col), digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", text_col)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document over word shingles.
+
+    sig_i = min over shingles of md5(i || '_' || shingle), compared as hex
+    strings — a portable minwise hash family (any injective keyed hash with
+    a total order works). Computed as explode → groupBy(doc).agg(min...),
+    i.e. one shuffle, map-side combined.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return words.groupBy(id_col).agg(*aggs).orderBy(id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Pipeline: signatures → band keys (concat of band_size sigs) → self
+    equi-join on (band_id, band_key) → distinct candidate pairs → verify
+    with exact word-set Jaccard → threshold filter.
+
+    The join key is a short string; Spark plans a shuffled hash join. At
+    100 TB the band tables are orders of magnitude smaller than a
+    cross-join, and banding keeps per-bucket sizes bounded for non-adversarial
+    corpora (hot buckets are AQE-skew-split).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        band_rows.append(
+            sigs.select(
+                F.col(id_col).alias("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    import functools
+
+    bands = functools.reduce(lambda a, b: a.unionByName(b), band_rows)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_key"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    docs = df.select(
+        F.col(id_col), F.array_distinct(_words(text_col)).alias("wordset")
+    )
+    verified = (
+        cand.join(docs.select(F.col(id_col).alias("id_a"), F.col("wordset").alias("wa")), "id_a")
+        .join(docs.select(F.col(id_col).alias("id_b"), F.col("wordset").alias("wb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("wa", "wb"))
+            / F.size(F.array_union("wa", "wb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact n-gram (character) Jaccard similarity for all pairs, with an
+    optional id cap for the quadratic correctness path. The scale path for
+    this metric is minhash_lsh_pairs; this operator is the exact oracle.
+    """
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    grams = base.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)), "
+                f"i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash signature per document.
+
+    Each distinct word contributes ±1 per bit position, bit b of
+    md5(word) taken from its hex expansion; the signature is the sign
+    vector packed into a BIGINT. Portable: bit extraction is
+    (hex digit >> position) & 1 on the md5 hex string, identical in any
+    engine. 16 bits keeps the SQL-oracle expression tractable; the Spark
+    implementation accepts any width ≤ 64.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    # bit b = bit (b % 4) of hex digit floor(b/4): conv is cheap and exact.
+    bit_cols = [
+        (
+            F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+            .bitwiseAND(F.lit(1 << (b % 4)))
+            > 0
+        ).cast("int")
+        for b in range(bits)
+    ]
+    contrib = words.select(
+        id_col, *[(bit_cols[b] * 2 - 1).alias(f"c_{b}") for b in range(bits)]
+    )
+    sums = contrib.groupBy(id_col).agg(
+        *[F.sum(f"c_{b}").alias(f"s_{b}") for b in range(bits)]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash")).orderBy(
+        id_col
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    threshold. Exact (cross-join) with optional id cap; the scale path
+    routes candidates through knn_topk_lsh / ann_ivf first."""
+    base = embeddings if max_id is None else embeddings.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity("va", "vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )

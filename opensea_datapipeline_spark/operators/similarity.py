@@ -1,0 +1,250 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3 J8, §2.10 F6).
+
+The reference builds a dense N×N numpy cosine matrix and argsorts per row
+(`scripts/analysis/analyze_peer_effects.py:55-97`) — O(N²) memory on one
+machine. Here:
+
+- ``knn_topk_exact``: distributed exact top-k — block cross-join + dot
+  product + per-query row_number window. Quadratic *work* but linear
+  *memory per task*; correct baseline, used for oracle parity.
+- ``knn_topk_lsh``: the scale path — random-hyperplane LSH bucketing so
+  candidate pairs come from an equi-join on bucket signature instead of a
+  cross-join. Approximate; never hash-compared against the oracle
+  (SURVEY.md §7.3 trap 7).
+- ``ann_ivf``: IVF-style — KMeans coarse quantizer, probe nearest
+  centroids, search only those inverted lists.
+- ``group_centroids``: per-group mean embedding
+  (`analyze_embeddings.py:166`) via posexplode + avg — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot_product
+
+
+def knn_topk_exact(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    queries: DataFrame | None = None,
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (J8).
+
+    ``queries`` defaults to the corpus itself (self-join, excluding self).
+    At cluster scale the corpus side is re-partitioned and queries
+    broadcast in blocks; on the small-N correctness path a single
+    cross-join is the right plan (Catalyst broadcasts the smaller side).
+
+    Returns (query_id, neighbor_id, sim, rank) — rank 1..k, ties broken by
+    neighbor id for determinism.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    q = (queries if queries is not None else embeddings).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    sim = (
+        dot_product("_qvec", "_cvec")
+        if assume_normalized
+        else cosine_similarity("_qvec", "_cvec")
+    )
+    pairs = (
+        q.crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_signature(vec_col: str, hyperplanes: list[list[float]]) -> F.Column:
+    """Random-hyperplane (SimHash-family) signature: one bit per plane,
+    bit = sign(v · h). Computed with built-in higher-order functions."""
+    bits = []
+    for h in hyperplanes:
+        plane = F.array(*[F.lit(float(x)) for x in h])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_topk_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (the 100 TB path).
+
+    ``n_tables`` independent signatures; candidate pairs are rows sharing a
+    signature in any table (equi-join on (table, sig) — a shuffle join on a
+    short string key, NOT a cross-join). Exact cosine is then computed only
+    on candidates, and top-k taken per query. Recall grows with n_tables,
+    cost with bucket collision rate.
+
+    Deterministic given ``seed`` (numpy RNG for hyperplanes).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    tagged = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim)).tolist()
+        tagged.append(
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.lit(t).alias("table"),
+                _lsh_signature(vec_col, planes).alias("sig"),
+            )
+        )
+    import functools
+
+    sigs = functools.reduce(lambda a, b: a.unionByName(b), tagged)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(b, on=["table", "sig"], how="inner")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("a.vec").alias("_qvec"),
+            F.col("b.vec").alias("_cvec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_qvec", "_cvec").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer → assign each vector to its
+    list; each query probes its ``n_probe`` nearest centroids and searches
+    only those lists (equi-join on list id). The centroid table is tiny and
+    broadcast. Approximate — recall controlled by n_probe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed).fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "id", "vec", F.col("prediction").alias("list_id")
+    )
+
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    # each query → its n_probe nearest lists (cross with tiny centroid table)
+    probes = (
+        assigned.select("id", "vec")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "id",
+            "vec",
+            "list_id",
+            cosine_similarity("vec", "centroid").alias("csim"),
+        )
+    )
+    wp = Window.partitionBy("id").orderBy(F.desc("csim"), F.col("list_id"))
+    probed = probes.withColumn("pr", F.row_number().over(wp)).filter(
+        F.col("pr") <= n_probe
+    ).select(F.col("id").alias("query_id"), F.col("vec").alias("_qvec"), "list_id")
+
+    cand = probed.join(
+        assigned.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("_cvec"),
+            "list_id",
+        ),
+        on="list_id",
+        how="inner",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_similarity("_qvec", "_cvec").alias("sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding (`analyze_embeddings.py:166`), long form:
+    (group, dim_index, mean_val). posexplode + avg — a plain shuffle
+    aggregate, no UDF, no collect."""
+    return (
+        embeddings.select(group_col, F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy(group_col, "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+        .orderBy(group_col, "dim")
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """F6: KMeans cluster assignment (`prepare_visual_market_data.py:
+    297-304`, k=20 seed=42). spark.ml KMeans ≠ sklearn n_init=10 semantics
+    (documented deviation); deterministic given seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = embeddings.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=k, seed=seed).fit(ml_df)
+    return model.transform(ml_df).select(
+        id_col, F.col("prediction").alias("cluster_id")
+    )

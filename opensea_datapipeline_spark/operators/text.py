@@ -1,0 +1,121 @@
+"""Text-analysis operators (LLM-data-pipeline extension, BASELINE.json).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each operator is also
+expressible in ANSI SQL for DuckDB-oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-hit heuristic.
+# Real corpora would use larger profiles; the operator shape (array overlap
+# scoring + argmax) is what matters and is identical at any profile size.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "que", "les", "des", "un", "une", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "zh": ["de", "le", "shi", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+}
+
+
+def _words(text_col: str) -> F.Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    subword estimate (word-chunks of ≤4 chars — ceil(len/4) per word), and
+    char length."""
+    words = _words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+        ).alias("n_subword_est"),
+    ).orderBy(id_col)
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: length, mean word length, punctuation density,
+    stopword ratio, uppercase ratio — the standard cheap quality gates in
+    LLM-corpus pipelines."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        (F.length(F.regexp_replace(text_col, r"\s", "")) / n_words.cast("double")).alias(
+            "mean_word_len"
+        ),
+        (
+            F.size(F.regexp_extract_all(text_col, F.lit(r"([\.,;:!\?])"), 1))
+            / F.length(text_col).cast("double")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.array_intersect(words, en_stop)) / n_words.cast("double")
+        ).alias("stopword_hit_ratio"),
+    ).orderBy(id_col)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language ID heuristic: stopword-profile hit counts per language +
+    argmax. Returns the per-language scores (distinct profile words found)
+    and the predicted language; deterministic tie-break by language code."""
+    words = F.array_distinct(_words(text_col))
+    score_cols = {}
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in profile])
+        score_cols[lang] = F.size(F.array_intersect(words, arr))
+    scored = df.select(
+        F.col(id_col),
+        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+    )
+    # argmax with deterministic tie-break: fold over sorted languages,
+    # strictly-greater replaces, so the first (alphabetical) max wins.
+    langs = sorted(LANG_PROFILES)
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cur = F.col(f"score_{lang}")
+        pred = F.when(cur > best, F.lit(lang)).otherwise(pred)
+        best = F.when(cur > best, cur).otherwise(best)
+    return scored.withColumn("predicted_lang", pred).orderBy(id_col)
+
+
+def document_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprinting: md5 content digest of normalized text plus
+    a position-weighted polynomial hash over words —
+    ``sum_i (i+1) * (7*len(w_i) + ascii(w_i)) mod 2^31-1``. Order-aware
+    (unlike a bag-of-words hash) yet commutative in aggregation, so it
+    computes as an embarrassingly parallel sum in any engine."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    words = F.split(norm, " ")
+    mod = 2147483647
+    weighted = F.transform(
+        words,
+        lambda w, i: (i.cast("long") + 1)
+        * (F.length(w).cast("long") * 7 + F.ascii(w).cast("long")),
+    )
+    rolling = (
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        % F.lit(mod)
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+        F.length(norm).alias("norm_len"),
+    ).orderBy(id_col)

@@ -1,0 +1,168 @@
+"""Window-function operators (SURVEY.md §2.5, W1-W8).
+
+The reference computes these with Polars ``shift().over()`` / pandas
+``.rolling()`` on in-memory frames; here they are Spark window functions.
+Scale note: every window below is partitioned by an entity key except the
+global time-series frames (rolling mean over a *daily aggregate* series) —
+those operate on already-reduced data (one row per day), so a single-task
+window is fine even at 100 TB of raw input. Never put an unpartitioned
+window over raw fact rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lead_gap(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """W1+W2: next-event time per entity and the gap in days
+    (`analyze_peer_effects.py:110-121`: ``shift(-1).over(token)`` after sort,
+    then ``total_seconds()/86400``).
+
+    ``tiebreak_col`` makes the ordering total — required for deterministic,
+    oracle-stable output when timestamps collide.
+    """
+    w = Window.partitionBy(partition_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn("next_ts", nxt)
+        .withColumn(
+            "gap_seconds",
+            F.unix_timestamp("next_ts") - F.unix_timestamp(ts_col),
+        )
+        .withColumn("gap_days", F.col("gap_seconds") / F.lit(86400.0))
+    )
+
+
+def rolling_mean(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    min_periods: int = 1,
+    partition_cols: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W3/W4: trailing N-row rolling mean (`aggregate.py:303-307`;
+    pandas ``rolling(n, min_periods=1)`` in
+    `advanced_timeseries_analysis.py:135-137`).
+
+    ``min_periods=1`` (pandas default in the reference's later scripts) is
+    Spark's natural behavior; ``min_periods=window_rows`` reproduces Polars'
+    null-for-first-rows behavior (`aggregate.py:303-307`) by masking on a
+    row counter.
+    """
+    out_col = out_col or f"{value_col}_rolling_mean_{window_rows}"
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    )
+    w = base.orderBy(order_col).rowsBetween(-(window_rows - 1), 0)
+    df = df.withColumn(out_col, F.avg(value_col).over(w))
+    if min_periods > 1:
+        wc = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        df = df.withColumn(
+            out_col,
+            F.when(F.count(F.lit(1)).over(wc) >= min_periods, F.col(out_col)),
+        )
+    return df
+
+
+def rolling_std(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    partition_cols: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W4: trailing rolling sample std (`advanced_timeseries_analysis.py:
+    155-156`)."""
+    out_col = out_col or f"{value_col}_rolling_std_{window_rows}"
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    )
+    w = base.orderBy(order_col).rowsBetween(-(window_rows - 1), 0)
+    return df.withColumn(out_col, F.stddev_samp(value_col).over(w))
+
+
+def pct_change(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_cols: Sequence[str] | None = None,
+    out_col: str = "pct_change",
+) -> DataFrame:
+    """W5: period-over-period change ``x/lag(x) - 1``
+    (`prepare_visual_market_data.py:185`)."""
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    )
+    w = base.orderBy(order_col)
+    return df.withColumn(out_col, F.col(value_col) / F.lag(value_col).over(w) - 1)
+
+
+def cumulative_sum(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumulative",
+) -> DataFrame:
+    """W6: cumulative sum per group (`advanced_timeseries_analysis.py:254`)."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def cumulative_product(
+    df: DataFrame,
+    order_col: str,
+    returns_col: str,
+    partition_cols: Sequence[str] | None = None,
+    start_value: float = 100.0,
+    out_col: str = "equity",
+) -> DataFrame:
+    """W7: backtest equity curve ``(1+r).cumprod() * 100``
+    (`generate_research_visualizations.py:632-638`), expressed as
+    ``exp(cumsum(log1p(r)))`` — associative, so it parallelizes as a window
+    sum instead of a sequential product.
+    """
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    )
+    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        out_col, F.exp(F.sum(F.log1p(returns_col)).over(w)) * F.lit(start_value)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_cols: Sequence[str] = (),
+    descending: bool = True,
+) -> DataFrame:
+    """W8: top-k rows per group via ``row_number``
+    (`analyze_peer_effects.py:76-81`). Tie-break columns make row_number
+    deterministic. Executes as one shuffle on the partition key + per-group
+    sort — no global sort."""
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(partition_col).orderBy(*order)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )

@@ -1,0 +1,1178 @@
+"""Driver-facing query registry.
+
+Each entry binds one operator from SURVEY.md §2 (or an LLM-pipeline
+extension) to the driver testdata tables, paired with the ANSI-SQL oracle
+DuckDB runs on the same parquet files. Column names/aliases match exactly
+between the Spark plan and the oracle (the driver sorts columns by name
+before value-hashing).
+
+Conventions (FIXTURES.md §5): UTC session tz; integer outputs cast to
+BIGINT; doubles left as-is (driver rounds); timestamps never returned raw
+(testdata is ns-precision, Spark truncates to µs — return dates / unix
+seconds instead); quantiles are continuous-interpolation on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregates as agg
+from .operators import dedup as dd
+from .operators import joins as jn
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators import windows as win
+from .schemas import TESTDATA_EVENT_TYPES
+from .sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: daily stats (A1+A2+A3+J1, reference aggregate.py:16-94)
+# ---------------------------------------------------------------------------
+_PIVOT_COUNTS_SQL = ",\n  ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}_count"
+    for t in TESTDATA_EVENT_TYPES
+)
+
+
+@_register(
+    "daily_stats",
+    f"""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+  count(*) AS total_transactions,
+  count(DISTINCT user_id) AS unique_users,
+  sum(value) FILTER (WHERE value > 0) AS volume_total,
+  round(sum(value) FILTER (WHERE value > 0), 6) / count(value) FILTER (WHERE value > 0) AS price_mean,
+  median(value) FILTER (WHERE value > 0) AS price_median,
+  min(value) FILTER (WHERE value > 0) AS price_min,
+  max(value) FILTER (WHERE value > 0) AS price_max,
+  {_PIVOT_COUNTS_SQL}
+FROM events
+GROUP BY 1
+""",
+)
+def q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return agg.daily_stats(
+        events,
+        group_cols=["event_date"],
+        user_col="user_id",
+        price_col="value",
+        event_types=TESTDATA_EVENT_TYPES,
+    )
+
+
+@_register(
+    "user_stats",
+    """
+SELECT user_id,
+  count(*) AS n_events,
+  sum(value) AS volume_total,
+  round(sum(value), 6) / count(value) AS price_mean,
+  count(DISTINCT event_type) AS n_distinct,
+  strftime(min(ts), '%Y-%m-%d') AS first_seen,
+  strftime(max(ts), '%Y-%m-%d') AS last_seen,
+  max_by(value, ts) AS last_price
+FROM events
+GROUP BY 1
+""",
+)
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4+A5 (token stats, aggregate.py:109-140) keyed by user. Timestamps
+    # surfaced as dates (ns-parity, see module docstring).
+    events = _t(spark, sf_dir, "events")
+    out = agg.entity_stats(
+        events,
+        key_cols=["user_id"],
+        price_col="value",
+        ts_col="ts",
+        distinct_col="event_type",
+    )
+    return out.withColumn(
+        "first_seen", F.date_format("first_seen", "yyyy-MM-dd")
+    ).withColumn("last_seen", F.date_format("last_seen", "yyyy-MM-dd"))
+
+
+@_register(
+    "two_sided_dim",
+    """
+WITH a AS (
+  SELECT user_id AS entity, count(*) AS a_events, sum(value) AS a_volume,
+         strftime(min(ts), '%Y-%m-%d') AS a_first, strftime(max(ts), '%Y-%m-%d') AS a_last
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), b AS (
+  SELECT user_id AS entity, count(*) AS b_events, sum(value) AS b_volume,
+         strftime(min(ts), '%Y-%m-%d') AS b_first, strftime(max(ts), '%Y-%m-%d') AS b_last
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT COALESCE(a.entity, b.entity) AS entity,
+  COALESCE(a_events, 0) AS a_events,
+  COALESCE(b_events, 0) AS b_events,
+  COALESCE(a_volume, 0.0) + COALESCE(b_volume, 0.0) AS total_volume,
+  least(a_first, b_first) AS first_active,
+  greatest(a_last, b_last) AS last_active
+FROM a FULL OUTER JOIN b ON a.entity = b.entity
+""",
+)
+def q_two_sided_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 wallet-dimension pattern (aggregate.py:181-212): two per-entity
+    # aggregates full-outer joined + least/greatest horizontal combine.
+    events = _t(spark, sf_dir, "events").withColumn(
+        "d", F.date_format("ts", "yyyy-MM-dd")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").withColumn(
+        "side_a", F.col("user_id")
+    )
+    views = events.filter(F.col("event_type") == "view").withColumn(
+        "side_b", F.col("user_id")
+    )
+    combined = purchases.unionByName(views, allowMissingColumns=True)
+    out = agg.two_sided_stats(
+        combined, side_a_key="side_a", side_b_key="side_b",
+        price_col="value", ts_col="d",
+    )
+    return out
+
+
+@_register(
+    "summary_quantiles",
+    """
+SELECT event_type,
+  count(*) AS n_events,
+  sum(value) AS total_value,
+  round(sum(value), 6) / count(value) AS mean_value,
+  median(value) AS median_value,
+  quantile_cont(value, 0.25) AS p25_value,
+  quantile_cont(value, 0.75) AS p75_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 collection summary (aggregate.py:251-268), continuous quantiles.
+    return agg.summary_quantiles(
+        _t(spark, sf_dir, "events"), group_cols=["event_type"], value_col="value"
+    )
+
+
+@_register(
+    "monthly_stats",
+    """
+SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+  round(sum(value), 6) / count(value) AS mean_value, median(value) AS median_value,
+  count(*) AS n_events, stddev_samp(value) AS std_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10 (prepare_visual_market_data.py:156-161)
+    out = agg.monthly_stats(_t(spark, sf_dir, "events"), "ts", "value")
+    return out.withColumn("year", F.col("year").cast("long")).withColumn(
+        "month", F.col("month").cast("long")
+    )
+
+
+@_register(
+    "weekday_rollup",
+    """
+SELECT CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+  count(*) AS n_events, sum(value) AS total_value, round(sum(value), 6) / count(value) AS mean_value
+FROM events GROUP BY 1
+""",
+)
+def q_weekday_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13 with ISO weekday parity (§7.3 trap 2)
+    out = agg.weekday_rollup(_t(spark, sf_dir, "events"), "ts", "value")
+    return out.withColumn("iso_weekday", F.col("iso_weekday").cast("long"))
+
+
+@_register(
+    "hourly_rollup",
+    """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) AS n_events, sum(value) AS total_value, round(sum(value), 6) / count(value) AS mean_value
+FROM events GROUP BY 1
+""",
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.hourly_rollup(_t(spark, sf_dir, "events"), "ts", "value")
+    return out.withColumn("hour", F.col("hour").cast("long"))
+
+
+@_register(
+    "top_users",
+    """
+SELECT user_id, sum(value) AS total, count(*) AS n_events
+FROM events GROUP BY 1
+ORDER BY total DESC, user_id LIMIT 15
+""",
+)
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A14/O4 top-N (generate_visualizations.py:226-239)
+    return agg.top_n(_t(spark, sf_dir, "events"), ["user_id"], "value", 15)
+
+
+@_register(
+    "mode_event_type",
+    """
+WITH counted AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type AS mode_value, cnt AS mode_count,
+    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) rn
+  FROM counted
+)
+SELECT user_id, mode_value, mode_count FROM ranked WHERE rn = 1
+""",
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A15 mode per group (analyze_cluster_traits.py:355-360)
+    return agg.mode_per_group(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+@_register(
+    "duplicate_keys",
+    """
+SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n_rows
+FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1
+""",
+)
+def q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A16 duplicate detection (validate.py:82-91)
+    events = _t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return agg.duplicate_keys(events, ["user_id", "event_type", "event_date"])
+
+
+@_register(
+    "correlation_matrix",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    COALESCE(sum(value) FILTER (WHERE event_type='click'), 0.0) AS "click",
+    COALESCE(sum(value) FILTER (WHERE event_type='view'), 0.0) AS "view",
+    COALESCE(sum(value) FILTER (WHERE event_type='purchase'), 0.0) AS "purchase",
+    COALESCE(sum(value) FILTER (WHERE event_type='signup'), 0.0) AS "signup",
+    COALESCE(sum(value) FILTER (WHERE event_type='error'), 0.0) AS "error"
+  FROM events GROUP BY 1
+)
+SELECT series_a, series_b, corr FROM (
+  SELECT 'click' series_a, 'view' series_b, corr("click", "view") corr FROM daily
+  UNION ALL SELECT 'click','purchase', corr("click","purchase") FROM daily
+  UNION ALL SELECT 'click','signup', corr("click","signup") FROM daily
+  UNION ALL SELECT 'click','error', corr("click","error") FROM daily
+  UNION ALL SELECT 'view','purchase', corr("view","purchase") FROM daily
+  UNION ALL SELECT 'view','signup', corr("view","signup") FROM daily
+  UNION ALL SELECT 'view','error', corr("view","error") FROM daily
+  UNION ALL SELECT 'purchase','signup', corr("purchase","signup") FROM daily
+  UNION ALL SELECT 'purchase','error', corr("purchase","error") FROM daily
+  UNION ALL SELECT 'signup','error', corr("signup","error") FROM daily
+) t
+""",
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A17 series correlation (advanced_timeseries_analysis.py:336-344)
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    return agg.pairwise_correlation(
+        events, "d", "event_type", "value",
+        ["click", "view", "purchase", "signup", "error"],
+    )
+
+
+@_register(
+    "zscore_anomalies",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value
+  FROM events GROUP BY 1
+), st AS (
+  SELECT avg(daily_value) mu, stddev_samp(daily_value) sigma FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, daily_value, (daily_value - mu) / sigma AS zscore
+FROM daily, st WHERE abs((daily_value - mu) / sigma) > 1.5
+""",
+)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A18 (advanced_timeseries_analysis.py:291-297); threshold 1.5 so the
+    # small SFs actually produce rows.
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    out = agg.zscore_anomalies(daily, "d", "daily_value", threshold=1.5)
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "zscore"
+    )
+
+
+@_register(
+    "quality_metrics",
+    """
+SELECT count(*) AS total_rows,
+  count(DISTINCT user_id) AS distinct_user_id,
+  count(DISTINCT event_type) AS distinct_event_type,
+  strftime(min(ts), '%Y-%m-%d') AS min_date,
+  strftime(max(ts), '%Y-%m-%d') AS max_date
+FROM events
+""",
+)
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 global data-quality scalars (clean_events.py:292-316)
+    out = agg.quality_metrics(
+        _t(spark, sf_dir, "events"), ts_col="ts", id_cols=["user_id", "event_type"]
+    )
+    return out.withColumn(
+        "min_date", F.date_format("min_date", "yyyy-MM-dd")
+    ).withColumn("max_date", F.date_format("max_date", "yyyy-MM-dd"))
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W8)
+# ---------------------------------------------------------------------------
+@_register(
+    "lead_gap",
+    """
+WITH g AS (
+  SELECT user_id, event_id,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts, ts
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(CAST(floor(epoch(next_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) AS DOUBLE)
+    / (86400.0 * count(next_ts)) AS mean_gap_days,
+  CAST(count(next_ts) AS BIGINT) AS n_gaps
+FROM g GROUP BY 1
+""",
+)
+def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1+W2 lead + gap (analyze_peer_effects.py:110-121), aggregated to
+    # per-user means (raw ns timestamps are not oracle-comparable).
+    events = _t(spark, sf_dir, "events")
+    gaps = win.lead_gap(events, "user_id", "ts", "event_id")
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.sum("gap_seconds").cast("double")
+             / (F.lit(86400.0) * F.count("next_ts"))).alias("mean_gap_days"),
+            F.count("next_ts").cast("long").alias("n_gaps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "rolling_daily_mean",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
+  avg(daily_value) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    AS rolling_mean_7
+FROM daily
+""",
+)
+def q_rolling_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3: 7-row rolling mean over the daily series (aggregate.py:303-307).
+    # The window is over an already-aggregated (one row per day) series —
+    # single-partition is fine at any raw-data scale.
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    out = win.rolling_mean(
+        daily, "d", "daily_value", window_rows=7, out_col="rolling_mean_7"
+    )
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "rolling_mean_7"
+    ).orderBy("d")
+
+
+@_register(
+    "pct_change_daily",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
+  daily_value / lag(daily_value) OVER (ORDER BY d) - 1 AS pct_change
+FROM daily
+""",
+)
+def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W5 (prepare_visual_market_data.py:185)
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    out = win.pct_change(daily, "d", "daily_value")
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "pct_change"
+    ).orderBy("d")
+
+
+@_register(
+    "cumulative_by_type",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n,
+  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative
+FROM daily
+""",
+)
+def q_cumulative_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W6 cumulative sum per group (advanced_timeseries_analysis.py:254)
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    out = win.cumulative_sum(daily, "event_type", "d", "n")
+    return out.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("d"), "n", "cumulative"
+    ).orderBy("event_type", "d")
+
+
+@_register(
+    "equity_curve",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value FROM events GROUP BY 1
+), r AS (
+  SELECT d, daily_value / lag(daily_value) OVER (ORDER BY d) - 1 AS ret FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, ret,
+  exp(sum(ln(1 + COALESCE(ret, 0.0)))
+      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100
+    AS equity
+FROM r
+""",
+)
+def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W7 cumulative product as exp∘cumsum∘log1p
+    # (generate_research_visualizations.py:632-638)
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    rets = win.pct_change(daily, "d", "daily_value", out_col="ret").select("d", "ret")
+    rets = rets.withColumn("ret_filled", F.coalesce("ret", F.lit(0.0)))
+    out = win.cumulative_product(rets, "d", "ret_filled", out_col="equity")
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "ret", "equity"
+    ).orderBy("d")
+
+
+@_register(
+    "topk_per_user",
+    """
+SELECT user_id, event_id, value, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+      AS rank_in_group
+  FROM events
+) t WHERE rank_in_group <= 3
+""",
+)
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W8 top-k per group (analyze_peer_effects.py:76-81)
+    out = win.top_k_per_group(
+        _t(spark, sf_dir, "events"), "user_id", "value", k=3,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "value", F.col("rank_in_group").cast("long").alias("rank_in_group")
+    ).orderBy("user_id", "rank_in_group")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J9) on the TPC-H-ish star schema
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_order_stats",
+    """
+SELECT c.c_custkey, c.c_mktsegment,
+  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+  sum(o.o_totalprice) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 left equi-join + aggregate (aggregate.py:57)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 semi-join key intersection (prepare_visual_market_data.py:98-125)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return jn.semi_join_keys(c, o, "c_custkey").select("c_custkey", "c_name").orderBy(
+        "c_custkey"
+    )
+
+
+@_register(
+    "region_customer_counts",
+    """
+SELECT r.r_name AS region_name,
+  CAST(count(*) AS BIGINT) AS n_customers, sum(c.c_acctbal) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def q_region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 broadcast dimension lookup chain (nation, region are tiny dims)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    enriched = jn.broadcast_lookup(
+        c.withColumnRenamed("c_nationkey", "n_nationkey"), n, "n_nationkey", "inner"
+    )
+    enriched = jn.broadcast_lookup(
+        enriched,
+        r.withColumnRenamed("r_regionkey", "n_regionkey"),
+        "n_regionkey",
+        "inner",
+    )
+    return (
+        enriched.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_balance"),
+        )
+        .orderBy("region_name")
+    )
+
+
+@_register(
+    "events_regime_label",
+    """
+WITH regimes AS (
+  SELECT * FROM (VALUES
+    (DATE '2024-01-01', DATE '2024-01-10', 'early'),
+    (DATE '2024-01-11', DATE '2024-01-20', 'mid'),
+    (DATE '2024-01-21', DATE '2025-12-31', 'late')
+  ) t(start_d, end_d, regime)
+)
+SELECT regime, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) / count(value) AS mean_value
+FROM events e LEFT JOIN regimes r
+  ON CAST(e.ts AS DATE) >= r.start_d AND CAST(e.ts AS DATE) <= r.end_d
+GROUP BY 1
+""",
+)
+def q_events_regime_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 interval join — regime labeling (prepare_visual_market_data.py:197-246)
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    regimes = spark.createDataFrame(
+        [("2024-01-01", "2024-01-10", "early"),
+         ("2024-01-11", "2024-01-20", "mid"),
+         ("2024-01-21", "2025-12-31", "late")],
+        "start_s STRING, end_s STRING, regime STRING",
+    ).select(
+        F.to_date("start_s").alias("start_d"),
+        F.to_date("end_s").alias("end_d"),
+        "regime",
+    )
+    labeled = jn.interval_join(events, regimes, "d", "start_d", "end_d", how="left")
+    return (
+        labeled.groupBy("regime")
+        .agg(F.count(F.lit(1)).alias("n_events"), agg.det_mean("value").alias("mean_value"))
+        .orderBy("regime")
+    )
+
+
+@_register(
+    "peer_window_1h",
+    """
+SELECT a.event_id,
+  CAST(count(b.event_id) AS BIGINT) AS peer_count,
+  round(sum(b.value), 6) / count(b.value) AS peer_mean,
+  max(b.value) AS peer_max,
+  sum(b.value) AS peer_sum
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY 1
+""",
+)
+def q_peer_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J7+A12 trailing-window peer aggregate (analyze_peer_effects.py:140-185)
+    out = jn.range_self_join_aggregate(
+        _t(spark, sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        id_col="event_id",
+        window_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        F.col("peer_count").cast("long").alias("peer_count"),
+        "peer_mean",
+        "peer_max",
+        "peer_sum",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries (multi-join + agg coverage, bench headliners)
+# ---------------------------------------------------------------------------
+@_register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(l_extendedprice) AS sum_base_price,
+  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  round(sum(l_quantity), 6) / count(l_quantity) AS avg_qty,
+  round(sum(l_extendedprice), 6) / count(l_extendedprice) AS avg_price,
+  round(sum(l_discount), 6) / count(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape: scan → filter → wide hash aggregate. The filter and
+    # the 2-column grouping push to the parquet scan.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            agg.det_mean("l_quantity").alias("avg_qty"),
+            agg.det_mean("l_extendedprice").alias("avg_price"),
+            agg.det_mean("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "segment_revenue",
+    """
+SELECT c.c_mktsegment, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+  sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: 3-way join; customer is small → Catalyst broadcasts
+    # it, lineitem⨝orders shuffles on the order key.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_mktsegment", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment", "order_year")
+    )
+
+
+@_register(
+    "quantile_filter_agg",
+    """
+WITH p AS (SELECT quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem)
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n_below_p99,
+  round(sum(l_extendedprice), 6) / count(l_extendedprice) AS mean_price_below
+FROM lineitem, p WHERE l_extendedprice < p.p99
+GROUP BY 1
+""",
+)
+def q_quantile_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P12 outlier filter by quantile (analyze_peer_effects.py:199-203):
+    # 1-row quantile aggregate broadcast back over the fact table.
+    li = _t(spark, sf_dir, "lineitem")
+    p99 = li.agg(F.percentile("l_extendedprice", 0.99).alias("p99"))
+    return (
+        li.crossJoin(F.broadcast(p99))
+        .filter(F.col("l_extendedprice") < F.col("p99"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_below_p99"),
+            agg.det_mean("l_extendedprice").alias("mean_price_below"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surfaces (§2.8)
+# ---------------------------------------------------------------------------
+@_register(
+    "string_functions",
+    """
+SELECT c_custkey,
+  lower(trim(c_name)) AS name_norm,
+  concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+  substring(c_name, 1, 8) AS name_prefix,
+  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+  CAST(length(c_name) AS BIGINT) AS name_len
+FROM customer
+""",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 string family (clean_events.py:123-129, 237-239;
+    # generate_visualizations.py:244,253)
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name_norm"),
+        F.concat_ws("_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.length("c_name").cast("long").alias("name_len"),
+    ).orderBy("c_custkey")
+
+
+@_register(
+    "datetime_functions",
+    """
+SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+  CAST(quarter(ts) AS BIGINT) AS q, CAST(hour(ts) AS BIGINT) AS h,
+  strftime(ts, '%Y-%m') AS year_month,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 date/time family (advanced_timeseries_analysis.py:32-33,100-101)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.quarter("ts").cast("long").alias("q"),
+            F.hour("ts").cast("long").alias("h"),
+            F.date_format("ts", "yyyy-MM").alias("year_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m", "q", "h")
+    )
+
+
+@_register(
+    "json_extraction",
+    """
+SELECT event_type,
+  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mean_k,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 JSON family (analyze_cluster_traits.py:58-97): parse the props
+    # JSON column, typed extraction, aggregate.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.avg("k").alias("mean_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "event_type_canonicalization",
+    """
+SELECT CASE
+    WHEN lower(trim(event_type)) IN ('click', 'tap') THEN 'interaction'
+    WHEN lower(trim(event_type)) IN ('view', 'impression') THEN 'exposure'
+    WHEN lower(trim(event_type)) = 'purchase' THEN 'conversion'
+    ELSE lower(trim(event_type))
+  END AS canonical_type,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_event_type_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 event-type canonicalization (clean_events.py:196-214): chained
+    # conditional mapping of variant spellings onto a canonical domain.
+    e = _t(spark, sf_dir, "events")
+    norm = F.lower(F.trim("event_type"))
+    canon = (
+        F.when(norm.isin("click", "tap"), F.lit("interaction"))
+        .when(norm.isin("view", "impression"), F.lit("exposure"))
+        .when(norm == "purchase", F.lit("conversion"))
+        .otherwise(norm)
+    )
+    return (
+        e.groupBy(canon.alias("canonical_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("canonical_type")
+    )
+
+
+@_register(
+    "regex_filtering",
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_matching
+FROM documents
+WHERE regexp_matches(text, 'spark\\s+\\w+\\s+join') AND lang <> ''
+GROUP BY 1
+""",
+)
+def q_regex_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10 regex predicate (validate.py:142-146) + P6 null/empty guard
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").rlike(r"spark\s+\w+\s+join") & (F.col("lang") != ""))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup extensions (exact / minhash / ngram / simhash / embedding)
+# ---------------------------------------------------------------------------
+@_register(
+    "exact_dedup",
+    """
+WITH hashed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    AS content_hash FROM documents
+), ranked AS (
+  SELECT doc_id, content_hash,
+    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) rn,
+    count(*) OVER (PARTITION BY content_hash) dup_count
+  FROM hashed
+)
+SELECT doc_id, content_hash, CAST(dup_count AS BIGINT) AS dup_count
+FROM ranked WHERE rn = 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = dd.exact_dedup(d, "text", "doc_id")
+    return out.select(
+        "doc_id", "content_hash", F.col("dup_count").cast("long").alias("dup_count")
+    ).orderBy("doc_id")
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    sig_cols = ",\n  ".join(
+        f"min(md5('{i}_' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS shingle
+  FROM documents
+)
+SELECT doc_id,
+  {sig_cols}
+FROM words GROUP BY doc_id
+"""
+
+
+@_register("minhash_signatures", _minhash_oracle(8))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+WITH grams AS (
+  SELECT doc_id, list_distinct([substring(text, i, 3)
+    for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+  FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+    AS jaccard
+FROM grams a, grams b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+      >= 0.5
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact character-trigram Jaccard on a capped id range (quadratic
+    # correctness path; the scale path is minhash LSH).
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.5, max_id=100,
+    )
+
+
+@_register(
+    "embedding_near_dup",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+    AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+    >= 0.9
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.9, max_id=300,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@_register(
+    "knn_topk",
+    """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+      AS sim
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+    AS rank
+  FROM scored
+) t WHERE rank <= 10
+""",
+)
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J8 exact top-k cosine (analyze_peer_effects.py:55-97), query side
+    # capped for the oracle-parity path.
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.knn_topk_exact(
+        emb, "vec_id", "embedding", k=10, queries=emb.filter(F.col("vec_id") < 50)
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@_register(
+    "group_centroids",
+    """
+SELECT "label" AS group_label, CAST(i - 1 AS BIGINT) AS dim, avg(v::DOUBLE) AS mean_val
+FROM (
+  SELECT "label", unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+) t GROUP BY 1, 2
+""",
+)
+def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group mean embedding (analyze_embeddings.py:166)
+    out = sim.group_centroids(_t(spark, sf_dir, "embeddings"), "label", "embedding")
+    return out.select(
+        F.col("label").alias("group_label"),
+        F.col("dim").cast("long").alias("dim"),
+        "mean_val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@_register(
+    "token_stats",
+    """
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars_measured,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars_measured AS BIGINT) AS n_chars_measured,
+  CAST(len(words) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+  CAST(list_reduce(list_prepend(0, [CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]),
+    (a, b) -> a + b) AS BIGINT) AS n_subword_est
+FROM w
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in tx.LANG_PROFILES["en"])
+
+
+@_register(
+    "quality_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  CAST(len(words) AS BIGINT) AS n_words,
+  length(regexp_replace(text, '\\s', '', 'g')) / CAST(len(words) AS DOUBLE)
+    AS mean_word_len,
+  len(regexp_extract_all(text, '([\\.,;:!\\?])'))
+    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  len(list_intersect(words, [{_EN_STOP_SQL}])) / CAST(len(words) AS DOUBLE)
+    AS stopword_hit_ratio
+FROM w
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.quality_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_hit_ratio",
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(tx.LANG_PROFILES)
+    score_exprs = ",\n  ".join(
+        "CAST(len(list_intersect(words, [{}])) AS BIGINT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in tx.LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    # fold argmax identical to the Spark side: strictly-greater replaces
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+  {score_exprs}
+  FROM w
+)
+SELECT *, {pred} AS predicted_lang FROM scored
+"""
+
+
+@_register("language_id", _lang_id_oracle())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.language_id(_t(spark, sf_dir, "documents"))
+    casts = [F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("score_")]
+    return out.select("doc_id", *casts, "predicted_lang")
+
+
+@_register(
+    "document_fingerprints",
+    """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), w AS (
+  SELECT doc_id, norm,
+    unnest(regexp_split_to_array(norm, ' ')) AS word,
+    generate_subscripts(regexp_split_to_array(norm, ' '), 1) AS i
+  FROM n
+)
+SELECT doc_id, min(md5(norm)) AS content_md5,
+  CAST(sum(CAST(i AS BIGINT) * (length(word) * 7 + ascii(word))) % 2147483647
+    AS BIGINT) AS rolling_hash,
+  CAST(min(length(norm)) AS BIGINT) AS norm_len
+FROM w GROUP BY doc_id
+""",
+)
+def q_document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.document_fingerprints(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "content_md5",
+        F.col("rolling_hash").cast("long").alias("rolling_hash"),
+        F.col("norm_len").cast("long").alias("norm_len"),
+    )

@@ -1,0 +1,117 @@
+"""Source readers (SURVEY.md §2.1, S1-S4, S9-S10).
+
+Spark-first equivalents of the reference's `DataLoader`
+(`opensea_pipeline/pipeline/src/io_utils.py:21-120`):
+
+- S1/S2 multi-file CSV scan with schema inference, bad-record tolerance and
+  union-by-name "diagonal concat" semantics (`io_utils.py:51-66`);
+- S3 Parquet scan (`io_utils.py:91-93`);
+- S4 partitioned-Parquet scan with partition filters (`io_utils.py:95-120`)
+  — Catalyst does Hive-style partition pruning natively, so the reference's
+  hand-rolled path-string matching disappears;
+- S9 JSON scan (`scripts/analysis/analyze_embeddings.py:139-143`);
+- S10 the embedding matrix as a Parquet table with an ARRAY<FLOAT> column
+  (replacing the reference's numpy `.npz`,
+  `scripts/data_preparation/prepare_visual_market_data.py:57-61`).
+
+All readers return *lazy* DataFrames — scans stay declarative so filters and
+projections written downstream reach the file scan (predicate pushdown /
+column pruning), which is the core of the 100 TB story.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_raw_csvs(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    per_file_union: bool = False,
+) -> DataFrame:
+    """S1: permissive multi-file CSV scan with union-by-name semantics.
+
+    Mirrors `io_utils.py:21-69`: header + inferred schema, malformed lines
+    tolerated (PERMISSIVE ≈ Polars ``ignore_errors=True`` +
+    ``truncate_ragged_lines=True``), files with differing column sets
+    combined by name with missing columns as nulls (≈ ``pl.concat(
+    how='diagonal')``, `io_utils.py:66`).
+
+    With ``per_file_union=False`` (default) Spark reads the glob in one scan
+    (all files must share a header layout). Set ``per_file_union=True`` for
+    genuinely heterogeneous files: each is read separately and combined via
+    ``unionByName(allowMissingColumns=True)``. Per-file reads still scan in
+    parallel; only schema inference is per-file.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("mode", "PERMISSIVE")
+    )
+    if isinstance(paths, str):
+        paths = [paths]
+    if not per_file_union:
+        return reader.csv(list(paths))
+    dfs = [reader.csv(p) for p in paths]
+    return functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3: Parquet scan (`io_utils.py:91-93`)."""
+    return spark.read.parquet(path)
+
+
+def load_parquet_partitioned(
+    spark: SparkSession, base_dir: str, filters: Mapping[str, object] | None = None
+) -> DataFrame:
+    """S4: partitioned-Parquet scan with partition filters.
+
+    The reference prunes files by matching ``k=v`` against path strings
+    (`io_utils.py:109-115`). In Spark the same filters are ordinary
+    ``.filter`` calls on the partition columns — Catalyst turns them into
+    partition pruning (no file even opened for pruned partitions), which is
+    what makes this operator survive a 100 TB table.
+    """
+    df = spark.read.parquet(base_dir)
+    if filters:
+        for k, v in filters.items():
+            df = df.filter(F.col(k) == F.lit(v))
+    return df
+
+
+def load_json(
+    spark: SparkSession, path: str, multi_line: bool = True
+) -> DataFrame:
+    """S9: JSON scan (array-of-objects metadata files → multiLine)."""
+    return spark.read.option("multiLine", multi_line).json(path)
+
+
+# Testdata columns stored as INT64(TIMESTAMP_NANOS), which Spark reads as
+# LongType under spark.sql.legacy.parquet.nanosAsLong.
+_NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md), normalizing
+    ns-precision timestamp columns to TimestampType (µs truncation)."""
+    # Defensive: the driver may hand us a session built without our
+    # defaults; this conf is a runtime SQL conf, safe to set here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all driver testdata tables keyed by name."""
+    from ..schemas import TESTDATA_TABLES
+
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -1,0 +1,92 @@
+"""Sinks (SURVEY.md §2.1, S5-S8, S11).
+
+Spark-first equivalents of the reference's `DataWriter`
+(`opensea_pipeline/pipeline/src/io_utils.py:130-235`).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """S5: Parquet sink, zstd default (`io_utils.py:130-145`).
+
+    ``single_file=True`` coalesces to one output file for parity with the
+    reference's one-file-per-table layout — only appropriate for small gold
+    tables; large fact tables keep their natural partitioning.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """S6: Hive-partitioned Parquet sink (`io_utils.py:147-182`).
+
+    The reference shells out to DuckDB ``COPY ... PARTITION_BY``; Spark's
+    built-in ``partitionBy`` writer is the distributed equivalent. At scale,
+    pre-repartitioning by the partition columns avoids
+    many-small-files-per-task write amplification.
+    """
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: CSV sink (`io_utils.py:184-189`)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json_metrics(metrics: Mapping[str, object], path: str) -> None:
+    """S8: JSON metrics sink (`run.py:119-128`) — driver-side, metrics are
+    tiny scalars by construction."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(dict(metrics), f, indent=2, default=str)
+
+
+class VersionedOutputStore:
+    """S11: timestamped output directories + latest-version lookup
+    (`io_utils.py:192-235`). Plain directory convention around Spark writes;
+    not an engine operator."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def new_version_dir(self, now: _dt.datetime | None = None) -> str:
+        stamp = (now or _dt.datetime.now()).strftime("%Y-%m-%d_%H-%M-%S")
+        path = os.path.join(self.base_dir, stamp)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def latest_version_dir(self) -> str | None:
+        if not os.path.isdir(self.base_dir):
+            return None
+        versions = sorted(
+            d
+            for d in os.listdir(self.base_dir)
+            if os.path.isdir(os.path.join(self.base_dir, d))
+        )
+        return os.path.join(self.base_dir, versions[-1]) if versions else None

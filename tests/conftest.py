@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import pytest
+
+from opensea_datapipeline_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        extra_configs={"spark.sql.shuffle.partitions": "4"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
