@@ -1,0 +1,75 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Per-query time is measured as plan-build + execute-to-driver (collect);
+session startup is excluded (BASELINE.md counts it as overhead outside the
+per-query measurement). Each query is the same callable the driver grades
+via __spark_entry__.queries().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opensea_datapipeline_spark.queries import QUERIES
+from opensea_datapipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at scale (wide agg, multi-join, range join, similarity, dedup).
+HEADLINE = [
+    "daily_stats",          # flagship: filter+agg+pivot (A1-A3)
+    "user_stats",           # per-entity agg (A4/A5)
+    "two_sided_dim",        # dual agg + full-outer join (A7)
+    "pricing_summary",      # TPC-H Q1 shape: scan-heavy wide agg
+    "segment_revenue",      # TPC-H Q3 shape: 3-way join
+    "quantile_filter_agg",  # exact percentile + re-scan (P12)
+    "peer_window_1h",       # range self-join + per-row window agg (J7/A12)
+    "rolling_daily_mean",   # window functions (W3)
+    "topk_per_user",        # ranked window top-k (W8)
+    "knn_topk",             # exact cosine top-k join (J8)
+    "exact_dedup",          # hash dedup
+    "minhash_signatures",   # minhash (LLM-pipeline extension)
+    "token_stats",          # text analysis
+    "language_id",          # text classification
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths outside measurement with a trivial action.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
