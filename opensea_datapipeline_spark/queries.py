@@ -1176,3 +1176,424 @@ def q_document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rolling_hash").cast("long").alias("rolling_hash"),
         F.col("norm_len").cast("long").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning pipeline + validator (reference core ETL, clean_events.py /
+# validate.py)
+# ---------------------------------------------------------------------------
+from .operators import clean as cl  # noqa: E402
+from .operators import mlstats as ms  # noqa: E402
+from .operators import multimodal as mm  # noqa: E402
+
+
+@_register(
+    "clean_events_pipeline",
+    """
+WITH base AS (
+  SELECT event_id, ts, user_id, lower(trim(event_type)) AS event_type,
+         COALESCE(value, 0.0) AS value
+  FROM events
+  WHERE COALESCE(value, 0.0) >= 0 AND ts IS NOT NULL
+    AND ts BETWEEN TIMESTAMP '2000-01-01' AND TIMESTAMP '2100-01-01'
+), d AS (
+  SELECT *, CAST(ts AS DATE) AS event_date,
+    row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn
+  FROM base
+)
+SELECT event_id,
+  concat(CAST(event_id AS VARCHAR), '_', CAST(user_id AS VARCHAR)) AS row_key,
+  strftime(event_date, '%Y-%m-%d') AS event_date,
+  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+  user_id, event_type, value
+FROM d WHERE rn = 1
+""",
+)
+def q_clean_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full 8-step cleaner (clean_events.py:17-57): normalize → canonicalize
+    # → filter → deterministic keep-first dedup → composite key → project.
+    out = cl.clean_events(_t(spark, sf_dir, "events"))
+    return out.select(
+        "event_id", "row_key",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "user_id", "event_type", "value",
+    ).orderBy("event_id")
+
+
+@_register(
+    "validate_events_report",
+    """
+WITH dup AS (
+  SELECT CAST(COALESCE(count(*), 0) AS BIGINT) AS duplicate_keys,
+         CAST(COALESCE(sum(n - 1), 0) AS BIGINT) AS duplicate_rows
+  FROM (SELECT count(*) AS n FROM events
+        GROUP BY user_id, event_type, ts HAVING count(*) > 1)
+), checks AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_rows,
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ids,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+    CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+             THEN 1 ELSE 0 END) AS BIGINT) AS invalid_event_types,
+    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
+    CAST(sum(CASE WHEN ts NOT BETWEEN TIMESTAMP '2000-01-01' AND TIMESTAMP '2100-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+    CAST(sum(CASE WHEN props IS NOT NULL AND NOT (json_valid(props) AND json_type(props) = 'OBJECT')
+             THEN 1 ELSE 0 END) AS BIGINT) AS malformed_props
+  FROM events
+)
+SELECT checks.*, dup.* FROM checks, dup
+""",
+)
+def q_validate_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 7 DataValidator checks (validate.py:18-237) as one metrics row.
+    out = cl.validate_events(
+        _t(spark, sf_dir, "events"),
+        valid_types=list(TESTDATA_EVENT_TYPES),
+    )
+    return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
+
+
+# ---------------------------------------------------------------------------
+# Per-group statistical modeling (F4/F5/F8)
+# ---------------------------------------------------------------------------
+@_register(
+    "group_regression",
+    """
+SELECT l_returnflag,
+  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_obs
+FROM lineitem GROUP BY 1
+""",
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4: per-group OLS via applyInPandas (analyze_peer_effects.py:214-235);
+    # oracle is SQL regr_* (identical closed form, rounded to 6dp).
+    return ms.group_ols(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        x_col="l_quantity", y_col="l_extendedprice",
+    ).orderBy("l_returnflag")
+
+
+@_register(
+    "anova_by_nation",
+    """
+WITH pc AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n_c,
+         sum(c_acctbal) AS sum_c, sum(c_acctbal * c_acctbal) AS sumsq_c
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2
+), pg AS (
+  SELECT c_nationkey, CAST(sum(n_c) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS k_classes,
+         sum(sum_c) AS sum_total, sum(sumsq_c) AS sumsq_total,
+         sum(sum_c * sum_c / n_c) AS sum_groupsq
+  FROM pc GROUP BY 1
+)
+SELECT c_nationkey, n_total, k_classes,
+  round(CASE WHEN k_classes > 1 AND n_total > k_classes
+                  AND (sumsq_total - sum_groupsq) > 0
+    THEN ((sum_groupsq - sum_total * sum_total / n_total) / (k_classes - 1))
+         / ((sumsq_total - sum_groupsq) / (n_total - k_classes)) END, 6)
+    AS f_stat,
+  round(CASE WHEN (sumsq_total - sum_total * sum_total / n_total) > 0
+    THEN (sum_groupsq - sum_total * sum_total / n_total)
+         / (sumsq_total - sum_total * sum_total / n_total) END, 6)
+    AS eta_squared
+FROM pg
+""",
+)
+def q_anova_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5: one-way ANOVA of account balance across market segments, per
+    # nation (analyze_visual_cycles.py:188-222) — built-in aggregates only.
+    return ms.anova_oneway(
+        _t(spark, sf_dir, "customer"), "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+@_register(
+    "spearman_daily",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v FROM events GROUP BY 1
+), rn AS (
+  SELECT d, v, row_number() OVER (ORDER BY d, v) AS rx,
+         row_number() OVER (ORDER BY v, d) AS ry
+  FROM daily
+), rk AS (
+  SELECT avg(rx) OVER (PARTITION BY d) AS rank_x,
+         avg(ry) OVER (PARTITION BY v) AS rank_y
+  FROM rn
+)
+SELECT round(corr(rank_x, rank_y), 6) AS spearman FROM rk
+""",
+)
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8: Spearman rank correlation of daily volume vs time (rank windows
+    # + Pearson; analyze_peer_effects.py:341-342).
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
+    return ms.spearman_corr(daily, "d", "v")
+
+
+@_register(
+    "rolling_std_7",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
+  stddev_samp(daily_value) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    AS rolling_std_7
+FROM daily
+""",
+)
+def q_rolling_std_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4: trailing rolling std with min_periods=1 semantics
+    # (advanced_timeseries_analysis.py:155-156).
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    out = win.rolling_std(daily, "d", "daily_value", window_rows=7, out_col="rolling_std_7")
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "rolling_std_7"
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Dedup extensions round 2: simhash + minhash-LSH pairs
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 16) -> str:
+    # bit b of md5(word): hex digit floor(b/4), bit (b%4) — identical to
+    # the Spark implementation (dedup.simhash_signatures).
+    contribs = ",\n    ".join(
+        f"sum(2 * ((strpos('0123456789abcdef', substring(h, {1 + b // 4}, 1)) - 1 "
+        f">> {b % 4}) & 1) - 1) AS s_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS w
+  FROM documents
+), hashed AS (SELECT doc_id, md5(w) AS h FROM words),
+sums AS (
+  SELECT doc_id,
+    {contribs}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@_register("simhash_signatures", _simhash_oracle(16))
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", bits=16
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2,
+                        threshold: float = 0.7, max_id: int = 200) -> str:
+    sig_cols = ",\n  ".join(
+        f"min(md5('{i}_' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id AS id, {b} AS band, concat_ws('|', {cols}) AS band_key FROM sigs".format(
+            b=b,
+            cols=", ".join(f"sig_{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+  FROM documents WHERE doc_id < {max_id}
+), words AS (
+  SELECT doc_id, unnest(ws) AS shingle FROM docs
+), sigs AS (
+  SELECT doc_id,
+  {sig_cols}
+  FROM words GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+  len(list_intersect(da.ws, db.ws))
+    / CAST(len(list_distinct(da.ws || db.ws)) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN docs da ON da.doc_id = c.id_a
+JOIN docs db ON db.doc_id = c.id_b
+WHERE len(list_intersect(da.ws, db.ws))
+    / CAST(len(list_distinct(da.ws || db.ws)) AS DOUBLE) >= {threshold}
+"""
+
+
+@_register("minhash_lsh_pairs", _minhash_lsh_oracle(8, 2, 0.7, 200))
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH near-dup pairs: banded candidate join + exact-Jaccard
+    # verification; the scale path for ngram_jaccard_pairs.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union-by-name (U1/J9) — diagonal-concat semantics
+# ---------------------------------------------------------------------------
+@_register(
+    "union_by_name_counts",
+    """
+WITH unioned AS (
+  SELECT event_id, user_id, value, NULL::VARCHAR AS event_date FROM events
+  WHERE event_type = 'click'
+  UNION ALL BY NAME
+  SELECT event_id, user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+  CAST(count(value) AS BIGINT) AS rows_with_value,
+  CAST(count(event_date) AS BIGINT) AS rows_with_date,
+  round(sum(value), 6) AS value_total
+FROM unioned
+""",
+)
+def q_union_by_name_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1: pl.concat(how='diagonal') ≡ unionByName(allowMissingColumns=True)
+    # (io_utils.py:66) — missing columns become typed nulls.
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    unioned = clicks.unionByName(purchases, allowMissingColumns=True)
+    return unioned.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count("value").alias("rows_with_value"),
+        F.count("event_date").alias("rows_with_date"),
+        F.round(F.sum("value"), 6).alias("value_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+@_register(
+    "multimodal_metadata",
+    """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  lower(substring(hex(encode(text)), 1, 8)) AS magic_hex,
+  'text/plain' AS media_type
+FROM documents
+""",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-payload metadata extraction: the documents text column stands
+    # in for raw media bytes; the plumbing (binary column + typed metadata)
+    # is the production shape.
+    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return mm.binary_metadata(d, "media", "doc_id").orderBy("doc_id")
+
+
+@_register(
+    "binary_frame_sample",
+    """
+WITH h AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, hx, n,
+         unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS i
+  FROM h
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+  CAST(least(64, n - i * 64) AS BIGINT) AS frame_len,
+  substring(hx, CAST(i * 128 + 1 AS BIGINT), 16) AS frame_prefix_hex
+FROM f WHERE i % 2 = 0
+""",
+)
+def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame/chunk sampling over an opaque byte stream (video/audio shape):
+    # executor-side fan-out via sequence+posexplode, no driver loop.
+    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return mm.frame_sample(d, "media", "doc_id", frame_bytes=64, stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@_register("byte_histogram_features")  # rows-only: mapInPandas featurizer seam
+def q_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return mm.byte_histogram_features(d, "media", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Approximate similarity + clustering (rows-only: approximate/ML paths are
+# never hash-compared against the oracle, SURVEY.md §7.3 trap 7)
+# ---------------------------------------------------------------------------
+@_register("kmeans_clusters")  # rows-only
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F6: KMeans k=20 seed=42 (prepare_visual_market_data.py:297-304).
+    return sim.kmeans_clusters(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20, seed=42
+    ).orderBy("vec_id")
+
+
+@_register("knn_topk_lsh")  # rows-only
+def q_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    dim = len(emb.select("embedding").first()[0])
+    return sim.knn_topk_lsh(emb, "vec_id", "embedding", k=10, dim=dim)
+
+
+@_register("ann_ivf_topk")  # rows-only
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return sim.ann_ivf(emb, "vec_id", "embedding", k=10, n_lists=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (stretch scope, SURVEY.md §7.2 step 9): the daily
+# aggregate as a watermarked tumbling-window stream; AvailableNow over the
+# static table makes it deterministic and oracle-comparable.
+# ---------------------------------------------------------------------------
+@_register(
+    "streaming_daily_stats",
+    """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  CAST(count(*) AS BIGINT) AS total_transactions,
+  sum(value) AS volume_total,
+  min(value) AS value_min,
+  max(value) AS value_max
+FROM events GROUP BY 1
+""",
+)
+def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.agg import run_streaming_daily_stats
+
+    out = run_streaming_daily_stats(
+        spark, f"{sf_dir}/events.parquet",
+        table_name="streaming_daily_stats_q",
+    )
+    # approx_unique_users is HLL-approximate — excluded from oracle parity.
+    return out.select(
+        "event_date", "total_transactions", "volume_total", "value_min", "value_max"
+    ).orderBy("event_date")
