@@ -92,7 +92,7 @@ def daily_stats(
     )
 
     out = base.join(price, on=keys, how="left").join(pivoted, on=keys, how="left")
-    return out.orderBy(*keys)
+    return out
 
 
 def entity_stats(
@@ -121,7 +121,7 @@ def entity_stats(
             F.max(ts_col).alias("last_seen"),
             F.max_by(price_col, ts_col).alias("last_price"),
         )
-        .orderBy(*keys)
+        
     )
 
 
@@ -178,7 +178,7 @@ def two_sided_stats(
         ),
         F.least("a_first", "b_first").alias("first_active"),
         F.greatest("a_last", "b_last").alias("last_active"),
-    ).orderBy(entity_name)
+    )
 
 
 def summary_quantiles(
@@ -204,7 +204,7 @@ def summary_quantiles(
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )
-        .orderBy(*keys)
+        
     )
 
 
@@ -224,7 +224,7 @@ def monthly_stats(
             F.count(F.lit(1)).alias("n_events"),
             F.stddev_samp(value_col).alias("std_value"),
         )
-        .orderBy("year", "month")
+        
     )
 
 
@@ -241,7 +241,7 @@ def weekday_rollup(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
             F.sum(value_col).alias("total_value"),
             det_mean(value_col).alias("mean_value"),
         )
-        .orderBy("iso_weekday")
+        
     )
 
 
@@ -254,7 +254,7 @@ def hourly_rollup(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
             F.sum(value_col).alias("total_value"),
             det_mean(value_col).alias("mean_value"),
         )
-        .orderBy("hour")
+        
     )
 
 
@@ -288,7 +288,7 @@ def mode_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         counted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(group_col, F.col(value_col).alias("mode_value"), F.col("cnt").alias("mode_count"))
-        .orderBy(group_col)
+        
     )
 
 
@@ -300,7 +300,7 @@ def duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > 1)
-        .orderBy(*keys)
+        
     )
 
 
@@ -335,7 +335,7 @@ def pairwise_correlation(
     stack_expr = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
     return row.selectExpr(
         f"stack({len(pairs)}, {stack_expr}) as (series_a, series_b, corr)"
-    ).orderBy("series_a", "series_b")
+    )
 
 
 def zscore_anomalies(
@@ -359,7 +359,7 @@ def zscore_anomalies(
         .withColumn("zscore", (F.col(value_col) - F.col("_mu")) / F.col("_sigma"))
         .filter(F.abs(F.col("zscore")) > threshold)
         .drop("_mu", "_sigma")
-        .orderBy(time_col)
+        
     )
 
 

@@ -88,7 +88,7 @@ def minhash_signatures(
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
-    return words.groupBy(id_col).agg(*aggs).orderBy(id_col)
+    return words.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -146,7 +146,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified.orderBy("id_a", "id_b")
+    return verified
 
 
 def ngram_jaccard_pairs(
@@ -183,7 +183,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -224,9 +224,7 @@ def simhash_signatures(
     for b in range(bits):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select(F.col(id_col), sig.cast("long").alias("simhash")).orderBy(
-        id_col
-    )
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def embedding_near_dup_pairs(
@@ -248,5 +246,5 @@ def embedding_near_dup_pairs(
         .withColumn("cos_sim", cosine_similarity("va", "vb"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
+        
     )

@@ -116,7 +116,7 @@ def anova_oneway(
         F.col("k_classes").cast("long").alias("k_classes"),
         F.round(f_stat, digits).alias("f_stat"),
         F.round(eta_sq, digits).alias("eta_squared"),
-    ).orderBy(group_col)
+    )
 
 
 def spearman_corr(

@@ -43,17 +43,22 @@ def knn_topk_exact(
     Returns (query_id, neighbor_id, sim, rank) — rank 1..k, ties broken by
     neighbor id for determinism.
     """
+    from ..functions.vector import l2_norm
+
+    # Norms are precomputed once per side (N+M sqrt-reductions) instead of
+    # per pair (N*M) — same float expression, so oracle-identical results.
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
     q = (queries if queries is not None else embeddings).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    sim = (
-        dot_product("_qvec", "_cvec")
-        if assume_normalized
-        else cosine_similarity("_qvec", "_cvec")
-    )
+    if assume_normalized:
+        sim = dot_product("_qvec", "_cvec")
+    else:
+        corpus = corpus.withColumn("_cnorm", l2_norm("_cvec"))
+        q = q.withColumn("_qnorm", l2_norm("_qvec"))
+        sim = dot_product("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm"))
     pairs = (
         q.crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -63,7 +68,6 @@ def knn_topk_exact(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -141,7 +145,7 @@ def knn_topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        
     )
 
 
@@ -208,7 +212,7 @@ def ann_ivf(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+        
     )
 
 
@@ -224,7 +228,7 @@ def group_centroids(
         embeddings.select(group_col, F.posexplode(vec_col).alias("dim", "val"))
         .groupBy(group_col, "dim")
         .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
-        .orderBy(group_col, "dim")
+        
     )
 
 

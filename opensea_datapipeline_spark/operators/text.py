@@ -41,7 +41,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.lit(0).cast("long"),
             lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
         ).alias("n_subword_est"),
-    ).orderBy(id_col)
+    )
 
 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,7 +65,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         (
             F.size(F.array_intersect(words, en_stop)) / n_words.cast("double")
         ).alias("stopword_hit_ratio"),
-    ).orderBy(id_col)
+    )
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -90,7 +90,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         cur = F.col(f"score_{lang}")
         pred = F.when(cur > best, F.lit(lang)).otherwise(pred)
         best = F.when(cur > best, cur).otherwise(best)
-    return scored.withColumn("predicted_lang", pred).orderBy(id_col)
+    return scored.withColumn("predicted_lang", pred)
 
 
 def document_fingerprints(
@@ -118,4 +118,4 @@ def document_fingerprints(
         F.md5(norm).alias("content_md5"),
         rolling.alias("rolling_hash"),
         F.length(norm).alias("norm_len"),
-    ).orderBy(id_col)
+    )

@@ -381,7 +381,7 @@ def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (F.lit(86400.0) * F.count("next_ts"))).alias("mean_gap_days"),
             F.count("next_ts").cast("long").alias("n_gaps"),
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -408,7 +408,7 @@ def q_rolling_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "rolling_mean_7"
-    ).orderBy("d")
+    )
 
 
 @_register(
@@ -429,7 +429,7 @@ def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = win.pct_change(daily, "d", "daily_value")
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "pct_change"
-    ).orderBy("d")
+    )
 
 
 @_register(
@@ -453,7 +453,7 @@ def q_cumulative_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = win.cumulative_sum(daily, "event_type", "d", "n")
     return out.select(
         "event_type", F.date_format("d", "yyyy-MM-dd").alias("d"), "n", "cumulative"
-    ).orderBy("event_type", "d")
+    )
 
 
 @_register(
@@ -481,7 +481,7 @@ def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = win.cumulative_product(rets, "d", "ret_filled", out_col="equity")
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "ret", "equity"
-    ).orderBy("d")
+    )
 
 
 @_register(
@@ -504,7 +504,7 @@ def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "event_id", "value", F.col("rank_in_group").cast("long").alias("rank_in_group")
-    ).orderBy("user_id", "rank_in_group")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -531,7 +531,7 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.sum("o_totalprice").alias("total_spend"),
         )
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -546,9 +546,7 @@ def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J5 semi-join key intersection (prepare_visual_market_data.py:98-125)
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return jn.semi_join_keys(c, o, "c_custkey").select("c_custkey", "c_name").orderBy(
-        "c_custkey"
-    )
+    return jn.semi_join_keys(c, o, "c_custkey").select("c_custkey", "c_name")
 
 
 @_register(
@@ -582,7 +580,7 @@ def q_region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("c_acctbal").alias("total_balance"),
         )
-        .orderBy("region_name")
+        
     )
 
 
@@ -619,7 +617,7 @@ def q_events_regime_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labeled.groupBy("regime")
         .agg(F.count(F.lit(1)).alias("n_events"), agg.det_mean("value").alias("mean_value"))
-        .orderBy("regime")
+        
     )
 
 
@@ -653,7 +651,7 @@ def q_peer_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peer_mean",
         "peer_max",
         "peer_sum",
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -699,7 +697,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.det_mean("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -733,7 +731,7 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
-        .orderBy("c_mktsegment", "order_year")
+        
     )
 
 
@@ -761,7 +759,7 @@ def q_quantile_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_below_p99"),
             agg.det_mean("l_extendedprice").alias("mean_price_below"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -793,7 +791,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
         F.length("c_name").cast("long").alias("name_len"),
-    ).orderBy("c_custkey")
+    )
 
 
 @_register(
@@ -818,7 +816,7 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM").alias("year_month"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("y", "m", "q", "h")
+        
     )
 
 
@@ -839,7 +837,7 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("event_type")
         .agg(F.avg("k").alias("mean_k"), F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type")
+        
     )
 
 
@@ -870,7 +868,7 @@ def q_event_type_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         e.groupBy(canon.alias("canonical_type"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("canonical_type")
+        
     )
 
 
@@ -890,7 +888,7 @@ def q_regex_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("text").rlike(r"spark\s+\w+\s+join") & (F.col("lang") != ""))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_matching"))
-        .orderBy("lang")
+        
     )
 
 
@@ -918,7 +916,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dd.exact_dedup(d, "text", "doc_id")
     return out.select(
         "doc_id", "content_hash", F.col("dup_count").cast("long").alias("dup_count")
-    ).orderBy("doc_id")
+    )
 
 
 def _minhash_oracle(num_hashes: int = 8) -> str:
@@ -1219,7 +1217,7 @@ def q_clean_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
         F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
         "user_id", "event_type", "value",
-    ).orderBy("event_id")
+    )
 
 
 @_register(
@@ -1276,7 +1274,7 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ms.group_ols(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
         x_col="l_quantity", y_col="l_extendedprice",
-    ).orderBy("l_returnflag")
+    )
 
 
 @_register(
@@ -1359,7 +1357,7 @@ def q_rolling_std_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = win.rolling_std(daily, "d", "daily_value", window_rows=7, out_col="rolling_std_7")
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "rolling_std_7"
-    ).orderBy("d")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1509,7 +1507,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in for raw media bytes; the plumbing (binary column + typed metadata)
     # is the production shape.
     d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return mm.binary_metadata(d, "media", "doc_id").orderBy("doc_id")
+    return mm.binary_metadata(d, "media", "doc_id")
 
 
 @_register(
@@ -1534,15 +1532,13 @@ def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frame/chunk sampling over an opaque byte stream (video/audio shape):
     # executor-side fan-out via sequence+posexplode, no driver loop.
     d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return mm.frame_sample(d, "media", "doc_id", frame_bytes=64, stride=2).orderBy(
-        "doc_id", "frame_idx"
-    )
+    return mm.frame_sample(d, "media", "doc_id", frame_bytes=64, stride=2)
 
 
 @_register("byte_histogram_features")  # rows-only: mapInPandas featurizer seam
 def q_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return mm.byte_histogram_features(d, "media", "doc_id").orderBy("doc_id")
+    return mm.byte_histogram_features(d, "media", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1554,7 +1550,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F6: KMeans k=20 seed=42 (prepare_visual_market_data.py:297-304).
     return sim.kmeans_clusters(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20, seed=42
-    ).orderBy("vec_id")
+    )
 
 
 @_register("knn_topk_lsh")  # rows-only
@@ -1596,4 +1592,4 @@ def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_unique_users is HLL-approximate — excluded from oracle parity.
     return out.select(
         "event_date", "total_transactions", "volume_total", "value_min", "value_max"
-    ).orderBy("event_date")
+    )
