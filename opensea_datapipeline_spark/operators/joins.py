@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregates import det_mean
@@ -171,8 +171,64 @@ def neighbor_window_aggregate(
         F.col(f"a.{ts_col}").alias(ts_col),
     ).agg(
         F.count(F.col(f"b.{id_col}")).alias("peer_sales"),
-        F.avg(F.col(f"b.{value_col}")).alias("peer_mean_price"),
+        det_mean(F.col(f"b.{value_col}")).alias("peer_mean_price"),
         F.median(F.col(f"b.{value_col}")).alias("peer_median_price"),
         F.max(F.col(f"b.{value_col}")).alias("peer_max_price"),
         F.countDistinct(F.col(f"b.{token_col}")).alias("peer_tokens"),
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_id_col: str,
+) -> DataFrame:
+    """As-of join (backward, inclusive): each left row picks the most
+    recent right row with ``right.ts <= left.ts`` on the same key.
+
+    Spark has no ASOF JOIN operator (DuckDB/kdb do); a naive theta join
+    explodes quadratically per key. This is the scalable composition:
+    union both sides tagged, ONE shuffle+sort per key, and a running
+    ``last_value(..., ignoreNulls)`` window carries the latest right-side
+    values forward onto left rows. O(n log n) per key, no row explosion —
+    the same merge-scan shape a native as-of join would execute.
+    """
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(right_id_col).alias("_rid"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rid", F.lit(None).cast(r.schema["_rid"].dataType)
+    )
+    for c in value_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(r.schema[f"_r_{c}"].dataType))
+    combined = l.unionByName(r, allowMissingColumns=True)
+    # rights sort before lefts at equal ts (_side 0 < 1) → inclusive match;
+    # _rid breaks ties between simultaneous right rows deterministically.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side", "_rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = combined
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "asof_ts_epoch",
+        F.when(
+            F.last("_rid", ignorenulls=True).over(w).isNotNull(),
+            F.unix_timestamp(
+                F.max(F.when(F.col("_side") == 0, F.col(ts_col))).over(w)
+            ),
+        ).cast("long"),
+    )
+    drop = ["_side", "_rid"] + [f"_r_{c}" for c in value_cols]
+    return carried.filter(F.col("_side") == 1).drop(*drop)

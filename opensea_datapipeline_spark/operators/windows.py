@@ -166,3 +166,29 @@ def top_k_per_group(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= k)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Gap-based sessionization over the event log: a new session starts
+    when the time since the previous event of the same key exceeds
+    ``gap_seconds``. session_id = running count of session starts — two
+    stacked windows over ONE partition/sort (Catalyst reuses the sort).
+
+    This is the batch twin of Structured Streaming's
+    ``session_window(ts, gap)``; identical semantics over static input.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        "session_id",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_new_session")

@@ -1593,3 +1593,125 @@ def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_date", "total_transactions", "volume_total", "value_min", "value_max"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, sessionization, neighbor peer windows (operators Spark lacks,
+# composed from primitives — SURVEY.md §2.3 J7/J8 + streaming-shaped batch)
+# ---------------------------------------------------------------------------
+@_register(
+    "asof_last_click",
+    """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+  CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch, p.value,
+  c.value AS asof_value,
+  CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_ts_epoch
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Backward as-of join: each purchase picks the user's most recent
+    # click. Spark lacks ASOF JOIN; composed as union + running
+    # last_value window (one shuffle, no row explosion).
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    out = jn.asof_join_backward(
+        purchases, clicks, "user_id", "ts", ["value"], "event_id"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "value",
+        F.col("asof_value"),
+        "asof_ts_epoch",
+    )
+
+
+@_register(
+    "sessionization",
+    """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+  CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+  round(sum(value), 6) AS total_value
+FROM t GROUP BY 1, 2
+""",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-based sessions (30 min) — batch twin of session_window(ts, gap).
+    events = _t(spark, sf_dir, "events")
+    sessions = win.sessionize(events, "user_id", "ts", 1800, "event_id")
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).cast("long").alias("session_start"),
+        F.unix_timestamp(F.max("ts")).cast("long").alias("session_end"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@_register(
+    "neighbor_peer_window",
+    """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+nbr AS (
+  SELECT u.user_id, v.user_id AS neighbor_id
+  FROM users u JOIN users v
+    ON v.user_id = u.user_id + 1 OR v.user_id = u.user_id - 1
+)
+SELECT a.event_id, a.user_id,
+  CAST(floor(epoch(a.ts)) AS BIGINT) AS ts_epoch,
+  CAST(count(b.event_id) AS BIGINT) AS peer_sales,
+  round(sum(b.value), 6) / count(b.value) AS peer_mean_price,
+  median(b.value) AS peer_median_price,
+  max(b.value) AS peer_max_price,
+  CAST(count(DISTINCT b.user_id) AS BIGINT) AS peer_tokens
+FROM events a
+JOIN nbr ON a.user_id = nbr.user_id
+JOIN events b ON b.user_id = nbr.neighbor_id
+  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY 1, 2, 3
+""",
+)
+def q_neighbor_peer_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J7 full form (analyze_peer_effects.py:128-237): peer aggregates over
+    # a neighbor map. Neighbor map here is the deterministic ±1 ring over
+    # user ids (stands in for the KNN map, which is itself q knn_topk).
+    events = _t(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    shifted = users.select(
+        "user_id", (F.col("user_id") + 1).alias("neighbor_id")
+    ).unionByName(
+        users.select("user_id", (F.col("user_id") - 1).alias("neighbor_id"))
+    )
+    neighbors = shifted.join(
+        users.select(F.col("user_id").alias("neighbor_id")),
+        "neighbor_id", "left_semi",
+    )
+    out = jn.neighbor_window_aggregate(
+        events, neighbors,
+        token_col="user_id", neighbor_col="neighbor_id",
+        ts_col="ts", value_col="value", id_col="event_id",
+        window_seconds=3600,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        F.col("peer_sales").cast("long").alias("peer_sales"),
+        "peer_mean_price", "peer_median_price", "peer_max_price",
+        F.col("peer_tokens").cast("long").alias("peer_tokens"),
+    )

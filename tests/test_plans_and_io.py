@@ -1,0 +1,143 @@
+"""Physical-plan guardrails + sink round-trips.
+
+These tests pin the *scale* properties (SURVEY.md §4): filters reach the
+parquet scan, small dimensions broadcast, writes partition correctly and
+partition filters prune. A refactor that silently regresses one of these
+still passes the value-diff tests — this is the net that catches it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from opensea_datapipeline_spark.queries import QUERIES
+from opensea_datapipeline_spark.sources.readers import (
+    load_parquet_partitioned,
+    load_raw_csvs,
+    load_table,
+)
+from opensea_datapipeline_spark.sources.writers import (
+    write_parquet_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    plan = _plan(QUERIES["pricing_summary"](spark, sf_dir))
+    # only the 7 needed columns reach the scan — not l_orderkey/partkey/...
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_region_counts_uses_broadcast_joins(spark, sf_dir):
+    plan = _plan(QUERIES["region_customer_counts"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims are tiny; no shuffle join
+
+
+def test_segment_revenue_broadcasts_customer(spark, sf_dir):
+    plan = _plan(QUERIES["segment_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_peer_window_keeps_equi_conjunct(spark, sf_dir):
+    # The range self-join must hash on user_id (equi conjunct) with the
+    # time range as residual — NOT a broadcast nested loop over all pairs
+    # (SURVEY.md §7.3 trap 9).
+    plan = _plan(QUERIES["peer_window_1h"](spark, sf_dir))
+    assert "Join user_id" in plan.replace("#", " ").replace("L", "") or (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_stats_single_aggregation_shuffle(spark, sf_dir):
+    # pivot + counts fold into hash aggregates over one grouping — the
+    # plan must not contain a cartesian or nested-loop artifact.
+    plan = _plan(QUERIES["daily_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = _plan(df)
+    # "*(n) Op" prefixes mark whole-stage-codegen spans in plan toString
+    assert "*(1)" in plan, plan
+
+
+def test_dedup_filter_pushdown_reaches_scan(spark, sf_dir):
+    # minhash_lsh caps doc_id < 200; the predicate must hit the scan.
+    df = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
+    assert "LessThan(doc_id,200)" in _plan(df).replace(" ", "")
+
+
+def test_partitioned_write_and_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_parquet_partitioned(events, out, ["event_type"])
+    # Hive-style layout on disk
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/event_type=*")
+    )
+    assert parts == sorted(
+        f"event_type={t}" for t in ["click", "view", "purchase", "signup", "error"]
+    )
+    # partition filter prunes at plan level: one partition read, not five
+    pruned = load_parquet_partitioned(spark, out, {"event_type": "click"})
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    got = pruned.count()
+    want = events.filter(F.col("event_type") == "click").count()
+    assert got == want
+
+
+def test_csv_roundtrip_union_by_name(spark, tmp_path):
+    # S1/U1: heterogeneous CSVs combine by name with missing cols as null.
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    a.write_text("id,x\n1,10\n2,20\n")
+    b.write_text("id,y\n3,30\n")
+    df = load_raw_csvs(spark, [str(a), str(b)], per_file_union=True)
+    rows = {r.id: (r.x, r.y) for r in df.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (None, 30)}
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    # Approximate paths are never oracle-compared; pin a recall floor vs
+    # the exact path so they can't silently degrade to garbage.
+    from opensea_datapipeline_spark.operators.similarity import (
+        ann_ivf,
+        knn_topk_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_topk_exact(emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf(emb, k=5, n_lists=4, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
