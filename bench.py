@@ -41,6 +41,11 @@ HEADLINE = [
     "minhash_signatures",   # minhash (LLM-pipeline extension)
     "token_stats",          # text analysis
     "language_id",          # text classification
+    "clean_events_pipeline",  # full ETL cleaner (normalize->dedup->project)
+    "asof_last_click",      # as-of join composition
+    "sessionization",       # gap-based sessions (stacked windows)
+    "neighbor_peer_window", # J7 neighbor-map range join
+    "group_regression",     # applyInPandas per-group OLS
 ]
 
 

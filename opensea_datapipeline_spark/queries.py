@@ -1715,3 +1715,28 @@ def q_neighbor_peer_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peer_mean_price", "peer_median_price", "peer_max_price",
         F.col("peer_tokens").cast("long").alias("peer_tokens"),
     )
+
+
+@_register(
+    "json_explode_pivot",
+    """
+SELECT event_type,
+  round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+    / count(json_extract_string(props, '$.k')) AS k
+FROM events GROUP BY 1
+""",
+)
+def q_json_explode_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3 (analyze_cluster_traits.py:58-97): JSON payload → from_json →
+    # explode → pivot to wide per-trait columns. The reference's trait
+    # arrays are ArrayType(StructType(trait_type, value)) + the same
+    # explode/pivot shape; props here is the map form.
+    e = _t(spark, sf_dir, "events")
+    exploded = e.withColumn(
+        "m", F.from_json("props", "map<string,string>")
+    ).select("event_type", F.explode("m").alias("trait_type", "trait_value"))
+    return (
+        exploded.groupBy("event_type")
+        .pivot("trait_type", ["k"])
+        .agg(agg.det_mean(F.col("trait_value").cast("double")))
+    )

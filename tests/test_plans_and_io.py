@@ -141,3 +141,29 @@ def test_ann_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_core_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    # The run.py analog: validate → clean (cached fan-out) → 4 aggregates
+    # → versioned parquet + metrics.json.
+    import json
+
+    from opensea_datapipeline_spark.plans.pipeline import run_core_pipeline
+
+    events = load_table(spark, sf_dir, "events")
+    res = run_core_pipeline(spark, events, output_dir=str(tmp_path / "out"))
+    assert res.metrics["total_rows"] == events.count()
+    assert res.metrics["rows_after_clean"] <= res.metrics["total_rows"]
+    assert res.outputs["cleaned_events"].storageLevel.useMemory  # cached fan-out
+    run_dirs = list((tmp_path / "out").iterdir())
+    assert len(run_dirs) == 1
+    written = {p.name for p in run_dirs[0].iterdir()}
+    assert {
+        "cleaned_events.parquet", "daily_stats.parquet", "entity_stats.parquet",
+        "collection_summary.parquet", "duplicate_report.parquet", "metrics.json",
+    } <= written
+    metrics = json.loads((run_dirs[0] / "metrics.json").read_text())
+    assert metrics["rows_after_clean"] == res.metrics["rows_after_clean"]
+    # round-trip: the written daily stats read back consistent
+    daily = spark.read.parquet(str(run_dirs[0] / "daily_stats.parquet"))
+    assert daily.count() == res.outputs["daily_stats"].count()
