@@ -232,3 +232,32 @@ def asof_join_backward(
     )
     drop = ["_side", "_rid"] + [f"_r_{c}" for c in value_cols]
     return carried.filter(F.col("_side") == 1).drop(*drop)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    how: str = "inner",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the big side's hot keys across
+    ``n_salts`` buckets and replicate the small side once per salt, so a
+    single hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    AQE's skew-join splitting (enabled in session defaults) handles most
+    cases at runtime; explicit salting is the plan-level tool for joins
+    AQE can't split (e.g. when the skewed side is the build side of a
+    shuffled hash join, or under a fixed partitioning contract). The salt
+    is a deterministic per-row hash — which bucket a row lands in doesn't
+    affect results, only balance.
+    """
+    salt_values = list(range(n_salts))
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(n_salts))
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in salt_values]))
+    )
+    out = big_s.join(small_s, on=[key_col, "_salt"], how=how)
+    return out.drop("_salt")

@@ -128,3 +128,49 @@ def test_streaming_matches_batch(spark, sf_dir):
     got = {r.event_date: r.total_transactions for r in streamed.collect()}
     want = {r.event_date: r.total_transactions for r in batch.collect()}
     assert got == want
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from opensea_datapipeline_spark.operators.joins import salted_join
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = c.join(n, "c_nationkey").groupBy("n_name").count()
+    salted = salted_join(c, n, "c_nationkey", n_salts=4).groupBy("n_name").count()
+    assert {(r.n_name, r["count"]) for r in plain.collect()} == {
+        (r.n_name, r["count"]) for r in salted.collect()
+    }
+
+
+def test_session_window_parity_with_sessionize(spark):
+    # Built-in session_window (batch) and the gap-cumsum sessionize must
+    # produce identical session boundaries on unambiguous data.
+    from opensea_datapipeline_spark.operators.windows import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),   # same session (10 min gap)
+        (3, 1, "2024-01-01 11:30:00"),   # new session (80 min gap)
+        (4, 2, "2024-01-01 09:00:00"),
+        (5, 2, "2024-01-01 09:29:00"),   # same session (29 min gap)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s string").select(
+        "event_id", "user_id", F.to_timestamp("s").alias("ts")
+    )
+    built_in = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start"))
+        .select("user_id", "start", "n")
+    )
+    ours = (
+        sessionize(df, "user_id", "ts", 1800, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start"))
+        .select("user_id", "start", "n")
+    )
+    assert {tuple(r) for r in built_in.collect()} == {
+        tuple(r) for r in ours.collect()
+    }
