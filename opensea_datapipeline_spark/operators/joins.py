@@ -145,18 +145,36 @@ def neighbor_window_aggregate(
     form of the reference's ``token_id → {neighbor_ids}`` JSON dict.
 
     Plan shape: fact ⨝ neighbors (equi, neighbor map is small → broadcast)
-    then ⨝ fact again (equi on neighbor id + range residual). Two hash
-    joins, no nested loop.
+    then ⨝ fact again (equi on neighbor id AND coarse time bucket + range
+    residual). Two hash joins, no nested loop; the bucket conjunct bounds
+    per-key fan-out exactly as in range_self_join_aggregate (a trailing
+    window of length w only reaches buckets b and b-1), so a hot
+    neighbor's full history never materializes per probe row.
     """
+    bucket = lambda side: (
+        F.unix_timestamp(F.col(f"{side}.{ts_col}")) / window_seconds
+    ).cast("long")
     a = sales.alias("a")
     n = neighbors.alias("n")
-    b = sales.alias("b")
-    joined = a.join(
-        F.broadcast(n), on=F.col(f"a.{token_col}") == F.col(f"n.{token_col}"), how="inner"
-    ).join(
+    b = sales.withColumn(
+        "_bucket",
+        (F.unix_timestamp(F.col(ts_col)) / window_seconds).cast("long"),
+    ).alias("b")
+    probed = (
+        a.join(
+            F.broadcast(n),
+            on=F.col(f"a.{token_col}") == F.col(f"n.{token_col}"),
+            how="inner",
+        )
+        .withColumn(
+            "_probe_bucket", F.explode(F.array(bucket("a"), bucket("a") - 1))
+        )
+    )
+    joined = probed.join(
         b,
         on=(
             (F.col(f"n.{neighbor_col}") == F.col(f"b.{token_col}"))
+            & (F.col("_probe_bucket") == F.col("b._bucket"))
             & (
                 F.col(f"b.{ts_col}")
                 >= F.col(f"a.{ts_col}") - F.expr(f"INTERVAL {window_seconds} SECONDS")

@@ -90,3 +90,24 @@ class VersionedOutputStore:
             if os.path.isdir(os.path.join(self.base_dir, d))
         )
         return os.path.join(self.base_dir, versions[-1]) if versions else None
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``num_buckets`` hash
+    buckets on ``bucket_cols`` at write time, so joins/aggregations on
+    those keys read co-located data with NO exchange at query time — the
+    standing-shuffle amortization that matters when the same 100 TB fact
+    table is joined on the same key by many queries. (Bucketing requires
+    the table catalog; plain path-based parquet cannot carry bucket
+    metadata.)"""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

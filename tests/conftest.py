@@ -9,10 +9,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_spark(
         "tests",
         master="local[4]",
-        extra_configs={"spark.sql.shuffle.partitions": "4"},
+        extra_configs={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
     )
     yield s
 

@@ -167,3 +167,57 @@ def test_core_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # round-trip: the written daily stats read back consistent
     daily = spark.read.parquet(str(run_dirs[0] / "daily_stats.parquet"))
     assert daily.count() == res.outputs["daily_stats"].count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    # Co-located join: both sides bucketed on the join key -> the join
+    # reads bucket-aligned files with no Exchange on either side.
+    from opensea_datapipeline_spark.sources.writers import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], num_buckets=4)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], num_buckets=4,
+    )
+    # force the shuffle-join path (at real scale neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = _plan(joined)
+        assert "Bucketed: true" in plan and "SortMergeJoin" in plan
+        # the join consumes bucket-aligned scans directly: the only
+        # hash-partition exchange is the final aggregation's, none below
+        # the join
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in join_part, join_part
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_permissive_csv_tolerates_bad_rows(spark, tmp_path):
+    # S1 semantics: malformed lines null out, never crash the scan
+    # (Polars ignore_errors/truncate_ragged_lines parity).
+    p = tmp_path / "messy.csv"
+    p.write_text("id,price\n1,10.5\n2,not_a_number\n3,7.25\n")
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("id", LongType()), StructField("price", DoubleType()),
+    ])
+    df = (
+        spark.read.option("header", True).option("mode", "PERMISSIVE")
+        .schema(schema).csv(str(p))
+    )
+    rows = {r.id: r.price for r in df.collect()}
+    assert rows == {1: 10.5, 2: None, 3: 7.25}
