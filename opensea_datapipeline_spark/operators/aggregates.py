@@ -55,44 +55,30 @@ def daily_stats(
     """
     keys = list(group_cols)
 
-    base = df.groupBy(*keys).agg(
+    # ONE conditional aggregate instead of three grouped branches + two
+    # re-joins: price stats take `when(price>0)` inputs (aggregates skip
+    # the nulls, matching the reference's pre-filter, `aggregate.py:29`);
+    # the event-type pivot becomes fixed-list conditional counts
+    # (`pivot(values=...)` semantics, `aggregate.py:32-37`, null→0 per
+    # `aggregate.py:88`). Single shuffle on the group key — at 100 TB this
+    # is 1 pass over the fact table instead of 3 plus two join shuffles.
+    priced = F.when(F.col(price_col) > 0, F.col(price_col))
+    type_counts = [
+        F.count(F.when(F.col(event_type_col) == t, F.lit(1)))
+        .cast("long")
+        .alias(f"{t}_count")
+        for t in (event_types or [])
+    ]
+    return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("total_transactions"),
         F.countDistinct(user_col).alias("unique_users"),
+        F.sum(priced).alias("volume_total"),
+        det_mean(priced).alias("price_mean"),
+        F.median(priced).alias("price_median"),
+        F.min(priced).alias("price_min"),
+        F.max(priced).alias("price_max"),
+        *type_counts,
     )
-
-    # Price stats over priced events only (`aggregate.py:29` filters >0).
-    price = (
-        df.filter(F.col(price_col) > 0)
-        .groupBy(*keys)
-        .agg(
-            F.sum(price_col).alias("volume_total"),
-            det_mean(price_col).alias("price_mean"),
-            F.median(price_col).alias("price_median"),
-            F.min(price_col).alias("price_min"),
-            F.max(price_col).alias("price_max"),
-        )
-    )
-
-    # Event-type pivot with a FIXED value list: stable schema regardless of
-    # which types appear in the slice (fixes the reference's per-column
-    # existence checks, `aggregate.py:60-86`), and avoids the extra job
-    # Spark needs to discover pivot values.
-    pivot_src = df.groupBy(*keys).pivot(
-        event_type_col, list(event_types) if event_types else None
-    )
-    pivoted = pivot_src.count()
-    # null → 0 like the reference (`aggregate.py:88`).
-    count_cols = [c for c in pivoted.columns if c not in keys]
-    pivoted = pivoted.select(
-        *keys,
-        *[
-            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"{c}_count")
-            for c in count_cols
-        ],
-    )
-
-    out = base.join(price, on=keys, how="left").join(pivoted, on=keys, how="left")
-    return out
 
 
 def entity_stats(
