@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the order-sensitive operators —
+the ones where a wrong tie-break or boundary silently changes results.
+Small example counts: each example is a Spark round-trip.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opensea_datapipeline_spark.operators.clean import dedup_keep_first
+from opensea_datapipeline_spark.operators.joins import asof_join_backward
+from opensea_datapipeline_spark.operators.windows import sessionize
+
+SETTINGS = settings(max_examples=10, deadline=None)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),          # key
+        st.integers(0, 50),         # order value (may tie)
+        st.integers(0, 3),          # payload
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_dedup_keep_first_properties(spark, rows):
+    data = [(i, k, o, p) for i, (k, o, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k long, o long, p long")
+    out = dedup_keep_first(df, ["k"], ["o", "rid"]).collect()
+    # one survivor per key, and it is the (o, rid)-minimal row
+    by_key = {}
+    for rid, k, o, p in data:
+        cur = by_key.get(k)
+        if cur is None or (o, rid) < (cur[2], cur[0]):
+            by_key[k] = (rid, k, o, p)
+    assert {(r.k, r.rid) for r in out} == {(v[1], v[0]) for v in by_key.values()}
+    # idempotence
+    df2 = spark.createDataFrame([tuple(r) for r in out], "rid long, k long, o long, p long")
+    again = dedup_keep_first(df2, ["k"], ["o", "rid"]).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=8),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=8),
+)
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)
+    ldata = [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)]
+    rdata = [(1000 + i, k, ts(s), float(i)) for i, (k, s) in enumerate(rights)]
+    ldf = spark.createDataFrame(ldata, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rdata, "rid long, k long, ts timestamp, v double")
+    out = asof_join_backward(ldf, rdf, "k", "ts", ["v"], "rid").collect()
+    got = {r.lid: r.asof_v for r in out}
+    for lid, k, lts in ldata:
+        cands = [(rts, rid, v) for rid, rk, rts, v in rdata if rk == k and rts <= lts]
+        want = max(cands)[2] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@given(
+    gaps=st.lists(st.integers(1, 120), min_size=1, max_size=12),
+    threshold=st.integers(10, 60),
+)
+@SETTINGS
+def test_sessionize_boundaries(spark, gaps, threshold):
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    rows, cur = [], t
+    for i, g in enumerate(gaps):
+        cur = cur + datetime.timedelta(seconds=g)
+        rows.append((i, 1, cur))
+    df = spark.createDataFrame(rows, "event_id long, k long, ts timestamp")
+    out = sorted(
+        sessionize(df, "k", "ts", threshold, "event_id").collect(),
+        key=lambda r: r.ts,
+    )
+    # within a session every inter-event gap <= threshold; across a session
+    # boundary the gap is > threshold
+    for prev, cur_r in zip(out, out[1:]):
+        gap = (cur_r.ts - prev.ts).total_seconds()
+        if cur_r.session_id == prev.session_id:
+            assert gap <= threshold
+        else:
+            assert gap > threshold
+            assert cur_r.session_id == prev.session_id + 1
