@@ -1740,3 +1740,71 @@ def q_json_explode_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("trait_type", ["k"])
         .agg(agg.det_mean(F.col("trait_value").cast("double")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets + range frames (beyond-reference capability: the reference
+# has no rollup/cube and only row-based frames, SURVEY.md §2.4/§2.5)
+# ---------------------------------------------------------------------------
+@_register(
+    "order_status_rollup",
+    """
+SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+  sum(o_totalprice) AS total_price,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+""",
+)
+def q_order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hierarchical subtotals in one pass: Spark expands the rollup into
+    # grouping sets inside a single aggregate (one shuffle), vs running
+    # three separate groupBys.
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return o.rollup("o_orderstatus", "order_year").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("order_year").cast("long").alias("g_year"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "time_range_rolling_mean",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, daily_value,
+    date_diff('day', DATE '2020-01-01', d) AS day_idx
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
+  avg(daily_value) OVER (ORDER BY day_idx
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS range_mean_7d
+FROM idx
+""",
+)
+def q_time_range_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frame keyed on calendar days (not row counts): a gap in the
+    # series shrinks the window instead of silently reaching further back
+    # — the correct rolling semantics for sparse daily data. The reference
+    # only has row frames (W3/W4).
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
+    idx = daily.withColumn(
+        "day_idx", F.datediff(F.col("d"), F.lit("2020-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return idx.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "daily_value",
+        F.avg("daily_value").over(w).alias("range_mean_7d"),
+    )

@@ -174,3 +174,34 @@ def test_session_window_parity_with_sessionize(spark):
     assert {tuple(r) for r in built_in.collect()} == {
         tuple(r) for r in ours.collect()
     }
+
+
+def test_streaming_sessions_emit_finalized_prefix(spark, sf_dir, tmp_path):
+    # Feed the backlog as multiple files (one per micro-batch); sessions
+    # finalized by the advancing watermark must exactly match the batch
+    # session_window computation for the same keys/starts.
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.session import run_streaming_sessions
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    src = str(tmp_path / "stream_src")
+    # split by time so micro-batches arrive roughly in order
+    events.withColumn(
+        "half", (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp")).cast("int")
+    ).repartitionByRange(2, "half").write.parquet(src)
+
+    emitted = run_streaming_sessions(
+        spark, src, gap="30 minutes", table_name="t_sessions_test"
+    ).collect()
+    assert emitted, "no sessions emitted — watermark never advanced"
+
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+    batch_map = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    for r in emitted:
+        key = (r.user_id, r.session_start)
+        assert key in batch_map, f"emitted session not in batch result: {key}"
+        assert r.n_events == batch_map[key], key
