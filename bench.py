@@ -46,6 +46,9 @@ HEADLINE = [
     "sessionization",       # gap-based sessions (stacked windows)
     "neighbor_peer_window", # J7 neighbor-map range join
     "group_regression",     # applyInPandas per-group OLS
+    "local_supplier_revenue",  # TPC-H Q5 shape: 6-way join
+    "large_orders",         # TPC-H Q18 shape: having semi-join
+    "order_status_rollup",  # grouping sets in one shuffle
 ]
 
 

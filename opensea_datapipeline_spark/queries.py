@@ -1808,3 +1808,91 @@ def q_time_range_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_value",
         F.avg("daily_value").over(w).alias("range_mean_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5/Q18 shapes: deep multi-join + having-semi-join (bench headliners)
+# ---------------------------------------------------------------------------
+@_register(
+    "local_supplier_revenue",
+    """
+SELECT n.n_name AS nation,
+  sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey AND r.r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-way join; nation/region/supplier broadcast, the
+    # lineitem⨝orders shuffle carries the region filter pushed through the
+    # dimension chain (dynamic partition pruning territory at real scale).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((s.s_nationkey == c.c_nationkey) & (F.col("r_name") == "ASIA"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
+    "large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey,
+  strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+  o.o_totalprice, sum(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: having-filtered aggregate reused as a semi-join
+    # filter before the expensive 3-way join — the aggregate runs once,
+    # and only qualifying orders reach the join.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy(
+            "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
