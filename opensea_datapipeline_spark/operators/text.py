@@ -119,3 +119,38 @@ def document_fingerprints(
         rolling.alias("rolling_hash"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Stratified sampling for corpus curation: per-stratum Bernoulli
+    fractions (e.g. downsample boilerplate-heavy sources, keep all rare
+    languages). ``sampleBy`` is executor-local per row — no shuffle — and
+    deterministic given ``seed``."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic, migration-stable train/test split: bucket by a hash
+    of (salt, id). Unlike ``randomSplit`` the assignment is a pure
+    function of the row id — re-runs, re-partitioning, and incremental
+    appends never move a document across the split (leakage-safe)."""
+    bucket = F.pmod(
+        F.abs(F.hash(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))),
+        F.lit(10_000),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(test_fraction * 10_000), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -1896,3 +1896,26 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").alias("total_qty"))
     )
+
+
+@_register("stratified_sample")  # rows-only: sampling RNG is engine-specific
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return tx.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}, seed=42
+    ).select("doc_id", "lang")
+
+
+@_register(
+    "train_test_split",
+    # The split is a pure function of (salt, doc_id) via Spark's
+    # Murmur3 hash — not reproducible in DuckDB; the oracle checks the
+    # INVARIANTS instead: every doc appears exactly once, labels are the
+    # expected two values. (Weaker than a value hash, still a real gate:
+    # counts per label are asserted in unit tests.)
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return tx.train_test_split(d, "doc_id", test_fraction=0.1).select(
+        "doc_id", "split"
+    )

@@ -101,8 +101,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md), normalizing
     ns-precision timestamp columns to TimestampType (µs truncation)."""
     # Defensive: the driver may hand us a session built without our
-    # defaults; this conf is a runtime SQL conf, safe to set here.
+    # defaults; these are runtime SQL confs, safe to set here. UTC pins
+    # date_format/unix_timestamp semantics to the oracle's naive-UTC view.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

@@ -205,3 +205,60 @@ def test_streaming_sessions_emit_finalized_prefix(spark, sf_dir, tmp_path):
         key = (r.user_id, r.session_start)
         assert key in batch_map, f"emitted session not in batch result: {key}"
         assert r.n_events == batch_map[key], key
+
+
+def test_train_test_split_is_stable_and_partition_invariant(spark, sf_dir):
+    from opensea_datapipeline_spark.operators.text import train_test_split
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id: r.split for r in train_test_split(d, "doc_id").collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in train_test_split(d.repartition(7), "doc_id").collect()
+    }
+    assert s1 == s2  # assignment survives re-partitioning
+    frac = sum(1 for v in s1.values() if v == "test") / len(s1)
+    assert 0.03 < frac < 0.25  # ~10% with small-N variance
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    from opensea_datapipeline_spark.operators.text import stratified_sample
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(d, "lang", {"en": 0.5, "de": 1.0}, seed=42)
+    base = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("de", 0) == base.get("de", 0)      # fraction 1.0 keeps all
+    assert "fr" not in got                             # unlisted strata drop
+    if base.get("en", 0) >= 20:
+        assert 0.2 * base["en"] < got.get("en", 0) < 0.8 * base["en"]
+    # determinism
+    again = {r.doc_id for r in stratified_sample(d, "lang", {"en": 0.5, "de": 1.0}, seed=42).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_daily_stats_empty_input(spark):
+    from opensea_datapipeline_spark.operators.aggregates import daily_stats
+
+    empty = spark.createDataFrame(
+        [], "event_date string, user_id long, event_type string, value double"
+    )
+    out = daily_stats(
+        empty, ["event_date"], "user_id", "value", event_types=["click"]
+    )
+    assert out.count() == 0
+    assert "click_count" in out.columns
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    # The documented 100 TB swap-in: approx_count_distinct must stay
+    # within its advertised error for our data shapes.
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    exact, approx = e.agg(
+        F.countDistinct("user_id"), F.approx_count_distinct("user_id", 0.02)
+    ).first()
+    assert abs(approx - exact) <= max(1, 0.06 * exact), (exact, approx)
