@@ -1919,3 +1919,29 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.train_test_split(d, "doc_id", test_fraction=0.1).select(
         "doc_id", "split"
     )
+
+
+@_register(
+    "value_histogram",
+    """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  min(value) AS bucket_min, max(value) AS bucket_max
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width binning (score/length histograms for corpus curation):
+    # pure projection + one aggregate — the shape quality dashboards run
+    # over the whole corpus.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 10.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bucket_min"),
+            F.max("value").alias("bucket_max"),
+        )
+    )
