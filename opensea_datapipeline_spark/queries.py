@@ -662,9 +662,9 @@ def q_peer_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
   sum(l_quantity) AS sum_qty,
-  sum(l_extendedprice) AS sum_base_price,
-  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(22,8))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,8))) AS DOUBLE) AS sum_charge,
   round(sum(l_quantity), 6) / count(l_quantity) AS avg_qty,
   round(sum(l_extendedprice), 6) / count(l_extendedprice) AS avg_price,
   round(sum(l_discount), 6) / count(l_discount) AS avg_disc,
@@ -683,15 +683,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
+            # money sums go through exact DECIMAL then back to double:
+            # a 600k-row double sum differs between engines by ~1e-4 from
+            # summation order alone, which flips 6dp rounding; the decimal
+            # sum is order-independent and identical on both sides.
+            F.sum(F.col("l_extendedprice").cast("decimal(22,8)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(22,8)")).cast("double").alias("sum_disc_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                   * (1 + F.col("l_tax")))
+                  .cast("decimal(22,8)")).cast("double").alias("sum_charge"),
             agg.det_mean("l_quantity").alias("avg_qty"),
             agg.det_mean("l_extendedprice").alias("avg_price"),
             agg.det_mean("l_discount").alias("avg_disc"),
@@ -705,7 +707,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_revenue",
     """
 SELECT c.c_mktsegment, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
-  sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8))) AS DOUBLE) AS revenue,
   CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -726,9 +728,8 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", F.year("o_orderdate").cast("long").alias("order_year")
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(22,8)")).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         
@@ -1817,7 +1818,7 @@ def q_time_range_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_revenue",
     """
 SELECT n.n_name AS nation,
-  sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8))) AS DOUBLE) AS revenue,
   CAST(count(*) AS BIGINT) AS n_lineitems
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1848,9 +1849,8 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((s.s_nationkey == c.c_nationkey) & (F.col("r_name") == "ASIA"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(22,8)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

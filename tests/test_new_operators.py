@@ -262,3 +262,40 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         F.countDistinct("user_id"), F.approx_count_distinct("user_id", 0.02)
     ).first()
     assert abs(approx - exact) <= max(1, 0.06 * exact), (exact, approx)
+
+
+def test_scalar_function_helpers(spark):
+    from opensea_datapipeline_spark.functions.datetime import (
+        days_between,
+        iso_weekday,
+        year_month,
+    )
+    from opensea_datapipeline_spark.functions.text import (
+        is_eth_address,
+        normalize_whitespace,
+        shorten_address,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 12:00:00", "2024-01-08 00:00:00",
+          "0x" + "a" * 40, "  Hello   World  ")],
+        "a string, b string, addr string, txt string",
+    ).select(
+        F.to_timestamp("a").alias("a"), F.to_timestamp("b").alias("b"),
+        "addr", "txt",
+    )
+    row = df.select(
+        iso_weekday("a").alias("wd"),          # 2024-01-01 is a Monday
+        year_month("a").alias("ym"),
+        days_between("b", "a").alias("days"),
+        is_eth_address("addr").alias("ok"),
+        is_eth_address(F.lit("0xZZ")).alias("bad"),
+        shorten_address("addr").alias("short"),
+        normalize_whitespace("txt").alias("norm"),
+    ).first()
+    assert row.wd == 1
+    assert row.ym == "2024-01"
+    assert row.days == pytest.approx(6.5)
+    assert row.ok is True and row.bad is False
+    assert row.short == "0xaaaa...aaaa"
+    assert row.norm == "hello world"
