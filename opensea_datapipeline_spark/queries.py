@@ -1945,3 +1945,36 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("bucket_max"),
         )
     )
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+WITH part_avg AS (
+  SELECT l_partkey, 0.2 * (round(sum(l_quantity), 6) / count(l_quantity)) AS qty_limit
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(22,8))) AS DOUBLE) / 7.0
+    AS avg_yearly,
+  CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < p.qty_limit
+""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated scalar subquery decorrelated into an
+    # aggregate + self-join — the per-part average is computed once and
+    # joined back, not re-evaluated per row.
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * agg.det_mean("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(22,8)"))
+             .cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
