@@ -49,6 +49,7 @@ HEADLINE = [
     "local_supplier_revenue",  # TPC-H Q5 shape: 6-way join
     "large_orders",         # TPC-H Q18 shape: having semi-join
     "order_status_rollup",  # grouping sets in one shuffle
+    "small_quantity_revenue",  # TPC-H Q17 shape: decorrelated avg join
 ]
 
 

@@ -86,3 +86,41 @@ def run_streaming_daily_stats(
     )
     query.awaitTermination()
     return spark.table(table_name)
+
+
+def run_streaming_to_parquet(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming daily stats → parquet file sink with checkpointing.
+
+    Append mode: a day's row is written exactly once, when the watermark
+    passes the window end — the exactly-once file-sink contract that makes
+    the aggregate restartable mid-backlog (checkpoint stores source
+    offsets + operator state; rerunning with the same checkpoint resumes
+    instead of recomputing).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    result = streaming_daily_stats_df(stream, watermark=watermark)
+    query = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
