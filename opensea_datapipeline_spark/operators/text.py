@@ -154,3 +154,61 @@ def train_test_split(
             F.lit("train")
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size word chunks with overlap — the
+    standard pre-tokenization step for LLM training corpora. Pure
+    built-ins (split → sequence → transform/slice → posexplode): chunks
+    fan out on executors, one row per (doc, chunk), no Python.
+    """
+    stride = chunk_size - overlap
+    words = _words(text_col)
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunk_arrays = F.transform(
+        idx, lambda i: F.slice(words, i * stride + 1, chunk_size)
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunk_arrays).alias("chunk_idx", "chunk_words")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+        F.size("chunk_words").cast("long").alias("chunk_tokens"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    target_tokens: int = 512,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign documents to context-window bins of
+    ~``target_tokens`` by prefix-sum bucketing (bin = floor(tokens-before
+    / target) over a deterministic document order). One window sum — no
+    driver loop; bins can overflow by at most one document, the standard
+    streaming-packing tradeoff. Partition by ``partition_col`` (e.g.
+    source shard) to keep the window bounded at corpus scale."""
+    from pyspark.sql import Window
+
+    base = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    )
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(float(target_tokens))).cast("long")
+    )

@@ -1978,3 +1978,113 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM corpus preparation: chunking, packing, curation pipeline
+# ---------------------------------------------------------------------------
+@_register(
+    "document_chunks",
+    """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, words,
+    greatest(1, CAST(ceil((len(words) - 16) / 48.0) AS BIGINT)) AS nc
+  FROM w
+), e AS (
+  SELECT doc_id, words, unnest(range(0, nc)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+  array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text,
+  CAST(len(words[i*48+1 : i*48+64]) AS BIGINT) AS chunk_tokens
+FROM e
+""",
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-word chunks, 16-word overlap (stride 48).
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )
+
+
+@_register(
+    "sequence_packing",
+    """
+WITH t AS (
+  SELECT doc_id, len(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+      AS bin_id
+  FROM t
+)
+SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM b GROUP BY 1
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prefix-sum packing into ~512-token bins; per-bin fill stats.
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_tokens")
+    )
+    packed = tx.pack_documents(with_tokens, "doc_id", "n_tokens", target_tokens=512)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+@_register(
+    "corpus_curation",
+    """
+WITH w AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, len(words) AS n_words FROM w
+), quality AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND length(text) >= 100
+), deduped AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM quality
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+  CAST(sum(n_words) AS BIGINT) AS total_tokens
+FROM deduped WHERE rn = 1 GROUP BY 1
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The end-to-end curation pipeline every training corpus runs:
+    # quality filter → exact dedup (keep lowest id) → per-language token
+    # budget. Composed from the same operators registered individually.
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_words"),
+    )
+    quality = scored.filter(
+        (F.col("n_words") >= 20) & (F.length("text") >= 100)
+    )
+    deduped = dd.dedup_by_key(
+        quality.withColumn(
+            "content_hash",
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
+        ),
+        ["content_hash"], "doc_id",
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+    )
