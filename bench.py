@@ -76,11 +76,15 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # reference-analogous core (BASELINE.md measures only the reference's
+    # 4-aggregate pipeline; the full suite is ~6x broader in scope)
+    core = ["daily_stats", "user_stats", "two_sided_dim", "clean_events_pipeline"]
     print(json.dumps({
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "iterations": 2,
+        "core_pipeline_seconds": round(sum(times[q] for q in core), 3),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

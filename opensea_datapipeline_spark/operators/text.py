@@ -212,3 +212,50 @@ def pack_documents(
     return df.withColumn(
         "bin_id", F.floor(cum_before / F.lit(float(target_tokens))).cast("long")
     )
+
+
+PII_PATTERNS: dict[str, str] = {
+    # RE2-safe (no backrefs/lookaround): portable across Spark and DuckDB.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: regex-redact emails, phone
+    numbers, and IPv4 addresses to typed placeholders, with per-document
+    match counts for audit. Chained ``regexp_replace`` — JVM-side, one
+    projection, no shuffle."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(f"({pat})")))
+            .cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition filter signal: the fraction of word
+    ``n``-grams occupied by the single most frequent one. High values
+    flag boilerplate/spam. explode → count per (doc, gram) → max ratio —
+    two map-side-combined aggregates, scales with corpus size."""
+    words = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.max("c").cast("long").alias("top_gram_count"),
+        (F.max("c") / F.sum("c")).alias("top_gram_ratio"),
+    )

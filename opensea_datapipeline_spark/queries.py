@@ -2088,3 +2088,51 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_words").cast("long").alias("total_tokens"),
     )
+
+
+@_register(
+    "pii_redaction",
+    """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '(\\+?[0-9][0-9()\\-\\s]{7,}[0-9])')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text,
+    '(\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b)')) AS BIGINT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g') AS redacted_text
+FROM documents
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrubbing with per-doc audit counts; replacement order matches
+    # the oracle exactly (email -> phone -> ipv4).
+    return tx.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "repetition_scores",
+    """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    array_to_string(words[i : i+2], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS i) t
+), pg AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+  CAST(max(c) AS BIGINT) AS top_gram_count,
+  max(c) / CAST(sum(c) AS DOUBLE) AS top_gram_ratio
+FROM pg GROUP BY 1
+""",
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signal: top trigram share per document.
+    return tx.repetition_scores(_t(spark, sf_dir, "documents"), n=3)

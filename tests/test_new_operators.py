@@ -332,3 +332,29 @@ def test_streaming_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
     # idempotent restart: same checkpoint, no new input -> no new rows
     again = run_streaming_to_parquet(spark, src, out, ckpt)
     assert again.count() == n_first
+
+
+def test_redact_pii_literals(spark):
+    from opensea_datapipeline_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or call +1 (555) 123-4567 from 10.0.0.1 ok")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).first()
+    assert r.n_email == 1 and r.n_phone == 1 and r.n_ipv4 == 1
+    assert "<EMAIL>" in r.redacted_text and "<PHONE>" in r.redacted_text
+    assert "<IPV4>" in r.redacted_text
+    assert "a@b.com" not in r.redacted_text
+
+
+def test_repetition_flags_boilerplate(spark):
+    from opensea_datapipeline_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "buy now " * 30), (2, "the quick brown fox jumps over a lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.top_gram_ratio for r in repetition_scores(df).collect()}
+    assert rows[1] > 0.3      # "buy now buy" trigram dominates
+    assert rows[2] < 0.2      # natural text has no dominant trigram
