@@ -358,3 +358,19 @@ def test_repetition_flags_boilerplate(spark):
     rows = {r.doc_id: r.top_gram_ratio for r in repetition_scores(df).collect()}
     assert rows[1] > 0.3      # "buy now buy" trigram dominates
     assert rows[2] < 0.2      # natural text has no dominant trigram
+
+
+def test_knn_normalized_fast_path_same_ranks(spark, sf_dir):
+    # assume_normalized=True (dot == cosine on unit vectors) must produce
+    # the same neighbor ranking as the full cosine path.
+    from opensea_datapipeline_spark.functions.vector import l2_normalize
+    from opensea_datapipeline_spark.operators.similarity import knn_topk_exact
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    unit = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_topk_exact(emb, k=5).collect()}
+    fast = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_topk_exact(unit, k=5, assume_normalized=True).collect()}
+    assert full == fast
