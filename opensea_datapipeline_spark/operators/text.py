@@ -259,3 +259,37 @@ def repetition_scores(
         F.max("c").cast("long").alias("top_gram_count"),
         (F.max("c") / F.sum("c")).alias("top_gram_ratio"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (idf = ln(N / df), raw tf).
+
+    Three shuffles, all map-side combined: tf per (doc, term), df per
+    term, score + per-doc ranking window. The N scalar rides a broadcast
+    cross-join — no collect on the data path.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2136,3 +2136,65 @@ FROM pg GROUP BY 1
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition signal: top trigram share per document.
     return tx.repetition_scores(_t(spark, sf_dir, "documents"), n=3)
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  tfidf, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+    AS rank
+  FROM scored
+) t WHERE rank <= 1
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc most distinctive term; classic text-analysis aggregate.
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=1)
+
+
+@_register(
+    "key_skew_metrics",
+    """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(min(n) AS BIGINT) AS min_rows,
+  median(n) AS p50_rows,
+  quantile_cont(n, 0.99) AS p99_rows,
+  CAST(max(n) AS BIGINT) AS max_rows,
+  max(n) / (round(sum(n), 6) / count(n)) AS skew_factor
+FROM per_key
+""",
+)
+def q_key_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Operability diagnostic: per-key cardinality distribution + skew
+    # factor (max/mean) — the number that says whether a join on this key
+    # needs salting/AQE-splitting before you run it at scale.
+    e = _t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.median("n").alias("p50_rows"),
+        F.percentile("n", 0.99).alias("p99_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        (F.max("n") / agg.det_mean("n")).alias("skew_factor"),
+    )
