@@ -50,6 +50,9 @@ HEADLINE = [
     "large_orders",         # TPC-H Q18 shape: having semi-join
     "order_status_rollup",  # grouping sets in one shuffle
     "small_quantity_revenue",  # TPC-H Q17 shape: decorrelated avg join
+    "corpus_curation",      # quality filter -> dedup -> token budget
+    "document_chunks",      # overlap chunking fan-out
+    "tfidf_top_terms",      # tf-idf join + ranking window
 ]
 
 

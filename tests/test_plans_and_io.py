@@ -221,3 +221,33 @@ def test_permissive_csv_tolerates_bad_rows(spark, tmp_path):
     )
     rows = {r.id: r.price for r in df.collect()}
     assert rows == {1: 10.5, 2: None, 3: 7.25}
+
+
+def test_incremental_daily_merge_equals_full_recompute(spark, sf_dir):
+    # Split events in time; aggregate halves independently, merge, and
+    # require exact equality with the single-pass aggregate.
+    from opensea_datapipeline_spark.plans.incremental import (
+        daily_stats_combinable,
+        merge_daily_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-12 00:00:00").cast("timestamp")
+    old = daily_stats_combinable(events.filter(F.col("ts") < cut))
+    new = daily_stats_combinable(events.filter(F.col("ts") >= cut))
+    merged = {tuple(r) for r in merge_daily_stats(old, new).collect()}
+    full = {tuple(r) for r in daily_stats_combinable(events).collect()}
+    assert merged == full
+
+
+def test_upsert_by_key_replaces_and_preserves(spark):
+    from opensea_datapipeline_spark.plans.incremental import upsert_by_key
+
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r.k: (r.s, r.v) for r in upsert_by_key(existing, updates, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
