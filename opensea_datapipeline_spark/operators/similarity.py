@@ -252,3 +252,45 @@ def kmeans_clusters(
     return model.transform(ml_df).select(
         id_col, F.col("prediction").alias("cluster_id")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: 4× memory reduction for ANN
+    candidate storage (the difference between an in-memory and a spilled
+    similarity index at corpus scale). Stores scale/offset per vector for
+    dequantization; pure higher-order functions, no UDF.
+
+    q_i = round((x_i - min) / scale * 255) - 128  with scale = max - min.
+    """
+    vec = F.col(vec_col)
+    vmin = F.array_min(vec)
+    vmax = F.array_max(vec)
+    scale = F.when(vmax > vmin, vmax - vmin).otherwise(F.lit(1.0))
+    quant = F.transform(
+        vec,
+        lambda x: (
+            F.round((x.cast("double") - vmin) / scale * 255) - 128
+        ).cast("tinyint"),
+    )
+    return embeddings.select(
+        F.col(id_col),
+        quant.alias("q_embedding"),
+        vmin.cast("double").alias("q_offset"),
+        scale.cast("double").alias("q_scale"),
+    )
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of quantize_embeddings (lossy: ≤ scale/255 per element)."""
+    deq = F.transform(
+        F.col("q_embedding"),
+        lambda q: (q.cast("double") + 128) / 255.0 * F.col("q_scale")
+        + F.col("q_offset"),
+    )
+    return quantized.select(F.col(id_col), deq.alias("embedding"))

@@ -66,3 +66,28 @@ def upsert_by_key(
         updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
     return survivors.unionByName(updates)
+
+
+def daily_uniques_sketch(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Per-day HLL sketch of distinct users — the mergeable form of
+    unique_users. The sketch column is opaque binary state; unlike exact
+    countDistinct it merges across batches (hll_union_agg), which is what
+    makes incremental distinct maintenance possible at all."""
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.hll_sketch_agg(user_col).alias("users_sketch"))
+
+
+def merge_daily_uniques(existing: DataFrame, new_batch: DataFrame) -> DataFrame:
+    """Merge per-day sketches from a new batch into the existing table and
+    surface the estimated distinct count. Same-day sketches union
+    losslessly (HLL union is idempotent for re-seen users — unlike the
+    additive count merge, re-ingesting a user does not inflate it)."""
+    combined = existing.unionByName(new_batch)
+    return combined.groupBy("event_date").agg(
+        F.hll_union_agg("users_sketch").alias("users_sketch")
+    ).select(
+        "event_date",
+        F.hll_sketch_estimate("users_sketch").cast("long").alias("approx_unique_users"),
+        "users_sketch",
+    )

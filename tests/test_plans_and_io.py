@@ -251,3 +251,67 @@ def test_upsert_by_key_replaces_and_preserves(spark):
     )
     out = {r.k: (r.s, r.v) for r in upsert_by_key(existing, updates, ["k"]).collect()}
     assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_hll_sketch_merge_matches_full(spark, sf_dir):
+    # Mergeable distinct counts: union of per-batch sketches must equal
+    # the single-pass sketch exactly (same algorithm, same data) and sit
+    # within HLL tolerance of the exact count.
+    from opensea_datapipeline_spark.plans.incremental import (
+        daily_uniques_sketch,
+        merge_daily_uniques,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-12 00:00:00").cast("timestamp")
+    old = daily_uniques_sketch(events.filter(F.col("ts") < cut))
+    new = daily_uniques_sketch(events.filter(F.col("ts") >= cut))
+    merged = {
+        r.event_date: r.approx_unique_users
+        for r in merge_daily_uniques(old, new).collect()
+    }
+    full = {
+        r.event_date: r.approx_unique_users
+        for r in merge_daily_uniques(
+            daily_uniques_sketch(events),
+            daily_uniques_sketch(events.limit(0)),
+        ).collect()
+    }
+    assert merged == full
+    exact = {
+        r.event_date: r.n
+        for r in events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for day, est in merged.items():
+        assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), (day, est, exact[day])
+
+
+def test_embedding_quantization_roundtrip(spark, sf_dir):
+    from opensea_datapipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    q = quantize_embeddings(emb)
+    row = q.first()
+    assert all(-128 <= v <= 127 for v in row.q_embedding)
+    deq = dequantize_embeddings(q)
+    joined = emb.select("vec_id", F.col("embedding").alias("orig")).join(
+        deq, "vec_id"
+    )
+    err = joined.select(
+        F.aggregate(
+            F.zip_with(
+                "orig", "embedding",
+                lambda a, b: F.abs(a.cast("double") - b),
+            ),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.array_max(F.col("orig").cast("array<double>"))
+         - F.array_min(F.col("orig").cast("array<double>"))).alias("rng"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("rng") / 255.0 + 1e-9).count()
+    assert bad == 0
