@@ -2198,3 +2198,72 @@ def q_key_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_rows"),
         (F.max("n") / agg.det_mean("n")).alias("skew_factor"),
     )
+
+
+@_register(
+    "fuzzy_name_pairs",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey AND a.c_custkey < 60 AND b.c_custkey < 60
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy matching by edit distance (the string-similarity cousin of the
+    # n-gram dedup family). Quadratic path capped by id; the scale path
+    # for fuzzy dedup is the LSH/ngram bucketing in operators.dedup.
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_distance") <= 2)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
+@_register(
+    "value_quartiles",
+    """
+SELECT event_type,
+  CAST(q AS BIGINT) AS quartile,
+  CAST(count(*) AS BIGINT) AS n,
+  min(value) AS q_min, max(value) AS q_max
+FROM (
+  SELECT event_type, value,
+    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
+  FROM events
+) t GROUP BY 1, 2
+""",
+)
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking-function family (beyond the reference, which uses none):
+    # ntile quartile assignment with a deterministic tiebreak, rolled up
+    # to per-quartile bounds.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("q_min"),
+            F.max("value").alias("q_max"),
+        )
+    )
+
+
+@_register("knn_topk_quantized")  # rows-only: int8 roundtrip is lossy
+def q_knn_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The memory-bounded ANN path: search over int8-quantized vectors
+    # (4x smaller candidate store); quality floor pinned in tests (97%
+    # top-3 agreement on this data).
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    deq = sim.dequantize_embeddings(sim.quantize_embeddings(emb))
+    return sim.knn_topk_exact(deq, "vec_id", "embedding", k=5)
