@@ -315,3 +315,29 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
     )
     bad = err.filter(F.col("max_err") > F.col("rng") / 255.0 + 1e-9).count()
     assert bad == 0
+
+
+def test_analysis_pipeline_end_to_end(spark, sf_dir):
+    # Entry-point-2/3 analog: regimes + clusters + cluster-regime perf +
+    # ANOVA + KNN peer aggregates + per-cluster regression, one flow.
+    from opensea_datapipeline_spark.plans.analysis_pipeline import (
+        run_analysis_pipeline,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    regimes = spark.createDataFrame(
+        [("2024-01-01", "2024-01-10", "early"), ("2024-01-11", "2024-12-31", "late")],
+        "s string, e string, regime string",
+    ).select(F.to_date("s").alias("start_d"), F.to_date("e").alias("end_d"), "regime")
+    res = run_analysis_pipeline(events, emb, regimes, k_clusters=4, k_neighbors=3)
+
+    perf = res.cluster_regime_perf.collect()
+    assert perf and {r.regime for r in perf} == {"early", "late"}
+    assert {r.cluster_id for r in perf} <= set(range(4))
+    anova = {r.cluster_id: r.eta_squared for r in res.cluster_anova.collect()}
+    assert anova and all(v is None or 0 <= v <= 1 for v in anova.values())
+    regr = res.peer_regressions.collect()
+    assert regr and all(r.n_obs > 0 for r in regr)
+    # every regression group is a real cluster id
+    assert {r.cluster_id for r in regr} <= set(range(4))
