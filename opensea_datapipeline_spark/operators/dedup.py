@@ -18,6 +18,13 @@ Design notes for scale:
   signatures within a Hamming radius, found by exact-match on rotated
   bit-blocks (here: exact signature match + verify, the common
   block-permutation scheme being a straightforward extension).
+
+Literature: MinHash resemblance estimation is Broder, "On the
+resemblance and containment of documents" (SEQUENCES 1997); the banding
+analysis follows Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3; SimHash is Charikar, "Similarity estimation techniques
+from rounding algorithms" (STOC 2002), applied to web-scale dedup in
+Manku et al. (WWW 2007).
 """
 
 from __future__ import annotations

@@ -12,6 +12,10 @@ the combinable-statistics pattern makes the gold table a running merge:
 ``upsert_by_key`` is the MERGE-less upsert for plain parquet: anti-join
 the old table against the update keys, union the updates, write a new
 version (VersionedOutputStore) — atomic at the directory-swap level.
+
+Literature: the mergeable-summary framing is Agarwal et al., "Mergeable
+summaries" (PODS 2012); the distinct sketch is HyperLogLog (Flajolet et
+al., AofA 2007) via Spark's Apache DataSketches binding.
 """
 
 from __future__ import annotations

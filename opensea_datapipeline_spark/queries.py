@@ -2267,3 +2267,40 @@ def q_knn_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     deq = sim.dequantize_embeddings(sim.quantize_embeddings(emb))
     return sim.knn_topk_exact(deq, "vec_id", "embedding", k=5)
+
+
+@_register(
+    "cleaning_rejects",
+    """
+WITH base AS (
+  SELECT event_id, ts, user_id, lower(trim(event_type)) AS event_type,
+         COALESCE(value, 0.0) AS value
+  FROM events
+  WHERE COALESCE(value, 0.0) >= 0 AND ts IS NOT NULL
+    AND ts BETWEEN TIMESTAMP '2000-01-01' AND TIMESTAMP '2100-01-01'
+), kept AS (
+  SELECT event_id FROM (
+    SELECT event_id, row_number() OVER (
+      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      ORDER BY ts, event_id) AS rn
+    FROM base
+  ) t WHERE rn = 1
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rejected
+FROM events e LEFT JOIN kept k ON e.event_id = k.event_id
+WHERE k.event_id IS NULL
+GROUP BY 1
+""",
+)
+def q_cleaning_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Anti-join audit: which raw rows did the cleaner drop, by type —
+    # the data-quality mirror of clean_events_pipeline. left_anti is the
+    # one join type the reference never uses; at scale it shares the
+    # cleaner's shuffle key.
+    events = _t(spark, sf_dir, "events")
+    kept = cl.clean_events(events).select("event_id")
+    return (
+        events.join(kept, "event_id", "left_anti")
+        .groupBy(F.lower(F.trim("event_type")).alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
