@@ -2304,3 +2304,31 @@ def q_cleaning_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.lower(F.trim("event_type")).alias("event_type"))
         .agg(F.count(F.lit(1)).alias("n_rejected"))
     )
+
+
+@_register(
+    "first_event_flags",
+    """
+SELECT event_type,
+  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_first_events,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) t GROUP BY 1
+""",
+)
+def q_first_event_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The is_mint analog (clean_events.py:113-137 flags a token's
+    # originating event): flag each user's first-ever event via a ranked
+    # window, roll up by type. Same shuffle key as the cleaner's dedup.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("is_first", F.row_number().over(w) == 1)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_first"), 1)).alias("n_first_events"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
