@@ -168,3 +168,102 @@ def validate_events(
         ).alias("malformed_props"),
     )
     return checks.crossJoin(dup)
+
+
+def clean_nft_events(df: DataFrame) -> DataFrame:
+    """The reference's full 8-step NFT-event cleaner
+    (`clean_events.py:17-57`) against the RAW_EVENT_SCHEMA shape — the
+    exact pipeline a user of the reference runs today:
+
+    1.  type normalization + declared defaults (`:63-77`);
+    2.  timestamp parsing: ISO-8601 `%z` string normalized to naive UTC,
+        coalesced with the unix-seconds column (`:79-111`);
+    3.  address hygiene: lowercase, NULL_ADDRESS → is_mint (`:113-137`);
+    4.  price derivation: price_each = price_total / quantity when the
+        stringly-typed column is missing/garbage (`:139-185`);
+    5.  negative-price filter (`:176-180`);
+    6.  event-type canonicalization (`:187-216`);
+    7.  deterministic keep-first dedup on the reference's key
+        (tx, token_id, event_type, timestamp) (`:218-231`);
+    8.  composite event_id + minimal-schema projection (`:233-289`),
+        optional columns injected as typed nulls when absent.
+
+    One fused Catalyst plan; the only shuffle is the dedup window.
+    """
+    from ..schemas import (
+        CLEAN_EVENT_SCHEMA,
+        EVENT_TYPE_CANONICAL,
+        NULL_ADDRESS,
+        OPTIONAL_RAW_COLUMNS,
+    )
+
+    out = df
+    # (8a) optional columns as typed nulls when absent
+    for col, dtype in OPTIONAL_RAW_COLUMNS.items():
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(None).cast(dtype))
+
+    # (1) defaults (`clean_events.py:65-76`)
+    out = (
+        out.withColumn("chain", F.coalesce(F.col("chain"), F.lit("ethereum")))
+        .withColumn(
+            "currency_symbol", F.coalesce(F.col("currency_symbol"), F.lit("ETH"))
+        )
+        .withColumn("quantity", F.coalesce(F.col("quantity").cast("long"), F.lit(1)))
+        .withColumn(
+            "price_total", F.coalesce(F.col("price_total").cast("double"), F.lit(0.0))
+        )
+    )
+
+    # (2) timestamps: parsed ISO string (tz offset normalized to UTC by the
+    # session tz) coalesced with unix seconds; malformed → null ≡ Polars
+    # strict=False (try_to_timestamp — plain to_timestamp throws under ANSI)
+    parsed = F.try_to_timestamp(
+        F.col("time_utc"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+    )
+    from_epoch = F.timestamp_seconds(F.col("timestamp"))
+    out = out.withColumn("event_timestamp", F.coalesce(parsed, from_epoch))
+    out = out.withColumn("event_date", F.to_date("event_timestamp"))
+    out = out.withColumn("unix_timestamp", F.unix_timestamp("event_timestamp"))
+
+    # (3) address hygiene + is_mint
+    for c in ("seller", "buyer", "from_address", "to_address", "tx", "contract"):
+        out = out.withColumn(c, F.lower(F.trim(F.coalesce(F.col(c), F.lit("")))))
+    out = out.withColumn("is_mint", F.col("from_address") == F.lit(NULL_ADDRESS))
+
+    # (4) price derivation: stringly price_each → double, else total/quantity
+    each_parsed = F.col("price_each").cast("double")
+    out = out.withColumn(
+        "price_each_eth",
+        F.coalesce(
+            each_parsed,
+            F.when(F.col("quantity") > 0, F.col("price_total") / F.col("quantity")),
+            F.lit(0.0),
+        ),
+    ).withColumn("price_total_eth", F.col("price_total"))
+
+    # (5) invalid rows out: negative prices, unparseable timestamps
+    out = out.filter(
+        (F.col("price_total_eth") >= 0)
+        & (F.col("price_each_eth") >= 0)
+        & F.col("event_timestamp").isNotNull()
+    )
+
+    # (6) canonical event types
+    out = canonicalize_event_type(out, "event_type", EVENT_TYPE_CANONICAL)
+
+    # (7) deterministic keep-first dedup on the reference key
+    out = dedup_keep_first(
+        out,
+        ["tx", "token_id", "event_type", "unix_timestamp"],
+        ["event_timestamp", "price_total_eth"],
+    )
+
+    # (8) composite id + minimal projection (CLEAN_EVENT_SCHEMA order)
+    out = with_composite_key(out, ["tx", "token_id"], out_col="event_id")
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            for f in CLEAN_EVENT_SCHEMA.fields
+        ]
+    )

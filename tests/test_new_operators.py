@@ -374,3 +374,52 @@ def test_knn_normalized_fast_path_same_ranks(spark, sf_dir):
     fast = {(r.query_id, r.rank): r.neighbor_id
             for r in knn_topk_exact(unit, k=5, assume_normalized=True).collect()}
     assert full == fast
+
+
+def test_clean_nft_events_reference_semantics(spark):
+    # The reference-schema cleaner: every semantic corner from
+    # SURVEY.md §7.3 on literal rows.
+    from opensea_datapipeline_spark.operators.clean import clean_nft_events
+    from opensea_datapipeline_spark.schemas import NULL_ADDRESS
+
+    rows = [
+        # mint: from NULL_ADDRESS, tz-offset timestamp, price from total/qty
+        ("ethereum", "c1", "1", "Mint", "2024-01-01T10:00:00+02:00", 1704100000,
+         "0xAA", "", "0xBB", NULL_ADDRESS.upper(), "0xCC", 2, 10.0, None,
+         None, "0xCon", "42", None),
+        # listing variant → canonical 'list'; bad time string → epoch fallback
+        ("ethereum", "c1", "2", "listing", "garbage", 1704100500,
+         "0xDD", "0xEE", "0xFF", "0x11", "0x22", 1, 5.0, "5.0",
+         "ETH", "0xCon", "43", None),
+        # duplicate of row 2 key (same tx/token/type/ts) → deduped
+        ("ethereum", "c1", "2", "listing", "garbage", 1704100500,
+         "0xDD", "0xEE", "0xFF", "0x11", "0x22", 1, 7.0, "7.0",
+         "ETH", "0xCon", "43", None),
+        # negative price → dropped
+        ("ethereum", "c1", "3", "sale", None, 1704100600,
+         "0x99", "0x1", "0x2", "0x3", "0x4", 1, -1.0, None,
+         "ETH", "0xCon", "44", None),
+    ]
+    cols = ("chain collection identifier event_type time_utc timestamp tx "
+            "seller buyer from_address to_address quantity price_total "
+            "price_each currency_symbol contract token_id rarity_rank").split()
+    df = spark.createDataFrame(
+        [dict(zip(cols, r)) for r in rows],
+        "chain string, collection string, identifier string, event_type string, "
+        "time_utc string, timestamp long, tx string, seller string, buyer string, "
+        "from_address string, to_address string, quantity long, price_total double, "
+        "price_each string, currency_symbol string, contract string, "
+        "token_id string, rarity_rank long",
+    )
+    out = {r.event_id: r for r in clean_nft_events(df).collect()}
+    assert set(out) == {"0xaa_42", "0xdd_43"}  # dedup kept one, negative dropped
+    mint = out["0xaa_42"]
+    assert mint.is_mint is True
+    assert mint.event_type == "mint"
+    assert mint.price_each_eth == 5.0            # 10.0 / qty 2
+    # tz-offset string parsed: 10:00+02:00 == 08:00 UTC
+    assert mint.unix_timestamp == 1704096000
+    listing = out["0xdd_43"]
+    assert listing.event_type == "list"          # canonicalized variant
+    assert listing.unix_timestamp == 1704100500  # epoch fallback used
+    assert listing.price_total_eth == 5.0        # keep-first → first row wins
