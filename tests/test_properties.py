@@ -93,3 +93,29 @@ def test_sessionize_boundaries(spark, gaps, threshold):
         else:
             assert gap > threshold
             assert cur_r.session_id == prev.session_id + 1
+
+
+@given(
+    n_words=st.integers(1, 200),
+    chunk_size=st.integers(4, 64),
+    overlap_frac=st.floats(0.0, 0.75),
+)
+@SETTINGS
+def test_chunking_covers_every_word(spark, n_words, chunk_size, overlap_frac):
+    from opensea_datapipeline_spark.operators.text import chunk_documents
+
+    overlap = int(chunk_size * overlap_frac)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = chunk_documents(
+        df, chunk_size=chunk_size, overlap=overlap
+    ).collect()
+    stride = chunk_size - overlap
+    covered = set()
+    for r in chunks:
+        assert 1 <= r.chunk_tokens <= chunk_size
+        start = r.chunk_idx * stride
+        got = r.chunk_text.split(" ")
+        assert got == words[start:start + chunk_size]  # exact slice, in order
+        covered.update(range(start, start + len(got)))
+    assert covered == set(range(n_words))  # no word lost, none fabricated
