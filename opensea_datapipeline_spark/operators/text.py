@@ -195,23 +195,45 @@ def pack_documents(
     token_col: str = "n_tokens",
     target_tokens: int = 512,
     partition_col: str | None = None,
+    num_shards: int = 32,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Sequence packing: assign documents to context-window bins of
     ~``target_tokens`` by prefix-sum bucketing (bin = floor(tokens-before
     / target) over a deterministic document order). One window sum — no
     driver loop; bins can overflow by at most one document, the standard
-    streaming-packing tradeoff. Partition by ``partition_col`` (e.g.
-    source shard) to keep the window bounded at corpus scale."""
+    streaming-packing tradeoff.
+
+    Safe by default at corpus scale: with no ``partition_col``, documents
+    are sharded by an md5-derived key (deterministic, engine-portable) and
+    packed per shard, so the window never serializes the corpus through one
+    task; ``bin_id`` is made globally unique as ``shard * 2^40 + local_bin``.
+    Pass ``allow_global=True`` only for inputs known to be small (exact
+    single-sequence packing, used as the small-N oracle path)."""
     from pyspark.sql import Window
 
-    base = (
-        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
-    )
+    shard_col = None
+    if partition_col is not None:
+        base = Window.partitionBy(partition_col)
+    elif allow_global:
+        base = Window.partitionBy()
+    else:
+        shard_col = "_pack_shard"
+        shard = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(num_shards),
+        )
+        df = df.withColumn(shard_col, shard)
+        base = Window.partitionBy(shard_col)
     w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    local_bin = F.floor(cum_before / F.lit(float(target_tokens))).cast("long")
+    if shard_col is None:
+        return df.withColumn("bin_id", local_bin)
     return df.withColumn(
-        "bin_id", F.floor(cum_before / F.lit(float(target_tokens))).cast("long")
-    )
+        "bin_id", (F.col(shard_col) * F.lit(1 << 40) + local_bin).cast("long")
+    ).drop(shard_col)
 
 
 PII_PATTERNS: dict[str, str] = {

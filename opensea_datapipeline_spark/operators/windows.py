@@ -17,6 +17,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _series_window(partition_cols: Sequence[str] | None, global_ok: bool):
+    """Window base for the time-series helpers below.
+
+    An unpartitioned window serializes the whole input through one task, so
+    it must be an explicit opt-in (``global_ok=True``), only for inputs
+    already reduced to a small series (e.g. one row per day). Default args
+    can never reach ``Window.partitionBy()``.
+    """
+    if partition_cols:
+        return Window.partitionBy(*partition_cols)
+    if not global_ok:
+        raise ValueError(
+            "unpartitioned window over a potentially unreduced input: pass "
+            "partition_cols, or global_ok=True if the input is already "
+            "reduced to a small series (e.g. daily aggregates)"
+        )
+    return Window.partitionBy()
+
+
 def lead_gap(
     df: DataFrame,
     partition_col: str,
@@ -50,6 +69,7 @@ def rolling_mean(
     min_periods: int = 1,
     partition_cols: Sequence[str] | None = None,
     out_col: str | None = None,
+    global_ok: bool = False,
 ) -> DataFrame:
     """W3/W4: trailing N-row rolling mean (`aggregate.py:303-307`;
     pandas ``rolling(n, min_periods=1)`` in
@@ -61,9 +81,7 @@ def rolling_mean(
     row counter.
     """
     out_col = out_col or f"{value_col}_rolling_mean_{window_rows}"
-    base = (
-        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    )
+    base = _series_window(partition_cols, global_ok)
     w = base.orderBy(order_col).rowsBetween(-(window_rows - 1), 0)
     df = df.withColumn(out_col, F.avg(value_col).over(w))
     if min_periods > 1:
@@ -82,13 +100,12 @@ def rolling_std(
     window_rows: int = 7,
     partition_cols: Sequence[str] | None = None,
     out_col: str | None = None,
+    global_ok: bool = False,
 ) -> DataFrame:
     """W4: trailing rolling sample std (`advanced_timeseries_analysis.py:
     155-156`)."""
     out_col = out_col or f"{value_col}_rolling_std_{window_rows}"
-    base = (
-        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    )
+    base = _series_window(partition_cols, global_ok)
     w = base.orderBy(order_col).rowsBetween(-(window_rows - 1), 0)
     return df.withColumn(out_col, F.stddev_samp(value_col).over(w))
 
@@ -99,12 +116,11 @@ def pct_change(
     value_col: str,
     partition_cols: Sequence[str] | None = None,
     out_col: str = "pct_change",
+    global_ok: bool = False,
 ) -> DataFrame:
     """W5: period-over-period change ``x/lag(x) - 1``
     (`prepare_visual_market_data.py:185`)."""
-    base = (
-        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    )
+    base = _series_window(partition_cols, global_ok)
     w = base.orderBy(order_col)
     return df.withColumn(out_col, F.col(value_col) / F.lag(value_col).over(w) - 1)
 
@@ -132,19 +148,25 @@ def cumulative_product(
     partition_cols: Sequence[str] | None = None,
     start_value: float = 100.0,
     out_col: str = "equity",
+    global_ok: bool = False,
 ) -> DataFrame:
     """W7: backtest equity curve ``(1+r).cumprod() * 100``
     (`generate_research_visualizations.py:632-638`), expressed as
     ``exp(cumsum(log1p(r)))`` — associative, so it parallelizes as a window
     sum instead of a sequential product.
+
+    Domain: ``log1p`` is undefined for returns ≤ −100%. A return of −1
+    wipes the equity to 0 and any further value is meaningless, so once a
+    prefix contains r ≤ −1 the curve is emitted as NULL from that row on
+    (instead of silently propagating −inf/NaN).
     """
-    base = (
-        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    )
+    base = _series_window(partition_cols, global_ok)
     w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    return df.withColumn(
-        out_col, F.exp(F.sum(F.log1p(returns_col)).over(w)) * F.lit(start_value)
-    )
+    wiped = F.max(
+        F.when(F.col(returns_col) <= -1.0, F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    curve = F.exp(F.sum(F.log1p(returns_col)).over(w)) * F.lit(start_value)
+    return df.withColumn(out_col, F.when(wiped == 0, curve))
 
 
 def top_k_per_group(

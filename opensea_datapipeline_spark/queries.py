@@ -404,7 +404,8 @@ def q_rolling_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
     out = win.rolling_mean(
-        daily, "d", "daily_value", window_rows=7, out_col="rolling_mean_7"
+        daily, "d", "daily_value", window_rows=7, out_col="rolling_mean_7",
+        global_ok=True,  # one row per day — reduced series
     )
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "rolling_mean_7"
@@ -426,7 +427,7 @@ def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W5 (prepare_visual_market_data.py:185)
     events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
-    out = win.pct_change(daily, "d", "daily_value")
+    out = win.pct_change(daily, "d", "daily_value", global_ok=True)
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "pct_change"
     )
@@ -465,9 +466,11 @@ WITH daily AS (
   SELECT d, daily_value / lag(daily_value) OVER (ORDER BY d) - 1 AS ret FROM daily
 )
 SELECT strftime(d, '%Y-%m-%d') AS d, ret,
-  exp(sum(ln(1 + COALESCE(ret, 0.0)))
+  CASE WHEN max(CASE WHEN COALESCE(ret, 0.0) <= -1 THEN 1 ELSE 0 END)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+  THEN exp(sum(ln(1 + COALESCE(ret, 0.0)))
       OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100
-    AS equity
+  END AS equity
 FROM r
 """,
 )
@@ -476,9 +479,13 @@ def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (generate_research_visualizations.py:632-638)
     events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
-    rets = win.pct_change(daily, "d", "daily_value", out_col="ret").select("d", "ret")
+    rets = win.pct_change(
+        daily, "d", "daily_value", out_col="ret", global_ok=True
+    ).select("d", "ret")
     rets = rets.withColumn("ret_filled", F.coalesce("ret", F.lit(0.0)))
-    out = win.cumulative_product(rets, "d", "ret_filled", out_col="equity")
+    out = win.cumulative_product(
+        rets, "d", "ret_filled", out_col="equity", global_ok=True
+    )
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "ret", "equity"
     )
@@ -1355,7 +1362,10 @@ def q_rolling_std_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (advanced_timeseries_analysis.py:155-156).
     events = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     daily = events.groupBy("d").agg(F.round(F.sum("value"), 6).alias("daily_value"))
-    out = win.rolling_std(daily, "d", "daily_value", window_rows=7, out_col="rolling_std_7")
+    out = win.rolling_std(
+        daily, "d", "daily_value", window_rows=7, out_col="rolling_std_7",
+        global_ok=True,
+    )
     return out.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "daily_value", "rolling_std_7"
     )
@@ -2015,11 +2025,14 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH t AS (
   SELECT doc_id, len(regexp_split_to_array(
-    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32
+      AS shard
   FROM documents
 ), b AS (
   SELECT doc_id, n_tokens,
-    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+    shard * 1099511627776 + CAST(floor(COALESCE(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
       AS bin_id
   FROM t
@@ -2030,7 +2043,8 @@ FROM b GROUP BY 1
 """,
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Prefix-sum packing into ~512-token bins; per-bin fill stats.
+    # Prefix-sum packing into ~512-token bins (md5-sharded default, bins
+    # unique as shard*2^40 + local bin); per-bin fill stats.
     docs = _t(spark, sf_dir, "documents")
     with_tokens = docs.select(
         "doc_id", F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_tokens")

@@ -317,6 +317,66 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
     assert bad == 0
 
 
+def test_series_windows_refuse_global_by_default(spark):
+    # An unpartitioned window over an unreduced input serializes everything
+    # through one task; the helpers must refuse it unless explicitly opted
+    # into for already-reduced series.
+    import pytest
+
+    from opensea_datapipeline_spark.operators import windows as win
+
+    df = spark.range(10).withColumn("v", F.col("id").cast("double"))
+    for build in (
+        lambda: win.rolling_mean(df, "id", "v"),
+        lambda: win.rolling_std(df, "id", "v"),
+        lambda: win.pct_change(df, "id", "v"),
+        lambda: win.cumulative_product(df, "id", "v"),
+    ):
+        with pytest.raises(ValueError, match="unpartitioned window"):
+            build()
+    # opt-in still works
+    assert win.pct_change(df, "id", "v", global_ok=True).count() == 10
+
+
+def test_pack_documents_default_window_is_sharded(spark, sf_dir):
+    from opensea_datapipeline_spark.operators.text import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    packed = pack_documents(docs, "doc_id", "n_tokens", target_tokens=512)
+    plan = _optimized(packed)
+    # the window must partition on the derived shard key — never global
+    assert "_pack_shard" in plan
+    # deterministic: two runs assign identical bins
+    a = {r.doc_id: r.bin_id for r in packed.collect()}
+    b = {r.doc_id: r.bin_id for r in pack_documents(
+        docs, "doc_id", "n_tokens", target_tokens=512).collect()}
+    assert a == b
+    # bins respect the prefix-sum bound: every bin except a shard's last
+    # overflows 512 by at most one document (check fill > 0 and docs > 0)
+    fills = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r.n > 0 and r.fill > 0 for r in fills)
+
+
+def test_equity_curve_nulls_after_total_loss(spark):
+    from opensea_datapipeline_spark.operators.windows import cumulative_product
+
+    df = spark.createDataFrame(
+        [(1, 0.10), (2, -0.50), (3, -1.50), (4, 0.20)], "t int, r double"
+    )
+    out = {r.t: r.equity for r in cumulative_product(
+        df, "t", "r", global_ok=True).collect()}
+    assert out[1] is not None and out[2] is not None
+    assert abs(out[2] - 100 * 1.10 * 0.50) < 1e-9
+    # once a return wipes the equity (r <= -1), the curve is NULL onward
+    assert out[3] is None and out[4] is None
+
+
 def test_analysis_pipeline_end_to_end(spark, sf_dir):
     # Entry-point-2/3 analog: regimes + clusters + cluster-regime perf +
     # ANOVA + KNN peer aggregates + per-cluster regression, one flow.
