@@ -171,26 +171,42 @@ def summary_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],
     value_col: str,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """A8: collection summary with quartiles (`aggregate.py:251-268`).
 
-    Continuous (linear) interpolation on both engines: Spark exact
-    ``percentile`` ↔ DuckDB ``quantile_cont`` (FIXTURES.md convention 3).
+    Two quantile paths, same schema:
+
+    - ``approx=False`` (oracle path): exact ``percentile`` — continuous
+      interpolation on both engines (Spark ``percentile`` ↔ DuckDB
+      ``quantile_cont``, FIXTURES.md convention 3). Exact percentile
+      buffers per-group values in the aggregate — fine for dimension-sized
+      groups, a single-reducer bottleneck for 100 TB fact scans.
+    - ``approx=True`` (scale path): ``percentile_approx`` (t-digest-style
+      mergeable sketch of bounded size ``accuracy``) — fully map-side
+      combinable, no per-group value buffering; rank error ≤ 1/accuracy.
     """
     keys = list(group_cols)
-    return (
-        df.groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("total_value"),
-            det_mean(value_col).alias("mean_value"),
+    if approx:
+        q = [
+            F.percentile_approx(value_col, p, accuracy).alias(a)
+            for p, a in [(0.5, "median_value"), (0.25, "p25_value"),
+                         (0.75, "p75_value")]
+        ]
+    else:
+        q = [
             F.median(value_col).alias("median_value"),
             F.percentile(value_col, 0.25).alias("p25_value"),
             F.percentile(value_col, 0.75).alias("p75_value"),
-            F.min(value_col).alias("min_value"),
-            F.max(value_col).alias("max_value"),
-        )
-        
+        ]
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("total_value"),
+        det_mean(value_col).alias("mean_value"),
+        *q,
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
     )
 
 

@@ -14,10 +14,11 @@ Design notes for scale:
 - LSH banding turns the quadratic candidate problem into an equi-join on
   (band_id, band_signature) — the only pairs materialized are bucket
   collisions. Candidates are then verified with true Jaccard.
-- SimHash packs word-level md5 bits into a 64-bit signature; near-dups are
-  signatures within a Hamming radius, found by exact-match on rotated
-  bit-blocks (here: exact signature match + verify, the common
-  block-permutation scheme being a straightforward extension).
+- SimHash packs word-level md5 bits into a ≤64-bit signature; near-dups
+  are signatures within a Hamming radius, found by the Manku block
+  partitioning: split into radius+1 blocks, equi-join per block
+  (pigeonhole: a pair within the radius agrees on ≥1 block), verify with
+  exact bit_count(xor) — complete within the radius, never all-pairs.
 
 Literature: MinHash resemblance estimation is Broder, "On the
 resemblance and containment of documents" (SEQUENCES 1997); the banding
@@ -232,6 +233,65 @@ def simhash_signatures(
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    radius: int = 3,
+    max_id: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within a Hamming radius — the Manku et
+    al. (WWW 2007) block-permutation scheme.
+
+    Split the ``bits``-wide signature into ``radius + 1`` blocks; by
+    pigeonhole, two signatures within Hamming distance ≤ radius agree
+    exactly on at least one block. Candidate generation is therefore an
+    equi-join on (block_id, block_value) — never all-pairs — and every
+    candidate is then verified with the exact distance
+    ``bit_count(sig_a XOR sig_b)``, so the result is EXACT (complete
+    within the radius), not approximate. At corpus scale each block join
+    is a shuffle on a short key, the same shape as minhash LSH banding;
+    hot buckets (low-entropy blocks) are AQE-skew-split.
+    """
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    sigs = simhash_signatures(base, text_col, id_col, bits)
+    n_blocks = radius + 1
+    # distribute bits as evenly as possible: first (bits % n_blocks)
+    # blocks get one extra bit
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    import functools
+
+    block_rows = [
+        sigs.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("sig"),
+            F.lit(k).alias("block"),
+            F.shiftrightunsigned("simhash", offsets[k])
+            .bitwiseAND(F.lit((1 << widths[k]) - 1))
+            .alias("block_val"),
+        )
+        for k in range(n_blocks)
+    ]
+    blocks = functools.reduce(lambda a, b: a.unionByName(b), block_rows)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, on=["block", "block_val"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= radius)
+    )
 
 
 def embedding_near_dup_pairs(

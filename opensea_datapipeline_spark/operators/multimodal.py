@@ -119,26 +119,98 @@ def byte_histogram_features(
     return df.select(id_col, bin_col).mapInPandas(featurize, schema=schema)
 
 
+def synthesize_image_payloads(
+    df: DataFrame, id_col: str = "doc_id", out_id: str = "asset_id"
+) -> DataFrame:
+    """Deterministic stand-in for a binaryFile scan of an image corpus:
+    per row, a structurally valid PNG / GIF / BMP *header* (format cycles
+    on ``id % 3``; dims derive from the id) built entirely JVM-side via
+    ``format_string`` + ``unhex``. Exercises the real byte layout each
+    decoder parses — magic, big-endian PNG IHDR, little-endian GIF/BMP
+    dimension fields — so `decode_media` is tested against actual bytes,
+    not a mock."""
+    w = (F.col(id_col) % 640 + 16).cast("int")
+    h = (F.col(id_col) % 480 + 16).cast("int")
+    fmt = F.col(id_col) % 3
+
+    def le16(c):  # 2-byte little-endian hex
+        return F.format_string("%02x%02x", c % 256, (c / 256).cast("int"))
+
+    def be32(c):  # 4-byte big-endian hex
+        return F.format_string("%08x", c)
+
+    def le32(c):  # 4-byte little-endian hex (dims < 2^16 so hi bytes are 0)
+        return F.concat(le16(c), F.lit("0000"))
+
+    png = F.concat(
+        F.lit("89504e470d0a1a0a" "0000000d" "49484452"), be32(w), be32(h),
+        F.lit("0802"),  # bit depth 8, color type 2 (truecolor RGB)
+    )
+    gif = F.concat(
+        F.lit("474946383961"), le16(w), le16(h),
+        F.lit("00" * 16),  # screen-descriptor tail padding
+    )
+    bmp = F.concat(
+        F.lit("424d" + "00" * 12 + "28000000"), le32(w), le32(h),
+        F.lit("0100" "1800"),  # 1 plane, 24 bpp
+    )
+    hex_payload = (
+        F.when(fmt == 0, png).when(fmt == 1, gif).otherwise(bmp)
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.unhex(hex_payload).alias("media")
+    )
+
+
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_BMP_MODES = {1: "1", 8: "P", 24: "RGB", 32: "RGBA"}
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """Pure-Python image header parse: (width, height, mode) for PNG, GIF,
+    and BMP payloads, None for anything unrecognized. Reads only the fixed
+    header region — no decoder library, no full-image decode — which is
+    exactly what dimension/metadata extraction needs at corpus scale
+    (the reference's image ingestion pulls Image.size the same way,
+    `scripts/embeddings/generate_clip_embeddings.py:28-91`).
+    """
+    import struct
+
+    if payload is None or len(payload) < 26:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        mode = _PNG_MODES.get(payload[25], "RGB")
+        return w, h, mode
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, "P"
+    if payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0] if len(payload) >= 30 else 24
+        return w, abs(h), _BMP_MODES.get(bpp, "RGB")
+    return None
+
+
 def decode_media(
     df: DataFrame, bin_col: str = "media", id_col: str = "asset_id"
 ) -> DataFrame:
-    """STUB: real image decode (PIL) / audio decode (libav) — the decoder
-    libraries are not installed in this container. The mapInPandas
-    signature and output schema are the production shape; calling it
-    without PIL raises NotImplementedError (import-gated)."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decoding requires pillow/libav, not present in this "
-            "environment; use byte_histogram_features for the plumbing path"
-        ) from exc
+    """Image metadata decode over the binary payload column: (width,
+    height, mode) per asset via ``mapInPandas`` Arrow batches.
 
+    Uses PIL when installed (full format coverage); otherwise falls back to
+    the pure-Python header parser (PNG/GIF/BMP) — real decode either way,
+    no stub. Unrecognized payloads yield NULL dims instead of failing the
+    batch (permissive-scan semantics, matching the engine's CSV policy)."""
     import io
     from collections.abc import Iterator as It
 
     import pandas as pd
-    import PIL.Image as Image
+
+    try:
+        import PIL.Image as Image
+    except ImportError:
+        Image = None
 
     schema = f"{id_col} long, width long, height long, mode string"
 
@@ -146,8 +218,15 @@ def decode_media(
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf[bin_col]):
-                img = Image.open(io.BytesIO(payload))
-                rows.append((aid, img.width, img.height, img.mode))
+                parsed = parse_image_header(payload)
+                if parsed is None and Image is not None and payload:
+                    try:
+                        img = Image.open(io.BytesIO(payload))
+                        parsed = (img.width, img.height, img.mode)
+                    except Exception:
+                        parsed = None
+                w, h, mode = parsed if parsed else (None, None, None)
+                rows.append((aid, w, h, mode))
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mode"])
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)

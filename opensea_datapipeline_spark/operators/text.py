@@ -10,15 +10,109 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword profiles for the n-gram/stopword-hit heuristic.
-# Real corpora would use larger profiles; the operator shape (array overlap
-# scoring + argmax) is what matters and is identical at any profile size.
+# Per-language stopword profiles (~100 function words each, snowball-style
+# lists — public knowledge) for the stopword-hit language heuristic. Only
+# whitespace-tokenized languages are profiled: CJK languages need a
+# character/n-gram tokenizer before this operator applies (a whitespace
+# split never matches, so a CJK profile here would be decorative — the
+# honest scope is documented rather than faked). Words are lowercase and
+# apostrophe-free so the same literals embed safely in the DuckDB oracle.
 LANG_PROFILES: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
-    "fr": ["le", "la", "de", "et", "que", "les", "des", "un", "une", "pour"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
-    "zh": ["de", "le", "shi", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+    "en": [
+        "i", "me", "my", "myself", "we", "our", "ours", "you", "your",
+        "yours", "he", "him", "his", "she", "her", "hers", "it", "its",
+        "they", "them", "their", "theirs", "what", "which", "who", "whom",
+        "this", "that", "these", "those", "am", "is", "are", "was", "were",
+        "be", "been", "being", "have", "has", "had", "having", "do", "does",
+        "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+        "because", "as", "until", "while", "of", "at", "by", "for", "with",
+        "about", "against", "between", "into", "through", "during",
+        "before", "after", "above", "below", "to", "from", "up", "down",
+        "in", "out", "on", "off", "over", "under", "again", "further",
+        "then", "once", "here", "there", "when", "where", "why", "how",
+        "all", "any", "both", "each", "few", "more", "most", "other",
+        "some", "such", "no", "nor", "not", "only", "own", "same", "so",
+        "than", "too", "very", "can", "will", "just", "should", "now",
+    ],
+    "es": [
+        "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+        "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+        "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+        "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+        "hasta", "hay", "donde", "quien", "desde", "todo", "nos",
+        "durante", "todos", "uno", "les", "ni", "contra", "otros", "ese",
+        "eso", "ante", "ellos", "e", "esto", "mí", "antes", "algunos",
+        "qué", "unos", "yo", "otro", "otras", "otra", "él", "tanto",
+        "esa", "estos", "mucho", "quienes", "nada", "muchos", "cual",
+        "poco", "ella", "estar", "estas", "algunas", "algo", "nosotros",
+        "mi", "mis", "tú", "te", "ti", "tu", "tus", "ellas", "os", "mío",
+        "mía", "tuyo", "tuya", "suyo", "suya", "nuestro", "nuestra",
+        "vuestro", "vuestra", "esos", "esas", "estoy", "está", "estamos",
+        "están", "son", "era", "fue", "ser", "tiene", "tengo",
+    ],
+    "fr": [
+        "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du",
+        "elle", "en", "et", "eux", "il", "ils", "je", "la", "le", "les",
+        "leur", "leurs", "lui", "ma", "mais", "me", "même", "mes", "moi",
+        "mon", "ne", "nos", "notre", "nous", "on", "ou", "où", "par",
+        "pas", "pour", "que", "qui", "sa", "se", "ses", "son", "sur",
+        "ta", "te", "tes", "toi", "ton", "tu", "un", "une", "vos",
+        "votre", "vous", "y", "été", "être", "avoir", "fait", "faire",
+        "comme", "tout", "tous", "toute", "toutes", "plus", "autre",
+        "autres", "sans", "sous", "entre", "après", "avant", "aussi",
+        "bien", "encore", "alors", "donc", "car", "si", "cette", "cet",
+        "celui", "celle", "ceux", "celles", "ici", "là", "très", "peu",
+        "beaucoup", "trop", "quand", "comment", "pourquoi", "quel",
+        "quelle", "quels", "quelles", "est", "sont", "sera", "ont", "a",
+    ],
+    "de": [
+        "aber", "alle", "allem", "allen", "aller", "alles", "als", "also",
+        "am", "an", "ander", "andere", "anderen", "anderer", "auch",
+        "auf", "aus", "bei", "bin", "bis", "bist", "da", "damit", "dann",
+        "der", "den", "des", "dem", "die", "das", "dass", "dazu", "dein",
+        "deine", "denn", "doch", "dort", "durch", "ein", "eine", "einem",
+        "einen", "einer", "eines", "er", "es", "für", "gegen", "gewesen",
+        "hab", "habe", "haben", "hat", "hatte", "hatten", "hier", "hin",
+        "hinter", "ich", "mich", "mir", "ihr", "ihre", "im", "in", "ist",
+        "ja", "jede", "jedem", "jeden", "jeder", "jedes", "kann", "kein",
+        "keine", "können", "machen", "man", "mehr", "mein", "meine",
+        "mit", "muss", "nach", "nicht", "noch", "nun", "nur", "ob",
+        "oder", "ohne", "sehr", "sein", "seine", "sich", "sie", "sind",
+        "so", "über", "um", "und", "uns", "unter", "vom", "von", "vor",
+        "war", "waren", "was", "weil", "wenn", "werden", "wie", "wieder",
+        "wir", "wird", "wo", "zu", "zum", "zur",
+    ],
+    "it": [
+        "a", "ad", "al", "allo", "ai", "agli", "alla", "alle", "con",
+        "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dalla",
+        "dalle", "di", "del", "dello", "dei", "degli", "della", "delle",
+        "in", "nel", "nello", "nei", "negli", "nella", "nelle", "su",
+        "sul", "sullo", "sui", "sugli", "sulla", "sulle", "per", "tra",
+        "fra", "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio",
+        "mia", "miei", "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua",
+        "suoi", "sue", "nostro", "nostra", "nostri", "nostre", "vostro",
+        "vostra", "che", "chi", "cui", "non", "più", "quale", "quanto",
+        "quanti", "quella", "quelle", "quelli", "quello", "questa",
+        "queste", "questi", "questo", "si", "tutto", "tutti", "ma", "ed",
+        "se", "perché", "anche", "come", "dove", "e", "la", "il", "lo",
+        "le", "li", "un", "una", "uno", "sono", "è", "sei", "siamo",
+        "siete", "ha", "hanno", "era",
+    ],
+    "pt": [
+        "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "é",
+        "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+        "dos", "como", "mas", "foi", "ao", "ele", "das", "tem", "à",
+        "seu", "sua", "ou", "ser", "quando", "muito", "há", "nos", "já",
+        "está", "eu", "também", "só", "pelo", "pela", "até", "isso",
+        "ela", "entre", "era", "depois", "sem", "mesmo", "aos", "ter",
+        "seus", "quem", "nas", "me", "esse", "eles", "estão", "você",
+        "tinha", "foram", "essa", "num", "nem", "suas", "meu", "às",
+        "minha", "têm", "numa", "pelos", "elas", "havia", "seja", "qual",
+        "será", "nós", "tenho", "lhe", "deles", "essas", "esses", "pelas",
+        "este", "fosse", "dele", "tu", "te", "vocês", "vos", "lhes",
+        "meus", "minhas", "teu", "tua", "teus", "tuas", "nosso", "nossa",
+        "nossos", "nossas",
+    ],
 }
 
 

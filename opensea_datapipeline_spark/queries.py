@@ -181,6 +181,17 @@ def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("summary_quantiles_approx")  # rows-only: sketch values differ by
+# design from any exact oracle; accuracy is pinned by pytest tolerance test
+def q_summary_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 scale path: mergeable percentile_approx sketch (map-side
+    # combinable, bounded memory) — what the same summary runs as at 100 TB.
+    return agg.summary_quantiles(
+        _t(spark, sf_dir, "events"), group_cols=["event_type"],
+        value_col="value", approx=True,
+    )
+
+
 @_register(
     "monthly_stats",
     """
@@ -758,7 +769,9 @@ def q_quantile_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P12 outlier filter by quantile (analyze_peer_effects.py:199-203):
     # 1-row quantile aggregate broadcast back over the fact table.
     li = _t(spark, sf_dir, "lineitem")
-    p99 = li.agg(F.percentile("l_extendedprice", 0.99).alias("p99"))
+    p99 = li.select("l_extendedprice").agg(
+        F.percentile("l_extendedprice", 0.99).alias("p99")
+    )
     return (
         li.crossJoin(F.broadcast(p99))
         .filter(F.col("l_extendedprice") < F.col("p99"))
@@ -767,7 +780,28 @@ def q_quantile_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_below_p99"),
             agg.det_mean("l_extendedprice").alias("mean_price_below"),
         )
-        
+
+    )
+
+
+@_register("quantile_filter_agg_approx")  # rows-only: sketch threshold —
+# exactness pinned by test_approx_percentile_close_to_exact instead
+def q_quantile_filter_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P12 scale path: percentile_approx sketch for the p99 cut. The exact
+    # percentile buffers every value in one reducer; the sketch is map-side
+    # combined with bounded memory — the 100 TB form of the same filter.
+    li = _t(spark, sf_dir, "lineitem")
+    p99 = li.select("l_extendedprice").agg(
+        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("p99")
+    )
+    return (
+        li.crossJoin(F.broadcast(p99))
+        .filter(F.col("l_extendedprice") < F.col("p99"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_below_p99"),
+            agg.det_mean("l_extendedprice").alias("mean_price_below"),
+        )
     )
 
 
@@ -1459,6 +1493,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_oracle(bits: int = 16, radius: int = 3,
+                          max_id: int = 300) -> str:
+    # The oracle is the brute-force definition: all pairs with
+    # bit_count(xor) <= radius over the same signatures. The Spark side
+    # generates candidates via Manku block partitioning, which pigeonhole
+    # guarantees is complete within the radius — so the two must match
+    # EXACTLY, proving the blocking loses nothing.
+    sig_query = _simhash_oracle(bits).replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {max_id}", 1
+    )
+    return f"""
+WITH s AS (
+{sig_query}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+"""
+
+
+@_register("simhash_near_dup_pairs", _simhash_pairs_oracle(16, 3, 300))
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hamming-radius near-dup retrieval (Manku WWW'07 block permutation):
+    # equi-join per signature block, exact bit_count verify.
+    return dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=16, radius=3, max_id=300,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Union-by-name (U1/J9) — diagonal-concat semantics
 # ---------------------------------------------------------------------------
@@ -1550,6 +1615,27 @@ def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return mm.byte_histogram_features(d, "media", "doc_id")
+
+
+@_register(
+    "media_dimensions",
+    """
+SELECT doc_id AS asset_id,
+  CAST((doc_id % 640) + 16 AS BIGINT) AS width,
+  CAST((doc_id % 480) + 16 AS BIGINT) AS height,
+  CASE doc_id % 3 WHEN 1 THEN 'P' ELSE 'RGB' END AS mode
+FROM documents
+""",
+)
+def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9 media decode, end-to-end: build structurally valid PNG/GIF/BMP
+    # headers JVM-side, parse them back with the pure-Python header decoder
+    # (mapInPandas). The oracle recomputes dims from the generating formula,
+    # so any byte-layout or parser error breaks the hash match.
+    payloads = mm.synthesize_image_payloads(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    )
+    return mm.decode_media(payloads, "media", "asset_id")
 
 
 # ---------------------------------------------------------------------------

@@ -99,18 +99,35 @@ def test_frame_sample_covers_payload(spark):
     assert [(r.frame_idx, r.frame_len) for r in out] == [(0, 64), (2, 64)]
 
 
-def test_decode_media_is_stubbed(spark):
-    df = mm.attach_binary_payload(
-        spark.createDataFrame([(1, "x")], "asset_id long, text string"), "text"
-    )
-    try:
-        import PIL  # noqa: F401
+def test_parse_image_header_known_bytes():
+    import struct
 
-        pytest.skip("pillow present; stub not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(df, "media", "asset_id")
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 320, 200) + b"\x08\x06"
+    )
+    assert mm.parse_image_header(png) == (320, 200, "RGBA")
+    gif = b"GIF89a" + struct.pack("<HH", 64, 48) + b"\x00" * 16
+    assert mm.parse_image_header(gif) == (64, 48, "P")
+    # top-down BMP stores a negative height; parser must return abs()
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 100, -80) + b"\x01\x00" + struct.pack("<H", 8)
+    )
+    assert mm.parse_image_header(bmp) == (100, 80, "P")
+    assert mm.parse_image_header(None) is None
+    assert mm.parse_image_header(b"short") is None
+    assert mm.parse_image_header(b"\x00" * 64) is None
+
+
+def test_decode_media_permissive_on_garbage(spark):
+    # Unparseable payloads yield NULL dims, never a batch failure.
+    df = mm.attach_binary_payload(
+        spark.createDataFrame([(1, "not an image")], "asset_id long, text string"),
+        "text",
+    )
+    row = mm.decode_media(df, "media", "asset_id").first()
+    assert (row.width, row.height, row.mode) == (None, None, None)
 
 
 def test_streaming_matches_batch(spark, sf_dir):
@@ -423,3 +440,53 @@ def test_clean_nft_events_reference_semantics(spark):
     assert listing.event_type == "list"          # canonicalized variant
     assert listing.unix_timestamp == 1704100500  # epoch fallback used
     assert listing.price_total_eth == 5.0        # keep-first → first row wins
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    # F6 quality check (VERDICT r1 #6): on k well-separated blobs the
+    # fixed-seed spark.ml KMeans must recover the generating partition
+    # exactly (purity 1.0) and its inertia must be the within-blob scatter,
+    # far below the between-blob scale — asserting cluster QUALITY, not
+    # just row count (reference config: k, seed=42,
+    # prepare_visual_market_data.py:297-304).
+    from opensea_datapipeline_spark.operators.similarity import kmeans_clusters
+
+    k, per_blob, sep, jit = 4, 25, 100.0, 0.5
+    rows = []
+    for b in range(k):
+        for i in range(per_blob):
+            # deterministic jitter in [-jit, jit], blob centers sep apart
+            d1 = ((i * 7919) % 101 / 100.0 - 0.5) * 2 * jit
+            d2 = ((i * 104729) % 103 / 102.0 - 0.5) * 2 * jit
+            rows.append((b * per_blob + i, b, [b * sep + d1, (b % 2) * sep + d2]))
+    df = spark.createDataFrame(rows, "vec_id long, blob int, embedding array<double>")
+
+    out = kmeans_clusters(df, "vec_id", "embedding", k=k, seed=42)
+    joined = out.join(df, "vec_id").select("blob", "cluster_id").collect()
+
+    by_blob = {}
+    for r in joined:
+        by_blob.setdefault(r.blob, set()).add(r.cluster_id)
+    # purity 1.0: each blob lands in exactly one cluster, all distinct
+    assert all(len(c) == 1 for c in by_blob.values()), by_blob
+    assert len({next(iter(c)) for c in by_blob.values()}) == k
+
+    # inertia bound: per-point squared distance to its center is at most
+    # the blob's own diameter^2, nowhere near the blob separation
+    centers = {}
+    pts = {r[0]: (r[2], None) for r in rows}
+    assign = {r2.vec_id: r2.cluster_id for r2 in out.collect()}
+    sums = {}
+    for r in rows:
+        c = assign[r[0]]
+        s = sums.setdefault(c, [0.0, 0.0, 0])
+        s[0] += r[2][0]; s[1] += r[2][1]; s[2] += 1
+    for c, (sx, sy, n) in sums.items():
+        centers[c] = (sx / n, sy / n)
+    inertia = sum(
+        (r[2][0] - centers[assign[r[0]]][0]) ** 2
+        + (r[2][1] - centers[assign[r[0]]][1]) ** 2
+        for r in rows
+    )
+    n_pts = k * per_blob
+    assert inertia <= n_pts * (2 * jit) ** 2, inertia  # within-blob scatter only

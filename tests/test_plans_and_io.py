@@ -317,6 +317,52 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
     assert bad == 0
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    # The scale-path quantile sketch must track the exact path tightly
+    # (rank error <= 1/accuracy) — pins the approx variants to reality.
+    from opensea_datapipeline_spark.operators.aggregates import (
+        summary_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r for r in summary_quantiles(
+            events, ["event_type"], "value").collect()
+    }
+    approx = {
+        r.event_type: r for r in summary_quantiles(
+            events, ["event_type"], "value", approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et, e in exact.items():
+        a = approx[et]
+        spread = e.max_value - e.min_value or 1.0
+        for col in ("median_value", "p25_value", "p75_value"):
+            assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * spread, (
+                et, col, getattr(a, col), getattr(e, col)
+            )
+        # non-sketch columns are identical on both paths
+        assert (a.n_events, a.total_value, a.mean_value) == (
+            e.n_events, e.total_value, e.mean_value
+        )
+
+
+def test_quantile_filter_approx_matches_exact_closely(spark, sf_dir):
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    exact = {r.l_returnflag: r for r in
+             QUERIES["quantile_filter_agg"](spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r for r in
+              QUERIES["quantile_filter_agg_approx"](spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.n_below_p99 - e.n_below_p99) <= max(5, 0.01 * e.n_below_p99)
+        assert abs(a.mean_price_below - e.mean_price_below) <= 0.01 * abs(
+            e.mean_price_below
+        )
+
+
 def test_series_windows_refuse_global_by_default(spark):
     # An unpartitioned window over an unreduced input serializes everything
     # through one task; the helpers must refuse it unless explicitly opted
