@@ -12,6 +12,7 @@ via __spark_entry__.queries().
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -48,6 +49,8 @@ HEADLINE = [
     "group_regression",     # applyInPandas per-group OLS
     "local_supplier_revenue",  # TPC-H Q5 shape: 6-way join
     "large_orders",         # TPC-H Q18 shape: having semi-join
+    "nation_trade_volume",  # TPC-H Q7 shape: two-chain nation pair join
+    "late_supplier_blame",  # TPC-H Q21 shape: decorrelated exists/not-exists
     "order_status_rollup",  # grouping sets in one shuffle
     "small_quantity_revenue",  # TPC-H Q17 shape: decorrelated avg join
     "corpus_curation",      # quality filter -> dedup -> token budget
@@ -103,6 +106,28 @@ def main() -> None:
     }
     if failures:
         record["failed"] = failures
+
+    # Round-over-round visibility: per-query delta vs the latest recorded
+    # BENCH_r{N}.json (positive = slower than last round). Only queries
+    # present in both rounds appear; regressions are then greppable
+    # without diffing two JSON files by hand.
+    prior = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json"))
+    )
+    if prior:
+        try:
+            with open(prior[-1]) as f:
+                rec = json.load(f)
+            # the driver wraps our stdout JSON under "parsed"
+            prev = rec.get("parsed", rec).get("queries", {})
+            record["vs_prev"] = {
+                q: round(t - prev[q], 3) for q, t in times.items() if q in prev
+            }
+            record["prev_round"] = os.path.basename(prior[-1])
+        except (OSError, ValueError) as exc:
+            print(f"bench: prior-round delta skipped: {exc}", file=sys.stderr)
+
     print(json.dumps(record))
     spark.stop()
 

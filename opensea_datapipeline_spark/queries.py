@@ -1994,6 +1994,121 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "nation_trade_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8)))
+       AS DOUBLE) AS volume,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+    OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape (volume shipping): fact table joined out to TWO
+    # nation lookups through different dimension chains, filtered to a
+    # nation pair, grouped by (supp_nation, cust_nation, year). supplier/
+    # nation broadcast; lineitem⨝orders is the only big shuffle, and the
+    # nation-pair predicate prunes it early via the broadcast joins.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(22,8)")).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
+    "late_supplier_blame",
+    """
+WITH per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1
+), late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+  WHERE date_diff('day', CAST(p.first_ship AS DATE),
+                  CAST(l.l_shipdate AS DATE)) > 30
+), sole_late AS (
+  SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+  FROM late GROUP BY 1 HAVING count(*) = 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole_late sl
+JOIN per_order p ON sl.l_orderkey = p.l_orderkey AND p.n_supp >= 2
+JOIN supplier s ON sl.l_suppkey = s.s_suppkey
+GROUP BY 1
+""",
+)
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    # schema: no commit/receipt dates, so "late" = shipped >30 days after
+    # the order's first shipment. Q21's EXISTS (another supplier on the
+    # order) and NOT EXISTS (another LATE supplier) decorrelate into two
+    # per-order aggregates — one scan each instead of two correlated
+    # self-joins, the plan you want when lineitem is the 100 TB table.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+    late = (
+        li.join(per_order, "l_orderkey")
+        .filter(F.datediff(F.col("l_shipdate"), F.col("first_ship")) > 30)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .drop("n_late")
+    )
+    return (
+        sole_late.join(per_order.filter(F.col("n_supp") >= 2), "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 @_register("stratified_sample")  # rows-only: sampling RNG is engine-specific
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

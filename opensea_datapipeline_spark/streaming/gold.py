@@ -1,0 +1,161 @@
+"""Incremental gold-table maintenance from a stream — ``foreachBatch``
+wired to the mergeable-aggregate machinery in ``plans.incremental``.
+
+This closes the loop between the streaming and incremental modules
+(SURVEY.md §2.9 stretch): instead of a streaming sink that only appends
+finalized windows, each micro-batch is reduced to its combinable per-day
+summary and MERGED into a versioned gold table. History is never
+re-aggregated — per batch the work is (batch rows → ~distinct-days rows)
+plus a shuffle sized by distinct days, which is what keeps a daily gold
+table maintainable when the event log is 100 TB and a batch is a sliver
+of it.
+
+Exactly-once discipline: ``foreachBatch`` side effects are at-least-once
+(a batch can replay after a crash between sink write and checkpoint
+commit). Replays are made harmless the standard way — the gold store
+records the last merged ``batch_id`` and the merge skips any batch id it
+has already applied; versioned directory-swap writes keep readers off
+half-written output (`plans/incremental.py` upsert notes; the reference's
+versioned store convention is `io_utils.py:192-235`).
+
+The distinct-users column uses HLL sketches (``hll_sketch_agg`` /
+``hll_union_agg``): unlike the additive count columns, sketch union is
+idempotent for re-seen users, and it is the ONLY distinct form that
+merges across batches at all (Flajolet et al. HyperLogLog; Agarwal et
+al., "Mergeable summaries", PODS 2012).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.writers import VersionedOutputStore
+
+_META = "_gold_meta.json"
+
+GOLD_COLS = [
+    "event_date",
+    "total_transactions",
+    "volume_total",
+    "value_min",
+    "value_max",
+    "users_sketch",
+]
+
+
+def batch_gold_summary(events: DataFrame) -> DataFrame:
+    """One micro-batch reduced to its mergeable per-day gold row: monoid
+    stats (count/sum/min/max) + an HLL user sketch. Map-side combinable,
+    one shuffle keyed by distinct days in the batch."""
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total_transactions"),
+        F.sum("value").alias("volume_total"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+    )
+
+
+def merge_gold_daily(existing: DataFrame, batch_summary: DataFrame) -> DataFrame:
+    """Merge a batch summary into the gold table: additive/extremal monoid
+    ops for the stats, sketch union for distincts. Disjoint days pass
+    through; overlapping days combine losslessly."""
+    combined = existing.select(GOLD_COLS).unionByName(
+        batch_summary.select(GOLD_COLS)
+    )
+    return combined.groupBy("event_date").agg(
+        F.sum("total_transactions").cast("long").alias("total_transactions"),
+        F.sum("volume_total").alias("volume_total"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+        F.hll_union_agg("users_sketch").alias("users_sketch"),
+    )
+
+
+def _read_meta(base_dir: str) -> dict:
+    try:
+        with open(os.path.join(base_dir, _META)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_meta(base_dir: str, meta: dict) -> None:
+    os.makedirs(base_dir, exist_ok=True)
+    with open(os.path.join(base_dir, _META), "w") as f:
+        json.dump(meta, f)
+
+
+def run_incremental_gold_daily(
+    spark: SparkSession,
+    events_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream ``events_dir`` (AvailableNow) and maintain the versioned
+    daily gold table under ``gold_dir`` via idempotent foreachBatch
+    merges. Returns the final gold table with the readable
+    ``approx_unique_users`` estimate surfaced.
+
+    Restartable: the checkpoint resumes source offsets; the meta file
+    makes replayed batch ids no-ops, so crash-replay cannot double-count.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    store = VersionedOutputStore(gold_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_meta(gold_dir)
+        if batch_id <= meta.get("last_batch_id", -1):
+            return  # replayed batch — already merged, skip (idempotence)
+        summary = batch_gold_summary(batch_df)
+        latest = store.latest_version_dir()
+        if latest is not None:
+            merged = merge_gold_daily(
+                batch_df.sparkSession.read.parquet(latest), summary
+            )
+        else:
+            merged = summary.select(GOLD_COLS)
+        # version dirs named by batch id: unique under sub-second batches
+        # (timestamp stamps can collide → self-overwrite of the version
+        # being read), lexicographically ordered for latest_version_dir
+        out = os.path.join(gold_dir, f"batch_{batch_id:012d}")
+        os.makedirs(out, exist_ok=True)
+        merged.write.mode("overwrite").parquet(out)
+        _write_meta(gold_dir, {"last_batch_id": batch_id, "version_dir": out})
+
+    query = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    latest = store.latest_version_dir()
+    if latest is None:
+        raise ValueError(f"no gold versions produced under {gold_dir}")
+    return spark.read.parquet(latest).select(
+        "event_date",
+        "total_transactions",
+        "volume_total",
+        "value_min",
+        "value_max",
+        F.hll_sketch_estimate("users_sketch").cast("long").alias(
+            "approx_unique_users"
+        ),
+    )

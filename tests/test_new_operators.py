@@ -490,3 +490,66 @@ def test_kmeans_recovers_separated_blobs(spark):
     )
     n_pts = k * per_blob
     assert inertia <= n_pts * (2 * jit) ** 2, inertia  # within-blob scatter only
+
+
+def test_incremental_gold_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
+    # Streaming -> incremental loop (VERDICT r1 #10): foreachBatch merges
+    # each micro-batch's combinable summary into a versioned gold table.
+    # Over the full backlog the gold table must equal the one-shot batch
+    # aggregate exactly (monoid columns) / within HLL error (distincts),
+    # and a restart on the same checkpoint must change nothing.
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.gold import (
+        run_incremental_gold_daily,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    gold_dir, ckpt = str(tmp_path / "gold"), str(tmp_path / "ckpt")
+    gold = run_incremental_gold_daily(spark, src, gold_dir, ckpt,
+                                      max_files_per_trigger=1)
+    got = {r.event_date: r for r in gold.collect()}
+
+    import os
+    versions = [d for d in os.listdir(gold_dir) if d.startswith("batch_")]
+    assert len(versions) >= 2, "expected multiple micro-batch merges"
+
+    batch = {
+        r.event_date: r
+        for r in events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_transactions"),
+            F.sum("value").alias("volume_total"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    assert got.keys() == batch.keys()
+    for d, b in batch.items():
+        g = got[d]
+        assert g.total_transactions == b.total_transactions, d
+        assert abs(g.volume_total - b.volume_total) < 1e-6 * max(
+            1.0, abs(b.volume_total)
+        ), d
+        assert (g.value_min, g.value_max) == (b.value_min, b.value_max), d
+        # HLL ~2% standard error at default lgK; allow 5%
+        assert abs(g.approx_unique_users - b.exact_users) <= max(
+            2, 0.05 * b.exact_users
+        ), d
+
+    # restart with the same checkpoint and no new data: no-op
+    before = sorted(versions)
+    again = run_incremental_gold_daily(spark, src, gold_dir, ckpt,
+                                       max_files_per_trigger=1)
+    assert sorted(
+        d for d in os.listdir(gold_dir) if d.startswith("batch_")
+    ) == before
+    assert {r.event_date: r.total_transactions for r in again.collect()} == {
+        d: b.total_transactions for d, b in batch.items()
+    }
