@@ -315,3 +315,72 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cos_sim")
         
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: each node gets
+    ``group_id`` = the minimum node id reachable from it (min-label
+    propagation / "hash-to-min" connected components). This is the step
+    between candidate pairs (minhash-LSH / simhash / embedding near-dup)
+    and actually deduplicating a corpus — pick one canonical doc per group.
+
+    Per iteration: join the symmetrized edge list with current labels,
+    take the min label over each node's neighborhood (plus its own), and
+    repeat until a fixpoint. Each iteration is one equi-join + one
+    aggregate, both map-side combinable, shuffling only (node, label)
+    pairs — never materializing components as rows. Near-dup clusters have
+    tiny diameters (pairs come from a similarity threshold, so clusters
+    are dense), so convergence is typically 2-4 iterations; the loop stops
+    when an iteration changes nothing (a 1-row count per iteration — this
+    is iteration CONTROL, not data on the driver). ``localCheckpoint``
+    truncates the lineage each round so the plan doesn't grow
+    exponentially with iterations.
+
+    Raises after ``max_iter`` without convergence rather than returning
+    wrong labels silently. (Two-phase large-star/small-star — Kiveris et
+    al., "Connected components in MapReduce and beyond", SoCC 2014 — cuts
+    the iteration count to O(log log n) for adversarial chain graphs;
+    min-label is the right trade for threshold-graph dedup workloads.)
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("group_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )

@@ -1524,6 +1524,47 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_groups_oracle(bits: int = 16, radius: int = 3,
+                         max_id: int = 300) -> str:
+    # Min-reachable-label components, computed by brute-force transitive
+    # closure (recursive CTE, UNION-distinct guarantees termination) over
+    # the same simhash pair set. The Spark side's iterative min-label
+    # propagation must land on identical group ids.
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < {max_id}),
+pairs AS ({_simhash_pairs_oracle(bits, radius, max_id)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id
+"""
+
+
+@_register("dedup_groups", _dedup_groups_oracle(16, 3, 300))
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs -> groups: the dedup-resolution step between LSH candidate
+    # generation and canonical-doc retention. Iterative min-label
+    # propagation (per round: one equi-join + one min aggregate,
+    # lineage-truncated); singleton docs keep their own id as group_id.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=16, radius=3, max_id=300,
+    )
+    return dd.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select(F.col("id").cast("long").alias("id"),
+             F.col("group_id").cast("long").alias("group_id"))
+
+
 # ---------------------------------------------------------------------------
 # Union-by-name (U1/J9) — diagonal-concat semantics
 # ---------------------------------------------------------------------------

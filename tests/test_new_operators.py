@@ -553,3 +553,27 @@ def test_incremental_gold_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
     assert {r.event_date: r.total_transactions for r in again.collect()} == {
         d: b.total_transactions for d, b in batch.items()
     }
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from opensea_datapipeline_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # chain 0-1-2-3, triangle 5-6-7 (+ redundant edge), 4/8/9 singletons
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (5, 6), (6, 7), (5, 7)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.group_id for r in
+           connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+    # a 26-node chain cannot converge in 3 iterations -> loud failure,
+    # never silently-wrong labels
+    import pytest as _pytest
+
+    n2 = spark.createDataFrame([(i,) for i in range(26)], "id long")
+    e2 = spark.createDataFrame([(i, i + 1) for i in range(25)],
+                               "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(n2, e2, max_iter=3)
