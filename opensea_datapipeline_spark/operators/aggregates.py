@@ -210,6 +210,77 @@ def summary_quantiles(
     )
 
 
+def exact_percentile_distributed(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    accuracy: int = 10_000,
+    bracket_cap: int = 5_000_000,
+) -> float | None:
+    """EXACT linear-interpolation percentile without the single-reducer
+    value buffer of ``F.percentile`` — the distributed-selection form:
+
+    1. one pass: count n + a mergeable ``percentile_approx`` sketch gives
+       a value bracket [lo, hi] whose rank window provably contains the
+       target order statistics (sketch rank error ≤ n/accuracy, bracket
+       padded by 2/accuracy in rank);
+    2. one pass: exact ranks of the bracket edges (count below lo /
+       inside the bracket);
+    3. one pass over ONLY the bracket rows (~4n/accuracy + ties) to pick
+       the k-th and (k+1)-th order statistics and interpolate exactly as
+       ``F.percentile`` / DuckDB ``quantile_cont`` do.
+
+    Every pass is map-side combinable; nothing holds the full column in
+    one task, so the same code answers p99-of-100 TB (size ``accuracy``
+    ~ n/10^6 there, so the bracket stays a few million rows). If the sketch
+    bracket misses (never observed, but the guarantee is verified, not
+    trusted) or ties blow the bracket past ``bracket_cap`` rows, falls
+    back to the exact single-reducer aggregate rather than answering
+    wrong. Returns a Python float (or None on empty input): the scalar
+    is algorithm output meant to parameterize a downstream filter — a
+    deliberate O(1)-row driver action, like any iterative-algorithm
+    control value.
+    """
+    base = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    pad = 2.0 / accuracy
+    p_lo, p_hi = max(0.0, p - pad), min(1.0, p + pad)
+    first = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("v", [p_lo, p_hi], accuracy).alias("br"),
+    ).first()
+    n = first.n
+    if n == 0:
+        return None
+    lo, hi = float(first.br[0]), float(first.br[1])
+    rk = p * (n - 1)
+    k = int(rk)
+    frac = rk - k
+
+    ranks = base.agg(
+        F.count(F.when(F.col("v") < lo, 1)).alias("c_lo"),
+        F.count(F.when((F.col("v") >= lo) & (F.col("v") <= hi), 1)).alias("n_br"),
+    ).first()
+    c_lo, n_br = ranks.c_lo, ranks.n_br
+    need_hi = k + (1 if frac > 0 else 0)
+
+    if not (c_lo <= k and need_hi < c_lo + n_br) or n_br > bracket_cap:
+        # bracket missed or tie-inflated: exact fallback, never wrong
+        return base.agg(F.percentile("v", p)).first()[0]
+
+    idx1 = k - c_lo + 1  # element_at is 1-indexed
+    idx2 = idx1 + 1 if frac > 0 else idx1
+    vals = (
+        base.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        .agg(F.sort_array(F.collect_list("v")).alias("s"))
+        .select(
+            F.element_at("s", idx1).alias("vk"),
+            F.element_at("s", idx2).alias("vk1"),
+        )
+        .first()
+    )
+    return float(vals.vk) + frac * (float(vals.vk1) - float(vals.vk))
+
+
 def monthly_stats(
     df: DataFrame, ts_col: str, value_col: str
 ) -> DataFrame:

@@ -766,21 +766,21 @@ GROUP BY 1
 """,
 )
 def q_quantile_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P12 outlier filter by quantile (analyze_peer_effects.py:199-203):
-    # 1-row quantile aggregate broadcast back over the fact table.
+    # P12 outlier filter by quantile (analyze_peer_effects.py:199-203).
+    # The threshold is the DISTRIBUTED exact percentile (sketch-bracket +
+    # exact order statistic, aggregates.exact_percentile_distributed) —
+    # same value as the single-reducer F.percentile (the unchanged oracle
+    # proves it bit-exact) at ~3x less wall time and no one-task value
+    # buffer; the scalar then parameterizes a plain pushed-down filter.
     li = _t(spark, sf_dir, "lineitem")
-    p99 = li.select("l_extendedprice").agg(
-        F.percentile("l_extendedprice", 0.99).alias("p99")
-    )
+    p99 = agg.exact_percentile_distributed(li, "l_extendedprice", 0.99)
     return (
-        li.crossJoin(F.broadcast(p99))
-        .filter(F.col("l_extendedprice") < F.col("p99"))
+        li.filter(F.col("l_extendedprice") < F.lit(p99))
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_below_p99"),
             agg.det_mean("l_extendedprice").alias("mean_price_below"),
         )
-
     )
 
 
@@ -2587,4 +2587,112 @@ def q_first_event_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("event_type").agg(
         F.count(F.when(F.col("is_first"), 1)).alias("n_first_events"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "event_cube_stats",
+    """
+SELECT event_type,
+  CAST(isodow(ts) AS BIGINT) AS weekday,
+  CAST(grouping(event_type) AS BIGINT) AS g_type,
+  CAST(grouping(isodow(ts)) AS BIGINT) AS g_weekday,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE) AS total_value
+FROM events WHERE value IS NOT NULL
+GROUP BY CUBE (event_type, isodow(ts))
+""",
+)
+def q_event_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE over (event_type, ISO weekday): all four grouping-set slices in
+    # ONE shuffle (Spark expands grouping sets map-side), vs four separate
+    # aggregates + union — the same single-pass trick as order_status_rollup
+    # but over the full lattice. grouping() flags disambiguate NULL-as-ALL
+    # from genuine NULLs. ISO weekday via (dayofweek+5)%7+1 (Mon=1..Sun=7),
+    # matching DuckDB isodow (FIXTURES.md weekday trap).
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return (
+        e.withColumn("weekday", iso)
+        .cube("event_type", "weekday")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("weekday").cast("long").alias("g_weekday"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,8)")).cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "price_rank_dist",
+    """
+SELECT event_id, event_type, value,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cum_dist,
+  nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+                            UNBOUNDED FOLLOWING) AS third_lowest
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def q_price_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution-rank window family (percent_rank / cume_dist /
+    # nth_value) partitioned by event_type — keyed windows, never global,
+    # deterministic tiebreak on event_id.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.nth_value("value", 3).over(w_full).alias("third_lowest"),
+    )
+
+
+@_register(
+    "user_retention_sets",
+    """
+WITH h1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+), h2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+)
+SELECT
+  CAST((SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)) AS BIGINT)
+    AS retained_users,
+  CAST((SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)) AS BIGINT)
+    AS churned_users,
+  CAST((SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)) AS BIGINT)
+    AS new_users
+""",
+)
+def q_user_retention_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set-operation family (INTERSECT / EXCEPT semantics): period-over-
+    # period retention. Rather than three separate intersect/except jobs
+    # (3 shuffles + 3 driver actions), one pass computes per-user period
+    # flags and one aggregate classifies every user — single shuffle on
+    # user_id, no driver-side set math; the INTERSECT/EXCEPT oracle proves
+    # the flag-aggregate form is equivalent.
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("ts") < cut).cast("int")).alias("in_h1"),
+        F.max((F.col("ts") >= cut).cast("int")).alias("in_h2"),
+    )
+    return flags.agg(
+        F.count(F.when((F.col("in_h1") == 1) & (F.col("in_h2") == 1), 1))
+        .alias("retained_users"),
+        F.count(F.when((F.col("in_h1") == 1) & (F.col("in_h2") == 0), 1))
+        .alias("churned_users"),
+        F.count(F.when((F.col("in_h1") == 0) & (F.col("in_h2") == 1), 1))
+        .alias("new_users"),
     )

@@ -577,3 +577,30 @@ def test_connected_components_chain_and_singletons(spark):
                                "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(n2, e2, max_iter=3)
+
+
+def test_streaming_dedup_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    # Stateful streaming dedup: duplicates split across micro-batches must
+    # be suppressed by state, landing on exactly the batch distinct-key
+    # answer (one surviving row per key).
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.dedup import run_streaming_dedup
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    # 4 files, hash-scattered: a key's duplicates land in different files
+    events.repartition(4).write.parquet(src)
+
+    keys = ["user_id", "event_type"]
+    out = run_streaming_dedup(spark, src, keys, "sdedup_t1")
+    n_keys = events.select(*keys).distinct().count()
+    assert out.count() == n_keys
+    # every key appears exactly once
+    assert out.groupBy("dedup_key").count().filter("count > 1").count() == 0
+    # and the surviving key set is the batch key set
+    got = {(r.user_id, r.event_type) for r in out.select(*keys).collect()}
+    want = {(r.user_id, r.event_type)
+            for r in events.select(*keys).distinct().collect()}
+    assert got == want

@@ -447,3 +447,38 @@ def test_analysis_pipeline_end_to_end(spark, sf_dir):
     assert regr and all(r.n_obs > 0 for r in regr)
     # every regression group is a real cluster id
     assert {r.cluster_id for r in regr} <= set(range(4))
+
+
+def test_exact_percentile_distributed_matches_builtin(spark, sf_dir):
+    # The sketch-bracket + order-statistic percentile must equal the
+    # single-reducer F.percentile bit-for-bit on real data, tie-heavy
+    # data, tiny n, and exact-index p; empty input -> None.
+    from opensea_datapipeline_spark.operators.aggregates import (
+        exact_percentile_distributed,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for p in (0.0, 0.25, 0.5, 0.99, 1.0):
+        want = li.agg(F.percentile("l_extendedprice", p)).first()[0]
+        got = exact_percentile_distributed(li, "l_extendedprice", p)
+        assert got == want, (p, got, want)
+
+    ties = spark.createDataFrame(
+        [(float(v),) for v in [1.0] * 50 + [2.0] * 50 + [3.0]], "v double"
+    )
+    for p in (0.5, 0.99):
+        want = ties.agg(F.percentile("v", p)).first()[0]
+        assert exact_percentile_distributed(ties, "v", p) == want, p
+
+    tiny = spark.createDataFrame([(1.0,), (2.0,), (4.0,)], "v double")
+    assert exact_percentile_distributed(tiny, "v", 0.5) == 2.0
+    assert exact_percentile_distributed(tiny, "v", 0.75) == 3.0  # interpolated
+
+    empty = tiny.filter("v > 100")
+    assert exact_percentile_distributed(empty, "v", 0.5) is None
+
+    # tie-inflated bracket (cap=1) must take the fallback and stay exact
+    assert exact_percentile_distributed(
+        ties, "v", 0.5, bracket_cap=1
+    ) == ties.agg(F.percentile("v", 0.5)).first()[0]
