@@ -482,3 +482,39 @@ def test_exact_percentile_distributed_matches_builtin(spark, sf_dir):
     assert exact_percentile_distributed(
         ties, "v", 0.5, bracket_cap=1
     ) == ties.agg(F.percentile("v", 0.5)).first()[0]
+
+
+def test_nation_trade_volume_broadcasts_dims_no_cartesian(spark, sf_dir):
+    # Q7 shape: both nation lookups and supplier must ride broadcast
+    # joins; the only shuffle joins allowed are the fact-fact ones.
+    plan = _plan(QUERIES["nation_trade_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_supplier_blame_no_cartesian(spark, sf_dir):
+    # Q21 shape decorrelates to aggregates + equi-joins; any correlated
+    # rewrite that falls back to a nested loop is a scale bug.
+    plan = _plan(QUERIES["late_supplier_blame"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_filter_threshold_pushed_to_scan(spark, sf_dir):
+    # The distributed-percentile scalar must reach the parquet scan as a
+    # pushed filter (a literal, not a join), so the second pass reads
+    # only qualifying row groups.
+    df = QUERIES["quantile_filter_agg"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_extendedprice), LessThan(l_extendedprice" in plan
+    assert "CrossJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_event_cube_single_expand_shuffle(spark, sf_dir):
+    # CUBE must compile to Expand + one aggregate pair, not a union of
+    # four separate scans.
+    df = QUERIES["event_cube_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
