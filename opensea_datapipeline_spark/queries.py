@@ -1733,6 +1733,72 @@ def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_dedup_keys",
+    """
+SELECT DISTINCT md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type))
+  AS dedup_key
+FROM events
+""",
+)
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stateful streaming dedup, graded with a FULL oracle: which physical
+    # row survives per key is arrival-order-dependent, but the surviving
+    # KEY SET is exactly the batch distinct — so the query returns the
+    # keys. State lives in the dropDuplicates store across micro-batches.
+    import os
+    import tempfile
+
+    from .streaming.dedup import run_streaming_dedup
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="sdedup_src_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    out = run_streaming_dedup(
+        spark, stream_dir, ["user_id", "event_type"],
+        table_name="streaming_dedup_keys_q",
+    )
+    return out.select("dedup_key").distinct()
+
+
+@_register(
+    "incremental_gold_daily",
+    """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  CAST(count(*) AS BIGINT) AS total_transactions,
+  CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE) AS volume_total,
+  min(value) AS value_min,
+  max(value) AS value_max
+FROM events GROUP BY 1
+""",
+)
+def q_incremental_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # foreachBatch incremental gold table, graded with a FULL oracle: the
+    # input is split into 3 files streamed one per trigger, so the final
+    # table is the result of repeated monoid merges — which must equal the
+    # one-shot batch aggregate exactly (decimal accumulation makes the sum
+    # independent of the batch slicing; the HLL column is approximate and
+    # excluded here).
+    import tempfile
+
+    from .sources.readers import load_table
+    from .streaming.gold import run_incremental_gold_daily
+
+    src = tempfile.mkdtemp(prefix="gold_src_")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    gold = run_incremental_gold_daily(
+        spark, src,
+        tempfile.mkdtemp(prefix="gold_tbl_"),
+        tempfile.mkdtemp(prefix="gold_ckpt_"),
+    )
+    return gold.select(
+        "event_date", "total_transactions", "volume_total",
+        "value_min", "value_max",
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, sessionization, neighbor peer windows (operators Spark lacks,
 # composed from primitives — SURVEY.md §2.3 J7/J8 + streaming-shaped batch)

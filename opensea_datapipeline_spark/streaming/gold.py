@@ -51,11 +51,16 @@ def batch_gold_summary(events: DataFrame) -> DataFrame:
     """One micro-batch reduced to its mergeable per-day gold row: monoid
     stats (count/sum/min/max) + an HLL user sketch. Map-side combinable,
     one shuffle keyed by distinct days in the batch."""
+    # volume accumulates as DECIMAL: incremental merges re-sum in batch
+    # order, and float addition is not associative — decimal keeps the
+    # gold table bit-identical to a one-shot batch aggregate regardless
+    # of how the backlog was sliced (FIXTURES.md float-parity rule).
     return events.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("event_date")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("total_transactions"),
-        F.sum("value").alias("volume_total"),
+        F.sum(F.col("value").cast("decimal(22,8)"))
+        .cast("decimal(22,8)").alias("volume_total"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
         F.hll_sketch_agg("user_id").alias("users_sketch"),
@@ -71,7 +76,9 @@ def merge_gold_daily(existing: DataFrame, batch_summary: DataFrame) -> DataFrame
     )
     return combined.groupBy("event_date").agg(
         F.sum("total_transactions").cast("long").alias("total_transactions"),
-        F.sum("volume_total").alias("volume_total"),
+        # re-cast: decimal sums widen precision per merge, which would
+        # drift the stored schema version-over-version
+        F.sum("volume_total").cast("decimal(22,8)").alias("volume_total"),
         F.min("value_min").alias("value_min"),
         F.max("value_max").alias("value_max"),
         F.hll_union_agg("users_sketch").alias("users_sketch"),
@@ -152,7 +159,7 @@ def run_incremental_gold_daily(
     return spark.read.parquet(latest).select(
         "event_date",
         "total_transactions",
-        "volume_total",
+        F.col("volume_total").cast("double").alias("volume_total"),
         "value_min",
         "value_max",
         F.hll_sketch_estimate("users_sketch").cast("long").alias(
