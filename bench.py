@@ -56,6 +56,9 @@ HEADLINE = [
     "corpus_curation",      # quality filter -> dedup -> token budget
     "document_chunks",      # overlap chunking fan-out
     "tfidf_top_terms",      # tf-idf join + ranking window
+    "event_cube_stats",     # CUBE lattice in one Expand+agg shuffle
+    "dedup_groups",         # iterative connected components (pairs->groups)
+    "embedding_array_stats",  # higher-order array ops, codegen-bound
 ]
 
 

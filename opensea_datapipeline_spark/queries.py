@@ -2762,3 +2762,166 @@ def q_user_retention_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("in_h1") == 0) & (F.col("in_h2") == 1), 1))
         .alias("new_users"),
     )
+
+
+@_register(
+    "daily_stats_unpivot",
+    """
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+    CAST(count(*) AS DOUBLE) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE) AS total_value,
+    CAST(count(DISTINCT user_id) AS DOUBLE) AS unique_users
+  FROM events GROUP BY 1
+)
+SELECT event_date, metric, metric_value
+FROM daily
+UNPIVOT (metric_value FOR metric IN (n_events, total_value, unique_users))
+""",
+)
+def q_daily_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide->long melt (UNPIVOT): the metrics-table shape every dashboard
+    # export needs. Spark's unpivot is a zero-shuffle Expand over the
+    # already-reduced daily table — rows fan out 3x but no exchange.
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,8)")).cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("double").alias("unique_users"),
+    )
+    return daily.unpivot(
+        "event_date",
+        ["n_events", "total_value", "unique_users"],
+        "metric",
+        "metric_value",
+    )
+
+
+@_register(
+    "embedding_array_stats",
+    """
+SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  round(list_aggregate(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+  round(CAST(list_aggregate(embedding, 'sum') AS DOUBLE)
+        / len(embedding), 6) AS mean_component
+FROM embeddings
+""",
+)
+def q_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Higher-order array functions on the vector column — transform /
+    # filter / aggregate run INSIDE whole-stage codegen (no UDF, no Arrow
+    # hop), which is why per-element math over 100 TB of embeddings stays
+    # JVM-bound. Rounded to 6dp for cross-engine float parity.
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(vec).cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ) / F.size(vec),
+            6,
+        ).alias("mean_component"),
+    )
+
+
+@_register(
+    "price_rank_dist_scalable",
+    """
+SELECT event_id, event_type, value,
+  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank,
+  cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cum_dist
+FROM events WHERE value IS NOT NULL
+""",
+)
+def q_price_rank_dist_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # price_rank_dist's window partitions on event_type — a LOW-CARDINALITY
+    # key, so at 100 TB each partition funnels through one task. This is
+    # the scale re-expression: ranks depend only on per-(type, value)
+    # counts, so aggregate those (full shuffle parallelism), prefix-sum
+    # over the distinct-value table (a window over thousands of rows, not
+    # billions), and broadcast-join the ranks back to the fact rows.
+    # Deterministic under ties (rank/count semantics, no tiebreak needed);
+    # the oracle is the plain window form — the hash match proves the
+    # agg+join rewrite is exactly the window semantics.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    counts = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    totals = Window.partitionBy("event_type")
+    ranked = counts.select(
+        "event_type",
+        "value",
+        (F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ) + 1).alias("rank_start"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_count"),
+        F.sum("c").over(totals).alias("n_part"),
+    ).select(
+        "event_type",
+        "value",
+        ((F.col("rank_start") - 1) / (F.col("n_part") - 1)).alias("pct_rank"),
+        (F.col("cum_count") / F.col("n_part")).alias("cum_dist"),
+    )
+    # no broadcast hint: the distinct-value table is usually tiny (AQE
+    # will broadcast it), but for near-continuous value domains it can be
+    # large and must stay a shuffle join — let the runtime stats decide
+    return e.select("event_id", "event_type", "value").join(
+        ranked, ["event_type", "value"]
+    ).select("event_id", "event_type", "value", "pct_rank", "cum_dist")
+
+
+@_register(
+    "corpus_dedup_summary",
+    f"""
+WITH g AS ({_dedup_groups_oracle(16, 3, 300)})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT group_id) AS BIGINT) AS n_kept,
+  CAST(count(*) - count(DISTINCT group_id) AS BIGINT) AS n_dropped,
+  CAST(max(cnt) AS BIGINT) AS largest_group
+FROM g JOIN (SELECT group_id AS gid, count(*) AS cnt FROM g GROUP BY 1) s
+  ON g.group_id = s.gid
+""",
+)
+def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End of the dedup pipeline: near-dup pairs -> groups -> keep one
+    # canonical doc per group (min id), report retention. At corpus scale
+    # the kept set is `filter(doc_id == group_id)` — no extra shuffle
+    # beyond the components themselves.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=16, radius=3, max_id=300,
+    )
+    groups = dd.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return sizes.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("n_dropped"),
+        F.max("cnt").cast("long").alias("largest_group"),
+    )

@@ -119,3 +119,28 @@ def test_chunking_covers_every_word(spark, n_words, chunk_size, overlap_frac):
         assert got == words[start:start + chunk_size]  # exact slice, in order
         covered.update(range(start, start + len(got)))
     assert covered == set(range(n_words))  # no word lost, none fabricated
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ),
+    p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+)
+@SETTINGS
+def test_exact_percentile_distributed_property(spark, vals, p):
+    # Distributed selection must equal the single-reducer exact percentile
+    # on arbitrary value sets (duplicates, negatives, tiny n) at every p —
+    # the bracket math has off-by-one territory that fixed cases can miss.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.aggregates import (
+        exact_percentile_distributed,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = df.agg(F.percentile("v", p)).first()[0]
+    got = exact_percentile_distributed(df, "v", p, accuracy=10)
+    assert got is not None
+    assert abs(got - want) <= 1e-9 * max(1.0, abs(want)), (p, got, want, vals)
