@@ -409,3 +409,49 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set (the standard n-gram-overlap
+    contamination check run before LLM training). Returns one row per
+    contaminated train doc: distinct shared grams + distinct eval docs
+    hit.
+
+    Shape at scale: explode both sides to (doc, gram) and equi-join on
+    the gram — the same bucketed-join skeleton as LSH banding, never
+    doc×doc. The eval side is benchmark-sized (thousands of docs), so its
+    exploded gram table broadcast-joins against the corpus-sized train
+    grams; count-distinct aggregates are map-side combined. Grams join as
+    raw strings here for oracle transparency — at 100 TB hash them
+    (``F.md5``) to fixed-width keys to shrink the shuffle, which cannot
+    change the result beyond md5-collision odds.
+    """
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        w = _words(text_col)
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(g)).alias("gram"),
+        )
+
+    tg = grams(train, "doc_id")
+    eg = grams(eval_set, "eval_id")
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )

@@ -2925,3 +2925,41 @@ def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("n_dropped"),
         F.max("cnt").cast("long").alias("largest_group"),
     )
+
+
+@_register(
+    "contamination_flags",
+    """
+WITH tw AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id < 400
+), ew AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id >= 400 AND doc_id < 450
+), tg AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w) - 4, 0) + 1)]
+  )) AS gram FROM tw
+), eg AS (
+  SELECT doc_id AS eval_id, unnest(list_distinct(
+    [array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w) - 4, 0) + 1)]
+  )) AS gram FROM ew
+)
+SELECT tg.doc_id,
+  CAST(count(DISTINCT tg.gram) AS BIGINT) AS n_shared_grams,
+  CAST(count(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_docs_hit
+FROM tg JOIN eg ON tg.gram = eg.gram
+GROUP BY 1
+""",
+)
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination over the synthetic corpus: docs < 400 are
+    # "training", docs 400-449 stand in for an eval benchmark.
+    d = _t(spark, sf_dir, "documents")
+    return tx.contamination_flags(
+        d.filter(F.col("doc_id") < 400),
+        d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)),
+        n=5,
+    )
