@@ -449,3 +449,63 @@ def quality_metrics(
     exprs.append(F.min(F.to_date(ts_col)).alias("min_date"))
     exprs.append(F.max(F.to_date(ts_col)).alias("max_date"))
     return df.agg(*exprs)
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+    ts_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Column profiler (DESCRIBE-style data-quality summary): one row per
+    column with null count, exact distinct count, and stringified min/max.
+
+    ONE pass over the input: every per-column statistic is an aggregate in
+    a single ``agg`` (multiple exact distincts compile to one Expand +
+    aggregate pair — row multiplication by #distinct-columns, still a
+    single scan/shuffle, vs one scan per column for the naive union
+    form). The 1-row wide result is then inlined to long form, which is
+    free. At 100 TB swap ``countDistinct`` for ``approx_count_distinct``
+    per column if the Expand fan-out dominates; min/max/null counts are
+    plain monoids either way. Doubles format via '%.6f' and timestamps
+    via date_format so the profile is engine-portable text.
+    """
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    specs: list[tuple[str, str, str]] = []  # (col, kind, safe_name)
+    for c in numeric_cols:
+        specs.append((c, "num", c))
+    for c in string_cols:
+        specs.append((c, "str", c))
+    for c in ts_cols:
+        specs.append((c, "ts", c))
+    for c, kind, s in specs:
+        aggs.append(F.count(c).alias(f"{s}__cnt"))
+        aggs.append(F.countDistinct(c).alias(f"{s}__nd"))
+        if kind == "num":
+            aggs.append(F.format_string("%.6f", F.min(c)).alias(f"{s}__min"))
+            aggs.append(F.format_string("%.6f", F.max(c)).alias(f"{s}__max"))
+        elif kind == "ts":
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{s}__min")
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{s}__max")
+            )
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"{s}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{s}__max"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").cast("long").alias("n_rows"),
+                (F.col("_n") - F.col(f"{s}__cnt")).cast("long").alias("n_nulls"),
+                F.col(f"{s}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{s}__min").alias("min_value"),
+                F.col(f"{s}__max").alias("max_value"),
+            )
+            for c, _, s in specs
+        ]
+    )
+    return wide.select(F.inline(rows))

@@ -2963,3 +2963,88 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)),
         n=5,
     )
+
+
+@_register(
+    "value_band_peers",
+    """
+SELECT event_id, event_type, value,
+  CAST(count(*) OVER (PARTITION BY event_type ORDER BY value
+       RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS BIGINT) AS n_band,
+  round(CAST(sum(CAST(value AS DECIMAL(22,8))) OVER (
+       PARTITION BY event_type ORDER BY value
+       RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS DOUBLE)
+    / count(*) OVER (PARTITION BY event_type ORDER BY value
+       RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING), 6) AS band_mean
+FROM events
+WHERE value IS NOT NULL AND event_type = 'purchase'
+""",
+)
+def q_value_band_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VALUE-range window frame (RANGE BETWEEN n PRECEDING/FOLLOWING over a
+    # numeric ordering, not time): peers within a +/-5.0 value band. The
+    # frame is computed inside one keyed sort — no self-join, no per-row
+    # re-scan. SQL-expression windows because the Python Window API only
+    # accepts integer range bounds; the SQL planner takes doubles.
+    band = ("OVER (PARTITION BY event_type ORDER BY value "
+            "RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING)")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr(f"CAST(count(*) {band} AS BIGINT)").alias("n_band"),
+        # decimal frame sum: sliding-frame float accumulation differs
+        # between engines at the 6th dp; decimal is order-exact
+        F.expr(
+            f"round(CAST(sum(CAST(value AS DECIMAL(22,8))) {band} AS DOUBLE)"
+            f" / count(*) {band}, 6)"
+        ).alias("band_mean"),
+    )
+
+
+@_register(
+    "column_profile",
+    """
+SELECT 'value' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(value) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+  printf('%.6f', min(value)) AS min_value,
+  printf('%.6f', max(value)) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count(user_id) AS BIGINT),
+  CAST(count(DISTINCT user_id) AS BIGINT),
+  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count(event_type) AS BIGINT),
+  CAST(count(DISTINCT event_type) AS BIGINT),
+  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count(ts) AS BIGINT),
+  CAST(count(DISTINCT ts) AS BIGINT),
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+FROM events
+""",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DESCRIBE-style data-quality profile, ONE scan for all columns (the
+    # oracle's UNION ALL form scans once per column — the Spark plan is
+    # the point: multiple exact distincts fold into one Expand+aggregate).
+    # user_id rides the string branch: long→string cast matches the
+    # oracle's CAST(... AS VARCHAR) and min/max over longs stay numeric
+    # before the cast.
+    return agg.profile_columns(
+        _t(spark, sf_dir, "events"),
+        numeric_cols=["value"],
+        string_cols=["event_type", "user_id"],
+        ts_cols=["ts"],
+    )
