@@ -111,3 +111,27 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on ``range_col`` before writing, so each
+    output file covers a DISJOINT range of the column and its parquet
+    footer min/max statistics become selective. A later scan with a
+    predicate on ``range_col`` then skips whole files and, within files,
+    whole row groups — the layout-level pruning that turns a 100 TB
+    time-range query into a read of only the touched span. (This is the
+    sort-cluster half of what table formats call Z-ordering; for ONE
+    dominant predicate column a plain range sort is optimal.)"""
+    (
+        df.repartitionByRange(num_files, range_col)
+        .sortWithinPartitions(range_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

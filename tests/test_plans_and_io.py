@@ -518,3 +518,43 @@ def test_event_cube_single_expand_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_range_partitioned_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    # The written files must cover disjoint ts ranges (parquet footer
+    # min/max selective), and a range-predicate scan must return exactly
+    # the batch answer.
+    import pyarrow.parquet as pq
+
+    from opensea_datapipeline_spark.sources.writers import (
+        write_range_partitioned,
+    )
+
+    # unix-micros long for the range column: Spark writes ns timestamps
+    # without parquet footer statistics, longs always carry min/max
+    events = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), "user_id", "value"
+    )
+    out = str(tmp_path / "events_ranged")
+    write_range_partitioned(events, out, "ts_us", num_files=4)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 3
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, spans  # disjoint: skipping is possible
+
+    cut = spans[1][0]  # a boundary inside the data
+    got = spark.read.parquet(out).filter(F.col("ts_us") < cut).count()
+    want = events.filter(F.col("ts_us") < cut).count()
+    assert got == want
