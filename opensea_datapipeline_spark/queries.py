@@ -2187,30 +2187,45 @@ def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
     # schema: no commit/receipt dates, so "late" = shipped >30 days after
     # the order's first shipment. Q21's EXISTS (another supplier on the
-    # order) and NOT EXISTS (another LATE supplier) decorrelate into two
-    # per-order aggregates — one scan each instead of two correlated
-    # self-joins, the plan you want when lineitem is the 100 TB table.
+    # order) and NOT EXISTS (another LATE supplier) decorrelate into ONE
+    # windowed pass: per-order min ship date via a keyed window, then a
+    # per-order aggregate that the planner runs WITHOUT a second exchange
+    # (the window already partitioned by l_orderkey). One lineitem scan
+    # and one fact shuffle total — the naive aggregate+rejoin form scans
+    # the 100 TB table four times.
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.min("l_shipdate").alias("first_ship"),
+    # pass 1 (the ONLY fact-table shuffle, map-side combined): reduce
+    # lineitem to (order, supplier) pairs with their ship-date span
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship_supp"),
+        F.min("l_shipdate").alias("first_ship_supp"),
     )
-    late = (
-        li.join(per_order, "l_orderkey")
-        .filter(F.datediff(F.col("l_shipdate"), F.col("first_ship")) > 30)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    # pass 2 over the reduced pair table: order-level window gives the
+    # order's first shipment + supplier count; a pair is "late" iff its
+    # latest line shipped >30 days after that
+    w = Window.partitionBy("l_orderkey")
+    scored = pairs.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        (
+            F.datediff(
+                F.col("last_ship_supp"), F.min("first_ship_supp").over(w)
+            )
+            > 30
+        ).alias("is_late"),
     )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .drop("n_late")
+    per_order = scored.groupBy("l_orderkey").agg(
+        F.max("n_supp").alias("n_supp"),
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late"),
+        F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_suppkey"),
     )
     return (
-        sole_late.join(per_order.filter(F.col("n_supp") >= 2), "l_orderkey")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_order.filter((F.col("n_late") == 1) & (F.col("n_supp") >= 2))
+        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
