@@ -509,3 +509,105 @@ def profile_columns(
         ]
     )
     return wide.select(F.inline(rows))
+
+
+def group_percentile_exact_distributed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-GROUP exact percentile without per-group value buffering — the
+    grouped generalization of ``exact_percentile_distributed``.
+
+    ``F.percentile`` buffers every value of a group inside one aggregate
+    buffer; fine for dimension-sized groups, deadly when one group holds
+    billions of fact rows. Here each pass is a plain map-side-combinable
+    aggregate keyed by the group, and the per-group bracket metadata
+    rides a broadcast join back over the facts:
+
+    1. per-group count + percentile_approx sketch bracket [lo, hi];
+    2. per-group exact ranks of the bracket edges;
+    3. per-group sorted in-bracket slice (~4n/accuracy rows per group),
+       exact k-th / (k+1)-th order statistics via element_at with the
+       group's own index, linear interpolation.
+
+    Groups whose sketch bracket misses the target ranks (verified, not
+    trusted) fall back to the exact buffered percentile — for those
+    groups only. Returns (group, p<percent> value) rows.
+    """
+    g, v = group_col, value_col
+    base = df.select(F.col(g), F.col(v).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    pad = 2.0 / accuracy
+    p_lo, p_hi = max(0.0, p - pad), min(1.0, p + pad)
+    meta = (
+        base.groupBy(g)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx("_v", [p_lo, p_hi], accuracy).alias("_br"),
+        )
+        .select(
+            g,
+            "_n",
+            F.col("_br")[0].alias("_lo"),
+            F.col("_br")[1].alias("_hi"),
+            F.floor(F.lit(p) * (F.col("_n") - 1)).cast("long").alias("_k"),
+            (F.lit(p) * (F.col("_n") - 1)
+             - F.floor(F.lit(p) * (F.col("_n") - 1))).alias("_frac"),
+        )
+    )
+
+    joined = base.join(F.broadcast(meta), g)
+    ranks = joined.groupBy(g).agg(
+        F.count(F.when(F.col("_v") < F.col("_lo"), 1)).alias("_c_lo"),
+        F.count(
+            F.when((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")), 1)
+        ).alias("_n_br"),
+    )
+    meta2 = meta.join(ranks, g).withColumn(
+        "_ok",
+        (F.col("_c_lo") <= F.col("_k"))
+        & (
+            F.col("_k")
+            + F.when(F.col("_frac") > 0, 1).otherwise(0)
+            < F.col("_c_lo") + F.col("_n_br")
+        ),
+    )
+
+    good = meta2.filter(F.col("_ok"))
+    slices = (
+        base.join(F.broadcast(good), g)
+        .filter((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
+        .groupBy(g)
+        .agg(F.sort_array(F.collect_list("_v")).alias("_s"))
+        .join(good, g)
+        .select(
+            g,
+            (
+                F.element_at("_s", (F.col("_k") - F.col("_c_lo") + 1).cast("int"))
+                + F.col("_frac")
+                * (
+                    F.element_at(
+                        "_s",
+                        F.least(
+                            F.col("_k") - F.col("_c_lo") + 2,
+                            F.col("_n_br"),
+                        ).cast("int"),
+                    )
+                    - F.element_at(
+                        "_s", (F.col("_k") - F.col("_c_lo") + 1).cast("int")
+                    )
+                )
+            ).alias("_pv"),
+        )
+    )
+    bad = meta2.filter(~F.col("_ok")).select(g)
+    fallback = (
+        base.join(F.broadcast(bad), g)
+        .groupBy(g)
+        .agg(F.percentile("_v", p).alias("_pv"))
+    )
+    return slices.unionByName(fallback).withColumnRenamed("_pv", "p_value")

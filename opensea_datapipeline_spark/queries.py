@@ -3063,3 +3063,22 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         string_cols=["event_type", "user_id"],
         ts_cols=["ts"],
     )
+
+
+@_register(
+    "group_p90_distributed",
+    """
+SELECT event_type, round(quantile_cont(value, 0.90), 6) AS p90
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_group_p90_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group EXACT p90 via the distributed bracket algorithm (no
+    # per-group value buffering); the oracle is the plain buffered
+    # quantile_cont — the hash match proves the 3-pass grouped selection
+    # is bit-exact per group.
+    out = agg.group_percentile_exact_distributed(
+        _t(spark, sf_dir, "events"), "event_type", "value", 0.90
+    )
+    return out.select("event_type", F.round("p_value", 6).alias("p90"))

@@ -558,3 +558,35 @@ def test_range_partitioned_layout_enables_file_skipping(spark, sf_dir, tmp_path)
     got = spark.read.parquet(out).filter(F.col("ts_us") < cut).count()
     want = events.filter(F.col("ts_us") < cut).count()
     assert got == want
+
+
+def test_group_percentile_distributed_matches_builtin(spark, sf_dir):
+    # Per-group bracket selection == per-group buffered percentile, at
+    # normal AND coarse sketch accuracy (the latter forces the per-group
+    # fallback path through real traffic).
+    from opensea_datapipeline_spark.operators.aggregates import (
+        group_percentile_exact_distributed,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    for p in (0.5, 0.9, 0.99):
+        want = {
+            r.event_type: r.pv
+            for r in events.filter(F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(F.percentile("value", p).alias("pv"))
+            .collect()
+        }
+        for acc in (10_000, 4):
+            got = {
+                r.event_type: r.p_value
+                for r in group_percentile_exact_distributed(
+                    events, "event_type", "value", p, accuracy=acc
+                ).collect()
+            }
+            assert got.keys() == want.keys(), (p, acc)
+            for et in want:
+                assert abs(got[et] - want[et]) <= 1e-9 * max(
+                    1.0, abs(want[et])
+                ), (p, acc, et, got[et], want[et])
