@@ -3082,3 +3082,26 @@ def q_group_p90_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "event_type", "value", 0.90
     )
     return out.select("event_type", F.round("p_value", 6).alias("p90"))
+
+
+@_register("media_knn_pipeline")  # rows-only: mapInPandas featurizer floats
+# are deterministic (pytest pins run-to-run equality) but impractical to
+# re-derive in SQL — the ANN structure check is the pytest, not the oracle
+def q_media_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full multimodal retrieval path, end-to-end on executors:
+    # binary payloads -> Arrow-batched featurizer (mapInPandas byte
+    # histograms; swap for CLIP/predict_batch_udf without plan changes)
+    # -> exact cosine top-3 neighbors. At corpus scale the last stage
+    # routes through knn_topk_lsh / ann_ivf instead of the exact join —
+    # identical upstream plan.
+    from .operators.similarity import knn_topk_exact
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    payloads = mm.synthesize_image_payloads(docs, "doc_id")
+    feats = mm.byte_histogram_features(payloads, "media", "asset_id")
+    emb = feats.select(
+        F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return knn_topk_exact(emb, k=3).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )

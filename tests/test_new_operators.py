@@ -604,3 +604,18 @@ def test_streaming_dedup_matches_batch_across_batches(spark, sf_dir, tmp_path):
     want = {(r.user_id, r.event_type)
             for r in events.select(*keys).distinct().collect()}
     assert got == want
+
+
+def test_media_knn_pipeline_deterministic_structure(spark, sf_dir):
+    # binary -> featurizer -> exact ANN must be run-to-run deterministic
+    # (the rows-only driver check sees row counts only; this pins values).
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["media_knn_pipeline"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["media_knn_pipeline"](spark, sf_dir).collect()))
+    assert a == b
+    per_q = {}
+    for qid, nid, rank in a:
+        assert qid != nid
+        per_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
