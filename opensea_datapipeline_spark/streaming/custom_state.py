@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+Built-in streaming aggregates cover windowed/sessionized shapes; what
+they cannot express is an arbitrary per-key running state machine with
+user-defined transition logic (running totals re-emitted every batch,
+custom eviction, multi-valued state). That is the grouped-state seam:
+state lives in the checkpointed state store partitioned by key, each
+micro-batch hands the function its new rows per key as Arrow batches,
+and the function decides what to update and emit.
+
+API note: Spark 4 offers two seams — ``transformWithStateInPandas``
+(StatefulProcessor, richer: multiple state variables, timers, TTL) and
+``applyInPandasWithState`` (GroupState). The former's Python state
+server requires protobuf, which this environment does not ship, so the
+operator uses the stable GroupState API; the state-machine semantics
+demonstrated here are identical, and the processor body would transplant
+into a StatefulProcessor unchanged.
+
+The demo operator keeps running per-user stats (event count + exact
+total in integer micro-units) and re-emits the updated running values
+for every user touched by a batch — an "update-mode running aggregate"
+that plain append-mode windowed aggregation cannot produce. State is one
+tiny tuple per user, sharded across executors by the grouping key; at
+100 TB the state store scales with DISTINCT users, not events, and the
+per-batch work is bounded by the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _running_user_stats(key, pdfs, state: GroupState):
+    """Per-user state transition: fold the batch into (n_events,
+    total_micro) and emit the post-update running row. Totals accumulate
+    as integer micro-units so the running sum is exact regardless of how
+    the stream was sliced into batches."""
+    import pandas as pd
+
+    n, total_micro = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += int(len(pdf))
+        total_micro += int(round(float(vals.sum()) * 1_000_000))
+    state.update((n, total_micro))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total_micro / 1_000_000],
+        }
+    )
+
+
+def run_running_user_stats(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "running_user_stats",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream ``src_dir`` (AvailableNow) through the custom stateful
+    operator; returns one row per user with the LAST emitted running
+    values (update-mode emissions accumulate in the memory sink, so the
+    final state per user is the max-n_events row)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _running_user_stats,
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        stateStructType="n_events LONG, total_micro LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    emissions = spark.table(table_name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emissions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

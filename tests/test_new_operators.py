@@ -619,3 +619,35 @@ def test_media_knn_pipeline_deterministic_structure(spark, sf_dir):
         assert qid != nid
         per_q.setdefault(qid, []).append(rank)
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_custom_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
+    # transformWithStateInPandas custom state machine: running per-user
+    # totals across micro-batches must end exactly at the batch aggregate
+    # (micro-unit long state makes the sum independent of batch slicing).
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.custom_state import (
+        run_running_user_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    out = run_running_user_stats(spark, src, str(tmp_path / "ckpt"),
+                                 "tws_user_stats")
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    want = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value"), 6)).alias("t"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for u, (n, t) in want.items():
+        gn, gt = got[u]
+        assert gn == n, u
+        assert abs(gt - t) < 1e-6, (u, gt, t)
