@@ -3105,3 +3105,34 @@ def q_media_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk_exact(emb, k=3).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+@_register(
+    "streaming_running_user_stats",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS total_value
+FROM events GROUP BY 1
+""",
+)
+def q_streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom stateful operator graded end-to-end: 3 micro-batches fold
+    # through per-user GroupState; the final running row per user must
+    # equal the batch aggregate exactly (integer micro-unit state — 6dp
+    # inputs stay exact across any batch slicing).
+    import tempfile
+
+    from .sources.readers import load_table
+    from .streaming.custom_state import run_running_user_stats
+
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    out = run_running_user_stats(
+        spark, src, tempfile.mkdtemp(prefix="tws_ckpt_"),
+        table_name="streaming_running_user_stats_q",
+    )
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 6).alias("total_value")
+    )
