@@ -59,6 +59,7 @@ HEADLINE = [
     "event_cube_stats",     # CUBE lattice in one Expand+agg shuffle
     "dedup_groups",         # iterative connected components (pairs->groups)
     "embedding_array_stats",  # higher-order array ops, codegen-bound
+    "group_p90_distributed",  # per-group exact percentile, no value buffer
 ]
 
 
