@@ -3136,3 +3136,29 @@ def q_streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "user_id", "n_events", F.round("total_value", 6).alias("total_value")
     )
+
+
+@_register(
+    "sql_daily_revenue",
+    """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE) AS revenue
+FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_sql_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SQL-string API surface: identical Catalyst plan to the
+    # DataFrame form (views + spark.sql compile to the same logical
+    # plan), registered to document that users can drive this engine
+    # with plain SQL.
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT date_format(ts, 'yyyy-MM-dd') AS event_date,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(22,8))) AS DOUBLE) AS revenue
+        FROM events_v
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY date_format(ts, 'yyyy-MM-dd')
+    """)
