@@ -590,3 +590,20 @@ def test_group_percentile_distributed_matches_builtin(spark, sf_dir):
                 assert abs(got[et] - want[et]) <= 1e-9 * max(
                     1.0, abs(want[et])
                 ), (p, acc, et, got[et], want[et])
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    # The benchmark-sized eval gram table must ride a broadcast join; a
+    # shuffle join over the corpus grams is the 100 TB regression.
+    plan = _plan(QUERIES["contamination_flags"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_groups_no_cartesian(spark, sf_dir):
+    # Candidate generation (simhash blocks) and label propagation are
+    # equi-joins end to end; any nested-loop artifact means the blocking
+    # broke.
+    plan = _plan(QUERIES["dedup_groups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
