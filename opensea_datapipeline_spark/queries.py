@@ -3162,3 +3162,33 @@ def q_sql_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase' AND value IS NOT NULL
         GROUP BY date_format(ts, 'yyyy-MM-dd')
     """)
+
+
+@_register(
+    "grouping_sets_stats",
+    """
+SELECT event_type,
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  CAST(grouping(event_type) AS BIGINT) AS g_type,
+  CAST(grouping(strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS BIGINT) AS g_date,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((event_type), (strftime(CAST(ts AS DATE), '%Y-%m-%d')))
+""",
+)
+def q_grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary GROUPING SETS (neither rollup nor cube): per-type totals
+    # and per-day totals from ONE Expand+aggregate pass — the third
+    # grouping-lattice API beside order_status_rollup / event_cube_stats.
+    e = _t(spark, sf_dir, "events")
+    e.withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    ).createOrReplaceTempView("events_gs_v")
+    return spark.sql("""
+        SELECT event_type, event_date,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(event_date) AS BIGINT) AS g_date,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events_gs_v
+        GROUP BY GROUPING SETS ((event_type), (event_date))
+    """)
