@@ -517,6 +517,7 @@ def group_percentile_exact_distributed(
     value_col: str,
     p: float,
     accuracy: int = 10_000,
+    bracket_cap: int = 5_000_000,
 ) -> DataFrame:
     """Per-GROUP exact percentile without per-group value buffering — the
     grouped generalization of ``exact_percentile_distributed``.
@@ -574,7 +575,11 @@ def group_percentile_exact_distributed(
             F.col("_k")
             + F.when(F.col("_frac") > 0, 1).otherwise(0)
             < F.col("_c_lo") + F.col("_n_br")
-        ),
+        )
+        # tie-heavy groups can inflate the bracket to ~the whole group;
+        # collect_list'ing that reinstates the per-group buffering this
+        # function exists to avoid — cap it and take the fallback instead
+        & (F.col("_n_br") <= F.lit(bracket_cap)),
     )
 
     good = meta2.filter(F.col("_ok"))

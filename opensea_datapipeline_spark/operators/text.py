@@ -120,6 +120,21 @@ def _words(text_col: str) -> F.Column:
     return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
 
 
+def _word_ngrams(words: F.Column, n: int) -> F.Column:
+    """Space-joined word ``n``-grams, empty array for docs shorter than
+    ``n`` words. The guard is semantic, not cosmetic: for size < n,
+    ``sequence(1, size-n+1)`` descends (e.g. [1, 0]) and ``slice(_, 0, n)``
+    throws INVALID_PARAMETER_VALUE.START — a short or empty document
+    would abort the whole job."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, a BPE-ish
     subword estimate (word-chunks of ≤4 chars — ceil(len/4) per word), and
@@ -364,11 +379,9 @@ def repetition_scores(
     flag boilerplate/spam. explode → count per (doc, gram) → max ratio —
     two map-side-combined aggregates, scales with corpus size."""
     words = _words(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+    exploded = df.select(
+        F.col(id_col), F.explode(_word_ngrams(words, n)).alias("gram")
     )
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_grams"),
@@ -435,11 +448,7 @@ def contamination_flags(
     """
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        w = _words(text_col)
-        g = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
+        g = _word_ngrams(_words(text_col), n)
         return df.select(
             F.col(id_col).alias(out_id),
             F.explode(F.array_distinct(g)).alias("gram"),

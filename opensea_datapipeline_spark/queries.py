@@ -2897,7 +2897,11 @@ def q_price_rank_dist_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         "value",
-        ((F.col("rank_start") - 1) / (F.col("n_part") - 1)).alias("pct_rank"),
+        # single-row partition: percent_rank() defines 0.0 where the
+        # closed form would be 0/0 = NULL
+        F.when(F.col("n_part") == 1, F.lit(0.0))
+        .otherwise((F.col("rank_start") - 1) / (F.col("n_part") - 1))
+        .alias("pct_rank"),
         (F.col("cum_count") / F.col("n_part")).alias("cum_dist"),
     )
     # no broadcast hint: the distinct-value table is usually tiny (AQE

@@ -87,7 +87,10 @@ class VersionedOutputStore:
         versions = sorted(
             d
             for d in os.listdir(self.base_dir)
+            # underscore prefix = in-progress/metadata (Spark's own
+            # convention) — a crashed half-written tmp dir is never latest
             if os.path.isdir(os.path.join(self.base_dir, d))
+            and not d.startswith("_")
         )
         return os.path.join(self.base_dir, versions[-1]) if versions else None
 

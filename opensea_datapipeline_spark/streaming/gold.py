@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,10 +132,15 @@ def run_incremental_gold_daily(
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged, skip (idempotence)
         summary = batch_gold_summary(batch_df)
-        latest = store.latest_version_dir()
-        if latest is not None:
+        # Merge base comes from the meta file, NOT latest_version_dir():
+        # the meta is committed only after a version is fully written, so
+        # a replay after a crash mid-write re-merges against the same base
+        # it saw the first time. Directory-listing "latest" would pick the
+        # crashed batch's own half-written dir as the base — double-merge.
+        base = meta.get("version_dir")
+        if base is not None:
             merged = merge_gold_daily(
-                batch_df.sparkSession.read.parquet(latest), summary
+                batch_df.sparkSession.read.parquet(base), summary
             )
         else:
             merged = summary.select(GOLD_COLS)
@@ -142,8 +148,14 @@ def run_incremental_gold_daily(
         # (timestamp stamps can collide → self-overwrite of the version
         # being read), lexicographically ordered for latest_version_dir
         out = os.path.join(gold_dir, f"batch_{batch_id:012d}")
-        os.makedirs(out, exist_ok=True)
-        merged.write.mode("overwrite").parquet(out)
+        # write to a tmp dir + atomic rename: a crash mid-write leaves only
+        # the underscore-prefixed tmp (ignored by latest_version_dir), so a
+        # half-written version can never be selected by any reader
+        tmp = os.path.join(gold_dir, f"_tmp_batch_{batch_id:012d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
         _write_meta(gold_dir, {"last_batch_id": batch_id, "version_dir": out})
 
     query = (
@@ -153,7 +165,9 @@ def run_incremental_gold_daily(
         .start()
     )
     query.awaitTermination()
-    latest = store.latest_version_dir()
+    # the committed version per meta is authoritative; directory listing is
+    # only the bootstrap fallback for stores predating the meta convention
+    latest = _read_meta(gold_dir).get("version_dir") or store.latest_version_dir()
     if latest is None:
         raise ValueError(f"no gold versions produced under {gold_dir}")
     return spark.read.parquet(latest).select(
