@@ -29,20 +29,27 @@ SF0001_DIR = "/root/testdata/sf0.001"
 
 
 def _previously_graded() -> set[str]:
-    """Query names with a row in any prior CORRECTNESS_r*.json.
+    """Query names whose latest CORRECTNESS_r*.json row needs no regrade.
 
     The driver grades a bounded prefix of ``queries()`` per round, so we
-    surface not-yet-graded queries first; already-green ones are protected
-    by tests/test_oracle_parity.py regardless of grading order.
+    surface first (a) queries never graded, (b) queries whose last grading
+    errored, and (c) queries graded ``no_oracle`` that NOW have an oracle
+    (upgraded rows-only paths must be re-graded against it). Already-green
+    ones are protected by tests/test_oracle_parity.py regardless of order.
     """
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                latest.update(json.load(f))
         except (OSError, ValueError):
             continue
-    return seen
+    ok: set[str] = set()
+    for name, row in latest.items():
+        err = (row or {}).get("err")
+        if err is None or (err == "no_oracle" and name not in ORACLE):
+            ok.add(name)
+    return ok
 
 
 def _ordered(mapping: dict) -> dict:

@@ -113,7 +113,11 @@ def byte_histogram_features(
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(arr // bucket, minlength=dim).astype("float64")
                 total = hist.sum()
-                feats.append((hist / total if total else hist).round(6).tolist())
+                # raw float64 divisions, deliberately un-rounded: the DuckDB
+                # oracle computes the same count/total in float64, so the
+                # bits match exactly; pre-rounding here (numpy half-even)
+                # can disagree with SQL ROUND (half-away) on exact ties
+                feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
 
     return df.select(id_col, bin_col).mapInPandas(featurize, schema=schema)

@@ -1652,10 +1652,46 @@ def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(d, "media", "doc_id", frame_bytes=64, stride=2)
 
 
-@_register("byte_histogram_features")  # rows-only: mapInPandas featurizer seam
+@_register(
+    "byte_histogram_features",
+    """
+WITH h AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h
+), cnt AS (
+  SELECT doc_id,
+    (strpos('0123456789ABCDEF',
+            substr(hx, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) // 2 AS bucket,
+    count(*) AS c
+  FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT doc_id, n, unnest(range(0, 8)) AS bucket FROM h
+)
+SELECT grid.doc_id, CAST(grid.bucket AS BIGINT) AS bucket,
+  CASE WHEN grid.n = 0 THEN 0.0
+       ELSE COALESCE(cnt.c, 0) / CAST(grid.n AS DOUBLE) END AS weight
+FROM grid
+LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.bucket = cnt.bucket
+""",
+)
 def q_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas featurizer seam, graded in LONG form: the wide
+    # array<double> output crashes the driver's canonicalizer (pandas
+    # sort_values over list cells), and the long (doc, bucket, weight)
+    # shape is what unlocks a full SQL oracle — 8 buckets of byte // 32,
+    # weight = count/total as raw float64 so the division is bit-identical
+    # to the oracle's. The dense-vector form stays available via the
+    # operator itself (media_knn_pipeline consumes it).
     d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return mm.byte_histogram_features(d, "media", "doc_id")
+    feats = mm.byte_histogram_features(d, "media", "doc_id")
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("bucket", "weight")
+    ).select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"), "weight"
+    )
 
 
 @_register(

@@ -86,7 +86,7 @@ def test_byte_histogram_matches_numpy(spark):
     ).collect()[0]
     arr = np.frombuffer(text.encode(), dtype=np.uint8)
     expected = np.bincount(arr // 32, minlength=8) / len(arr)
-    assert out.feature == pytest.approx(expected.round(6).tolist())
+    assert out.feature == pytest.approx(expected.tolist())
 
 
 def test_frame_sample_covers_payload(spark):
