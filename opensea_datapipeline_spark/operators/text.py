@@ -177,22 +177,77 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+_PROFILE_TABLES: dict = {}
+
+
+def _profile_table(spark, frozen_profiles: tuple) -> DataFrame:
+    """(word, lang-index) lookup DataFrame for ``language_id``, memoized
+    per session — rebuilding + re-broadcasting the same 600-row table on
+    every call costs more than the join itself at small scale."""
+    key = (spark, frozen_profiles)
+    if key not in _PROFILE_TABLES:
+        _PROFILE_TABLES[key] = spark.createDataFrame(
+            [
+                (w, i)
+                for i, (_, ws) in enumerate(frozen_profiles)
+                for w in ws
+            ],
+            "word string, _lidx int",
+        )
+    return _PROFILE_TABLES[key]
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Language ID heuristic: stopword-profile hit counts per language +
     argmax. Returns the per-language scores (distinct profile words found)
-    and the predicted language; deterministic tie-break by language code."""
-    words = F.array_distinct(_words(text_col))
-    score_cols = {}
-    for lang, profile in sorted(LANG_PROFILES.items()):
-        arr = F.array(*[F.lit(w) for w in profile])
-        score_cols[lang] = F.size(F.array_intersect(words, arr))
-    scored = df.select(
-        F.col(id_col),
-        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+    and the predicted language; deterministic tie-break by language code.
+
+    Scale shape: the profile is DATA (a tiny (lang, word) table broadcast
+    to every executor), not code — distinct doc words left-join it and a
+    single map-side-combined conditional-count aggregate rebuilds the
+    per-doc score vector. Adding a language is a table change, and the
+    per-row work no longer evaluates hundreds of string literals per
+    document (the previous array_intersect-fold doubled the bench). The
+    left join keeps zero-hit docs in the output."""
+    profiles = profiles if profiles is not None else LANG_PROFILES
+    langs = sorted(profiles)
+    profile = _profile_table(df.sparkSession, tuple(
+        (lang, tuple(sorted(set(profiles[lang])))) for lang in langs
+    ))
+    # words longer than any profile word can never score — filter them
+    # out BEFORE the fan-out (the bound is derived from the profile data,
+    # so it tracks profile changes). explode_outer keeps a NULL row for
+    # docs left with no candidate words: they must still appear in the
+    # output with zero scores, and NULL join keys match nothing.
+    max_len = max((len(w) for ws in profiles.values() for w in ws), default=0)
+    candidates = F.filter(
+        F.array_distinct(_words(text_col)),
+        lambda w: F.length(w) <= max_len,
+    )
+    words = df.select(
+        F.col(id_col), F.explode_outer(candidates).alias("word")
+    )
+    # integer lang index in the join payload: the per-word-row conditional
+    # counts compare ints, not strings (measurably faster at sf0.1)
+    scored = (
+        words.join(F.broadcast(profile), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.count(F.when(F.col("_lidx") == i, 1))
+                .cast("int")
+                .alias(f"score_{lang}")
+                for i, lang in enumerate(langs)
+            ]
+        )
     )
     # argmax with deterministic tie-break: fold over sorted languages,
     # strictly-greater replaces, so the first (alphabetical) max wins.
-    langs = sorted(LANG_PROFILES)
     pred = F.lit(langs[0])
     best = F.col(f"score_{langs[0]}")
     for lang in langs[1:]:
