@@ -265,16 +265,20 @@ def quantize_embeddings(
     dequantization; pure higher-order functions, no UDF.
 
     q_i = round((x_i - min) / scale * 255) - 128  with scale = max - min.
+
+    All arithmetic is in float64 even for float32 input vectors: min/max/
+    scale computed in float32 can differ by one float-ulp from the same
+    math in float64 (a-b needs more mantissa bits than either operand),
+    which would make the quantization engine-dependent — the SQL oracle
+    recomputes it in doubles and must land on identical integers.
     """
-    vec = F.col(vec_col)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vmin = F.array_min(vec)
     vmax = F.array_max(vec)
     scale = F.when(vmax > vmin, vmax - vmin).otherwise(F.lit(1.0))
     quant = F.transform(
         vec,
-        lambda x: (
-            F.round((x.cast("double") - vmin) / scale * 255) - 128
-        ).cast("tinyint"),
+        lambda x: (F.round((x - vmin) / scale * 255) - 128).cast("tinyint"),
     )
     return embeddings.select(
         F.col(id_col),

@@ -307,14 +307,19 @@ def train_test_split(
     """Deterministic, migration-stable train/test split: bucket by a hash
     of (salt, id). Unlike ``randomSplit`` the assignment is a pure
     function of the row id — re-runs, re-partitioning, and incremental
-    appends never move a document across the split (leakage-safe)."""
-    bucket = F.pmod(
-        F.abs(F.hash(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))),
-        F.lit(10_000),
+    appends never move a document across the split (leakage-safe).
+
+    The hash is md5 (not Spark's Murmur3): engine-portable, so any other
+    system — including the SQL oracle — can recompute the exact split.
+    A doc is "test" iff the first 8 hex chars of md5('salt_id') fall
+    below floor(fraction * 16^8), i.e. fraction resolution 2^-32."""
+    digest = F.md5(
+        F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string"))
     )
+    threshold = format(int(test_fraction * 16**8), "08x")
     return df.withColumn(
         "split",
-        F.when(bucket < int(test_fraction * 10_000), F.lit("test")).otherwise(
+        F.when(F.substring(digest, 1, 8) < threshold, F.lit("test")).otherwise(
             F.lit("train")
         ),
     )

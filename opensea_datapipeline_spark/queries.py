@@ -2277,11 +2277,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "train_test_split",
-    # The split is a pure function of (salt, doc_id) via Spark's
-    # Murmur3 hash — not reproducible in DuckDB; the oracle checks the
-    # INVARIANTS instead: every doc appears exactly once, labels are the
-    # expected two values. (Weaker than a value hash, still a real gate:
-    # counts per label are asserted in unit tests.)
+    # md5 bucketing is engine-portable: the oracle recomputes the exact
+    # assignment (threshold = floor(0.1 * 16^8) = 0x19999999).
+    """
+SELECT doc_id,
+  CASE WHEN substr(md5(concat('split-v1', '_', CAST(doc_id AS VARCHAR))), 1, 8)
+            < '19999999'
+       THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
 )
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -2632,14 +2636,50 @@ def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("knn_topk_quantized")  # rows-only: int8 roundtrip is lossy
+@_register(
+    "knn_topk_quantized",
+    # int8 round-trip is deterministic double arithmetic — the oracle
+    # replays quantize (round/clamp) + dequantize + cosine top-5 exactly,
+    # term order matched to the Spark expressions so the floats agree.
+    """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+), params AS (
+  SELECT vec_id, v, list_min(v) AS vmin,
+    CASE WHEN list_max(v) > list_min(v) THEN list_max(v) - list_min(v)
+         ELSE 1.0 END AS scale
+  FROM base
+), deq AS (
+  SELECT vec_id,
+    list_transform(v,
+      x -> (round((x - vmin) / scale * 255) - 128 + 128) / 255.0 * scale + vmin)
+      AS emb
+  FROM params
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.emb, c.emb) /
+      (sqrt(list_dot_product(q.emb, q.emb)) *
+       sqrt(list_dot_product(c.emb, c.emb))) AS sim
+  FROM deq q, deq c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+    AS rank
+  FROM scored
+) t WHERE rank <= 5
+""",
+)
 def q_knn_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The memory-bounded ANN path: search over int8-quantized vectors
     # (4x smaller candidate store); quality floor pinned in tests (97%
     # top-3 agreement on this data).
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     deq = sim.dequantize_embeddings(sim.quantize_embeddings(emb))
-    return sim.knn_topk_exact(deq, "vec_id", "embedding", k=5)
+    out = sim.knn_topk_exact(deq, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @_register(
