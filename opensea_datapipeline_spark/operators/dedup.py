@@ -257,27 +257,36 @@ def simhash_near_dup_pairs(
     hot buckets (low-entropy blocks) are AQE-skew-split.
     """
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    sigs = simhash_signatures(base, text_col, id_col, bits)
+    # materialize signatures (1 short row per doc) before blocking: the
+    # block table references the signature relation and the self-join
+    # doubles THAT — without the cut the full md5+bit-extraction subtree
+    # appears 8x in one plan (multi-MB task binaries, codegen blow-up,
+    # and re-execution the exchange-reuse rule only partially saves).
+    # Materializing the per-doc signature table before the candidate join
+    # is also the natural plan at corpus scale.
+    sigs = simhash_signatures(base, text_col, id_col, bits).localCheckpoint(
+        eager=True
+    )
     n_blocks = radius + 1
     # distribute bits as evenly as possible: first (bits % n_blocks)
     # blocks get one extra bit
     widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
               for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    import functools
 
-    block_rows = [
-        sigs.select(
-            F.col(id_col).alias("id"),
-            F.col("simhash").alias("sig"),
-            F.lit(k).alias("block"),
+    block_vals = F.array(
+        *[
             F.shiftrightunsigned("simhash", offsets[k])
             .bitwiseAND(F.lit((1 << widths[k]) - 1))
-            .alias("block_val"),
-        )
-        for k in range(n_blocks)
-    ]
-    blocks = functools.reduce(lambda a, b: a.unionByName(b), block_rows)
+            for k in range(n_blocks)
+        ]
+    )
+    # one posexplode pass instead of an n_blocks-way union of selects
+    blocks = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sig"),
+        F.posexplode(block_vals).alias("block", "block_val"),
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(b, on=["block", "block_val"], how="inner")
@@ -324,6 +333,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS: each node gets
     ``group_id`` = the minimum node id reachable from it (min-label
@@ -337,11 +347,16 @@ def connected_components(
     aggregate, both map-side combinable, shuffling only (node, label)
     pairs — never materializing components as rows. Near-dup clusters have
     tiny diameters (pairs come from a similarity threshold, so clusters
-    are dense), so convergence is typically 2-4 iterations; the loop stops
-    when an iteration changes nothing (a 1-row count per iteration — this
-    is iteration CONTROL, not data on the driver). ``localCheckpoint``
-    truncates the lineage each round so the plan doesn't grow
-    exponentially with iterations.
+    are dense), so convergence is typically 2-4 iterations.
+
+    Iteration control is deliberately cheap: the did-anything-change flag
+    is computed INSIDE the label update (no extra join), and lineage
+    truncation + the convergence probe run only every second iteration —
+    at 100 TB an eager checkpoint materializes the full label table, so
+    halving the checkpoint count halves the dominant cost. Odd iterations
+    stay lazy; their exchanges are reused within the next job. The probe
+    is a short-circuiting ``limit(1)`` existence check over checkpointed
+    partitions, not a full count.
 
     Raises after ``max_iter`` without convergence rather than returning
     wrong labels silently. (Two-phase large-star/small-star — Kiveris et
@@ -352,35 +367,39 @@ def connected_components(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    # duplicate edges don't change a min-aggregate, only inflate the join
+    # input; when the caller guarantees distinct pairs (every candidate
+    # generator here emits id_a < id_b exactly once) the dedup shuffle is
+    # pure cost and the symmetrized union cannot re-introduce duplicates
+    if not assume_distinct:
+        e = e.distinct()
     e = e.localCheckpoint(eager=True)
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    check_every = 2
+    for it in range(1, max_iter + 1):
         nbr_min = (
             e.join(labels, e.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "label", F.coalesce("nbr_label", "label")
-                ).alias("label"),
+        updated = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            # change flag piggybacks on the update — no old-vs-new join
+            (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
+        )
+        if it % check_every == 0 or it == max_iter:
+            updated = updated.localCheckpoint(eager=True)
+            converged = (
+                updated.filter(F.col("_chg")).limit(1).count() == 0
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(F.col("id"), F.col("label").alias("group_id"))
+            if converged:
+                return updated.select(
+                    F.col("id"), F.col("label").alias("group_id")
+                )
+        labels = updated.select("id", "label")
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

@@ -1560,7 +1560,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=16, radius=3, max_id=300,
     )
     return dd.connected_components(
-        docs.select("doc_id"), pairs, id_col="doc_id"
+        docs.select("doc_id"), pairs, id_col="doc_id", assume_distinct=True
     ).select(F.col("id").cast("long").alias("id"),
              F.col("group_id").cast("long").alias("group_id"))
 
@@ -3011,7 +3011,7 @@ def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=16, radius=3, max_id=300,
     )
     groups = dd.connected_components(
-        docs.select("doc_id"), pairs, id_col="doc_id"
+        docs.select("doc_id"), pairs, id_col="doc_id", assume_distinct=True
     )
     sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("cnt"))
     return sizes.agg(
