@@ -1716,28 +1716,112 @@ def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate similarity + clustering (rows-only: approximate/ML paths are
-# never hash-compared against the oracle, SURVEY.md §7.3 trap 7)
+# Approximate similarity + clustering. RNG/ML outputs are engine-specific
+# (SURVEY.md §7.3 trap 7), so the registered queries grade STRUCTURAL
+# invariants computed in-plan — coverage counts the oracle recomputes
+# exactly, plus quality checks (recall vs the exact path, inertia vs the
+# global centroid) asserted as booleans the oracle pins to TRUE. A quality
+# collapse or coverage hole breaks the hash match; the raw assignments
+# remain available from the operators themselves.
 # ---------------------------------------------------------------------------
-@_register("kmeans_clusters")  # rows-only
+@_register(
+    "kmeans_clusters",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  TRUE AS k_within_bound, TRUE AS inertia_improves
+FROM embeddings
+""",
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F6: KMeans k=20 seed=42 (prepare_visual_market_data.py:297-304).
-    return sim.kmeans_clusters(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=20, seed=42
+    # Structural gate: every vector assigned once (n_vectors), 1..20
+    # clusters used, and within-cluster inertia beats the single-centroid
+    # baseline by >5% (measured ~0.87-0.91 across SFs) — a degenerate or
+    # non-clustering run fails the boolean.
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = sim.kmeans_clusters(emb, "vec_id", "embedding", k=20, seed=42)
+    ex = emb.join(assigned, "vec_id").select(
+        "vec_id", "cluster_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    cent = ex.groupBy("cluster_id", "dim").agg(F.avg("v").alias("c"))
+    ik = ex.join(cent, ["cluster_id", "dim"]).agg(
+        F.sum((F.col("v") - F.col("c")) ** 2).alias("ik")
+    )
+    gmean = ex.groupBy("dim").agg(F.avg("v").alias("g"))
+    ig = ex.join(gmean, "dim").agg(
+        F.sum((F.col("v") - F.col("g")) ** 2).alias("ig")
+    )
+    stats = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return (
+        stats.crossJoin(ik).crossJoin(ig).select(
+            "n_vectors",
+            F.col("n_clusters").between(1, 20).alias("k_within_bound"),
+            (F.col("ik") < 0.95 * F.col("ig")).alias("inertia_improves"),
+        )
     )
 
 
-@_register("knn_topk_lsh")  # rows-only
+def _ann_recall_query(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """(n_queries, recall_ok) for an ANN result vs the exact top-k — the
+    hash-comparable form of a recall floor."""
+    ex = exact.select("query_id", "neighbor_id")
+    hits = ex.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        ex.agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).alias("_n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            (F.col("_n_hit") >= floor * F.col("_n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+@_register(
+    "knn_topk_lsh",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 300
+""",
+)
 def q_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hyperplane-LSH graded against the exact path IN-QUERY: recall vs
+    # exact top-10 must hold a 0.45 floor (measured ~0.63-0.64 across SFs
+    # at 4 planes x 8 tables; hyperplanes are seed-deterministic, so the
+    # boolean is stable, not flaky).
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     dim = len(emb.select("embedding").first()[0])
-    return sim.knn_topk_lsh(emb, "vec_id", "embedding", k=10, dim=dim)
+    approx = sim.knn_topk_lsh(emb, "vec_id", "embedding", k=10, dim=dim)
+    exact = sim.knn_topk_exact(emb, "vec_id", "embedding", k=10)
+    return _ann_recall_query(approx, exact, floor=0.45)
 
 
-@_register("ann_ivf_topk")  # rows-only
+@_register(
+    "ann_ivf_topk",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 300
+""",
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF probe path graded the same way (measured recall ~0.49-0.51 at
+    # n_lists=8 n_probe=2; KMeans coarse quantizer is seed-deterministic).
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return sim.ann_ivf(emb, "vec_id", "embedding", k=10, n_lists=8, n_probe=2)
+    approx = sim.ann_ivf(
+        emb, "vec_id", "embedding", k=10, n_lists=8, n_probe=2
+    )
+    exact = sim.knn_topk_exact(emb, "vec_id", "embedding", k=10)
+    return _ann_recall_query(approx, exact, floor=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -2267,12 +2351,43 @@ def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("stratified_sample")  # rows-only: sampling RNG is engine-specific
+@_register(
+    "stratified_sample",
+    # which rows Bernoulli sampling keeps is engine RNG — but the
+    # per-stratum totals are exact and the sampled counts obey binomial
+    # bounds; grade those (fraction-1.0 strata must be kept verbatim).
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total, TRUE AS within_bounds
+FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+GROUP BY lang
+""",
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return tx.stratified_sample(
-        d, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}, seed=42
-    ).select("doc_id", "lang")
+    # Structural gate: sampled size per stratum within 4 sigma of the
+    # binomial expectation (deterministic for a fixed seed — the check
+    # either always passes or flags a real sampler defect), and keep-all
+    # strata preserved exactly.
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*fractions)
+    )
+    sample = tx.stratified_sample(d, "lang", fractions, seed=42)
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(1.0))
+    mean = frac * F.col("n_total")
+    tol = 4.0 * F.sqrt(F.col("n_total") * frac * (1.0 - frac)) + 1.0
+    return (
+        totals.join(sampled, "lang", "left")
+        .na.fill({"n_sampled": 0})
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.when(frac == 1.0, F.col("n_sampled") == F.col("n_total"))
+            .otherwise(F.abs(F.col("n_sampled") - mean) <= tol)
+            .alias("within_bounds"),
+        )
+    )
 
 
 @_register(
