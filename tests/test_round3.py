@@ -209,3 +209,50 @@ def test_latest_version_ignores_underscore_dirs(tmp_path):
     )
     shutil.rmtree(os.path.join(base, "batch_000000000001"))
     assert VersionedOutputStore(base).latest_version_dir() is None
+
+
+def test_minhash_skew_split_on_hot_band(spark):
+    # Adversarial corpus: every doc identical, so every (band, band_key)
+    # bucket is maximally hot. With skew thresholds scaled down to the
+    # fixture size, AQE must split the hot buckets of the band self-join
+    # (skew=true in the final adaptive plan) rather than funnel the whole
+    # corpus through one task — the documented 100 TB story for
+    # low-entropy bands, pinned here against an actual plan.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8192",
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "the same boilerplate text repeated across the whole corpus"
+            ).alias("text"),
+        )
+        pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+        rows = pairs.collect()  # finalizes THIS query's adaptive plan
+        assert len(rows) == 400 * 399 // 2  # identical docs: every pair
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "hot band bucket was not skew-split:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
