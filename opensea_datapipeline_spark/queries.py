@@ -181,14 +181,60 @@ def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("summary_quantiles_approx")  # rows-only: sketch values differ by
-# design from any exact oracle; accuracy is pinned by pytest tolerance test
+@_register(
+    "summary_quantiles_approx",
+    # sketch VALUES are engine-specific, but the sketch's rank-error
+    # contract is checkable: each approx quantile must land inside the
+    # exact [p - eps, p + eps] value bracket. Deterministic (the sketch
+    # has no RNG), so the booleans are stable.
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  TRUE AS p25_ok, TRUE AS median_ok, TRUE AS p75_ok
+FROM events GROUP BY event_type
+""",
+)
 def q_summary_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A8 scale path: mergeable percentile_approx sketch (map-side
-    # combinable, bounded memory) — what the same summary runs as at 100 TB.
-    return agg.summary_quantiles(
-        _t(spark, sf_dir, "events"), group_cols=["event_type"],
-        value_col="value", approx=True,
+    # combinable, bounded memory) — what the same summary runs as at
+    # 100 TB — graded against its own accuracy contract in-plan.
+    accuracy = 10_000
+    eps = 1.0 / accuracy
+    e = _t(spark, sf_dir, "events")
+    approx = agg.summary_quantiles(
+        e, group_cols=["event_type"], value_col="value", approx=True,
+        accuracy=accuracy,
+    ).select("event_type", "median_value", "p25_value", "p75_value")
+    # rank check: the sketch returns an actual data element whose rank
+    # range [count_lt + 1, count_le] must intersect [p*n - err, p*n + err]
+    # (err = eps*n + 2 ranks of slack for small groups / interpolation)
+    quantiles = [(0.25, "p25"), (0.5, "median"), (0.75, "p75")]
+    j = e.join(F.broadcast(approx), "event_type")
+    counts = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.count(
+                F.when(F.col("value") <= F.col(f"{name}_value"), 1)
+            ).alias(f"_le_{name}")
+            for _, name in quantiles
+        ],
+        *[
+            F.count(
+                F.when(F.col("value") < F.col(f"{name}_value"), 1)
+            ).alias(f"_lt_{name}")
+            for _, name in quantiles
+        ],
+    )
+    err = lambda: eps * F.col("n_events") + 2  # noqa: E731
+    return counts.select(
+        "event_type",
+        "n_events",
+        *[
+            (
+                (F.col(f"_le_{name}") >= p * F.col("n_events") - err())
+                & (F.col(f"_lt_{name}") <= p * F.col("n_events") + err())
+            ).alias(f"{name}_ok")
+            for p, name in quantiles
+        ],
     )
 
 
@@ -784,23 +830,41 @@ def q_quantile_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("quantile_filter_agg_approx")  # rows-only: sketch threshold —
-# exactness pinned by test_approx_percentile_close_to_exact instead
+@_register(
+    "quantile_filter_agg_approx",
+    # the sketch threshold value is engine-specific; its rank-error
+    # contract is not: the fraction of rows below the approx p99 must sit
+    # inside [0.99 - eps, 0.99 + eps]. Deterministic sketch -> stable bool.
+    """
+SELECT CAST(count(l_extendedprice) AS BIGINT) AS n_values,
+  TRUE AS p99_rank_ok
+FROM lineitem
+""",
+)
 def q_quantile_filter_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P12 scale path: percentile_approx sketch for the p99 cut. The exact
     # percentile buffers every value in one reducer; the sketch is map-side
-    # combined with bounded memory — the 100 TB form of the same filter.
+    # combined with bounded memory — the 100 TB form of the same filter,
+    # graded here against the sketch's rank guarantee computed in-plan.
+    accuracy = 10_000
+    eps = 4.0 / accuracy
     li = _t(spark, sf_dir, "lineitem")
     p99 = li.select("l_extendedprice").agg(
-        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("p99")
+        F.percentile_approx("l_extendedprice", 0.99, accuracy).alias("p99")
     )
     return (
         li.crossJoin(F.broadcast(p99))
-        .filter(F.col("l_extendedprice") < F.col("p99"))
-        .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_below_p99"),
-            agg.det_mean("l_extendedprice").alias("mean_price_below"),
+            F.count("l_extendedprice").cast("long").alias("n_values"),
+            F.count(F.when(F.col("l_extendedprice") < F.col("p99"), 1))
+            .alias("_n_below"),
+        )
+        .select(
+            "n_values",
+            (
+                (F.col("_n_below") >= (0.99 - eps) * F.col("n_values"))
+                & (F.col("_n_below") <= (0.99 + eps) * F.col("n_values") + 1)
+            ).alias("p99_rank_ok"),
         )
     )
 
@@ -3279,9 +3343,67 @@ def q_group_p90_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", F.round("p_value", 6).alias("p90"))
 
 
-@_register("media_knn_pipeline")  # rows-only: mapInPandas featurizer floats
-# are deterministic (pytest pins run-to-run equality) but impractical to
-# re-derive in SQL — the ANN structure check is the pytest, not the oracle
+@_register(
+    "media_knn_pipeline",
+    # Full replay in SQL: the synthesized PNG/GIF/BMP header bytes are a
+    # pure function of doc_id (same format_string formulas), the feature
+    # stage is the 8-bucket byte histogram as raw float64 count/total,
+    # and the cosine top-3 reuses the hash-green knn oracle shape.
+    """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+hexes AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN '89504e470d0a1a0a' || '0000000d' || '49484452'
+        || printf('%08x', (doc_id % 640) + 16)
+        || printf('%08x', (doc_id % 480) + 16) || '0802'
+      WHEN 1 THEN '474946383961'
+        || printf('%02x%02x', ((doc_id % 640) + 16) % 256,
+                  ((doc_id % 640) + 16) // 256)
+        || printf('%02x%02x', ((doc_id % 480) + 16) % 256,
+                  ((doc_id % 480) + 16) // 256)
+        || repeat('00', 16)
+      ELSE '424d' || repeat('00', 12) || '28000000'
+        || printf('%02x%02x', ((doc_id % 640) + 16) % 256,
+                  ((doc_id % 640) + 16) // 256) || '0000'
+        || printf('%02x%02x', ((doc_id % 480) + 16) % 256,
+                  ((doc_id % 480) + 16) // 256) || '0000'
+        || '0100' || '1800'
+    END AS hx
+  FROM d
+), h AS (
+  SELECT doc_id, upper(hx) AS hx, length(hx) // 2 AS n FROM hexes
+), e AS (
+  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h
+), cnt AS (
+  SELECT doc_id,
+    (strpos('0123456789ABCDEF',
+            substr(hx, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) // 2 AS bucket,
+    count(*) AS c
+  FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT doc_id, n, unnest(range(0, 8)) AS bucket FROM h
+), feat AS (
+  SELECT grid.doc_id,
+    list(COALESCE(cnt.c, 0) / CAST(grid.n AS DOUBLE)
+         ORDER BY grid.bucket) AS f
+  FROM grid
+  LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.bucket = cnt.bucket
+  GROUP BY grid.doc_id
+), scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+    list_dot_product(q.f, c.f) /
+      (sqrt(list_dot_product(q.f, q.f)) *
+       sqrt(list_dot_product(c.f, c.f))) AS sim
+  FROM feat q, feat c WHERE q.doc_id <> c.doc_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+    AS rank
+  FROM scored
+) t WHERE rank <= 3
+""",
+)
 def q_media_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The full multimodal retrieval path, end-to-end on executors:
     # binary payloads -> Arrow-batched featurizer (mapInPandas byte
