@@ -403,3 +403,105 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def connected_components_two_phase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected components in MapReduce and beyond", SoCC 2014) —
+    the O(log^2 n)-round variant for ADVERSARIAL graph shapes.
+
+    ``connected_components`` (min-label propagation) needs rounds
+    proportional to component diameter: right for threshold near-dup
+    graphs (dense, tiny diameter), hopeless for a million-node chain.
+    The star operations instead rewire edges toward local minima every
+    round, collapsing long paths geometrically:
+
+    - large-star(v): every neighbor u > v links to m = min(N(v) + {v})
+    - small-star(v): every neighbor u < v, and v itself, link to m
+
+    Each phase is one symmetrize + groupBy-min + equi-join — the same
+    shuffle shape as a min-label round, shuffling only (node, node)
+    pairs. Convergence = the canonical edge set reaches a fixpoint (all
+    edges point at component roots); checked via count + order-free
+    xxhash64 sum over the checkpointed set, so the probe costs one cheap
+    aggregate, no self-join. Returns (id, group_id = component min id),
+    singletons labeled by themselves — same contract as
+    ``connected_components``.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
+    def star(e: DataFrame, phase: str) -> DataFrame:
+        sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+            e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        mins = (
+            sym.groupBy("v")
+            .agg(F.min("u").alias("_mn"))
+            .select("v", F.least("_mn", F.col("v")).alias("m"))
+        )
+        j = sym.join(mins, "v")
+        if phase == "large":
+            out = j.filter(F.col("u") > F.col("v")).select(
+                F.col("u").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = (
+                j.filter(F.col("u") < F.col("v"))
+                .select(F.col("u").alias("a"), F.col("m").alias("b"))
+                .unionByName(
+                    mins.select(F.col("v").alias("a"), F.col("m").alias("b"))
+                )
+            )
+        return canon(out)
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        # decimal accumulator: a sum of int64 hashes overflows long under
+        # ANSI mode; decimal(38,0) absorbs any realistic edge count
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        return int(row.n), int(row.h)
+
+    e = canon(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    ).localCheckpoint(eager=True)
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        e = star(star(e, "large"), "small").localCheckpoint(eager=True)
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"two-phase components did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every edge is (root, member); roots/singletons keep
+    # their own id
+    labels = e.select(F.col("b").alias("id"), F.col("a").alias("group_id"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("group_id", F.col("id")).alias("group_id")
+        )
+    )

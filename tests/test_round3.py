@@ -256,3 +256,44 @@ def test_minhash_skew_split_on_hot_band(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_phase_cc_chain_and_parity(spark):
+    # Kiveris large-star/small-star: collapses a long chain in O(log n)
+    # rounds where min-label propagation needs ~diameter rounds (and
+    # raises past max_iter). Parity-checked against min-label on a
+    # clustered graph where both apply.
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    n = 600
+    nodes = spark.range(n).select(F.col("id"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components_two_phase(nodes, chain, id_col="id")
+    assert out.filter(F.col("group_id") != 0).count() == 0
+    assert out.count() == n
+
+    # min-label on the same chain exceeds its iteration budget — the
+    # documented reason the two-phase variant exists
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, id_col="id", max_iter=10)
+
+    # parity on a clustered graph + singletons
+    edges = [(i, i + 100) for i in range(50)] + [(200, 201), (201, 202)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes2 = spark.range(300).select(F.col("id"))
+    a = {
+        (r.id, r.group_id)
+        for r in connected_components_two_phase(nodes2, e, id_col="id").collect()
+    }
+    b = {
+        (r.id, r.group_id)
+        for r in connected_components(nodes2, e, id_col="id").collect()
+    }
+    assert a == b
