@@ -1612,6 +1612,24 @@ SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id
 """
 
 
+@_register("dedup_groups_star", _dedup_groups_oracle(16, 3, 300))
+def q_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same contract as dedup_groups, resolved by the alternating
+    # large-star/small-star algorithm (Kiveris et al., SoCC 2014) — the
+    # O(log^2 n)-round variant that survives chain-shaped components
+    # where min-label needs ~diameter rounds. Identical group ids, so it
+    # shares the transitive-closure oracle.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dd.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=16, radius=3, max_id=300,
+    )
+    return dd.connected_components_two_phase(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select(F.col("id").cast("long").alias("id"),
+             F.col("group_id").cast("long").alias("group_id"))
+
+
 @_register("dedup_groups", _dedup_groups_oracle(16, 3, 300))
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairs -> groups: the dedup-resolution step between LSH candidate
