@@ -2262,6 +2262,104 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "order_shipping_priority",
+    """
+SELECT l.l_orderkey AS o_orderkey,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8)))
+       AS DOUBLE) AS revenue,
+  strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+)
+def q_order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape (o_orderpriority standing in for shippriority):
+    # segment filter pushed to the customer scan, date filters pushed to
+    # both fact scans, customer side broadcast after filtering, one
+    # lineitem⨝orders shuffle, global top-10 via TakeOrderedAndProject
+    # (per-partition heaps, no full sort). Deterministic tie-break on
+    # order key keeps the LIMIT stable across engines.
+    cutoff = "1998-06-01"
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(22,8)")
+            ).cast("double").alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "returned_item_losses",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8)))
+       AS DOUBLE) AS revenue_lost,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_lost DESC, c_custkey LIMIT 20
+""",
+)
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: returned-item revenue loss per customer over a
+    # quarter. Return-flag and date filters reach the fact scans, nation
+    # broadcast, single fact shuffle, top-20 losers via per-partition
+    # heaps with a key tie-break.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(22,8)")
+            ).cast("double").alias("revenue_lost"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_lost"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
     "large_orders",
     """
 WITH big AS (
