@@ -297,3 +297,62 @@ def test_two_phase_cc_chain_and_parity(spark):
         for r in connected_components(nodes2, e, id_col="id").collect()
     }
     assert a == b
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    # Watermark semantics end-to-end: run 1 advances the watermark past
+    # day 10; run 2 (same checkpoint) sees a file with day-1 events — 9
+    # days beyond the 1-day watermark — plus fresh on-time rows. The late
+    # rows must be DROPPED (no day-1 window), the on-time day-10 rows
+    # must still merge into the day-10 window, and the newest window
+    # stays unemitted until the watermark passes it (append finalization).
+    import datetime as dt
+
+    from opensea_datapipeline_spark.streaming.agg import (
+        streaming_daily_stats_df,
+    )
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    def run_once():
+        schema = spark.read.parquet(src + "/*").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            streaming_daily_stats_df(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file("f1", [(ts(10, h), h, 1.0) for h in range(4)])
+    run_once()
+
+    write_file("f2", [(ts(1), 99, 100.0),          # 9 days late: dropped
+                      (ts(10, 5), 50, 1.0),        # on-time for day 10
+                      (ts(13), 7, 1.0)])           # advances the watermark
+    run_once()
+
+    got = {
+        r.event_date: r.total_transactions
+        for r in spark.read.parquet(out).collect()
+    }
+    assert "2024-01-01" not in got, "late rows must be dropped"
+    assert got.get("2024-01-10") == 5, got  # 4 from f1 + 1 on-time from f2
+    assert "2024-01-13" not in got  # watermark hasn't passed its window end
