@@ -524,3 +524,49 @@ def contamination_flags(
             F.countDistinct("eval_id").alias("n_eval_docs_hit"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021, "Scaling Language
+    Models", App. A1.1): per-document booleans for the published filter
+    rules that apply to whitespace text — word-count bounds, mean word
+    length bounds, alphabetic-word fraction, and the must-contain-2-of-8
+    stop-word rule — plus the combined keep decision. One projection +
+    map-side expressions, no shuffle; every rule is portable ANSI SQL for
+    the oracle."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    norm_len = F.length(
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            " ", "",
+        )
+    )
+    mean_word_len = norm_len / n_words.cast("double")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "alpha_ratio_ok": n_alpha >= 0.8 * n_words,
+        "stopword_ok": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

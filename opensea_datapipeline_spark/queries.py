@@ -2763,6 +2763,42 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gopher_quality_flags",
+    """
+WITH w AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words,
+    length(replace(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', '')) AS nl
+  FROM documents
+), m AS (
+  SELECT doc_id, len(words) AS n_words,
+    nl / CAST(len(words) AS DOUBLE) AS mwl,
+    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_intersect(list_distinct(words),
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+      AS stop_hits
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+  mwl >= 3.0 AND mwl <= 10.0 AS mean_word_len_ok,
+  n_alpha >= 0.8 * n_words AS alpha_ratio_ok,
+  stop_hits >= 2 AS stopword_ok,
+  (n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+    AND (n_alpha >= 0.8 * n_words) AND (stop_hits >= 2) AS keep
+FROM m
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Published Gopher filter rules (Rae et al. 2021 App. A1.1) as
+    # per-doc booleans + combined keep: pure projection, no shuffle,
+    # every rule replayed verbatim by the oracle.
+    return tx.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "pii_redaction",
     """
 SELECT doc_id,
