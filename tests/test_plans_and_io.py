@@ -611,3 +611,37 @@ def test_dedup_groups_no_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["dedup_groups"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    # The 100 TB star-schema story: when the date predicate arrives via a
+    # dimension join (not a literal), the partitioned fact scan must
+    # still prune — Spark's dynamic partition pruning injects the dim's
+    # filter result as a runtime partition filter. Difference at scale:
+    # scanning 3 date partitions vs all of them.
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = str(tmp_path / "fact")
+    ev.write.partitionBy("event_date").parquet(base)
+    fact = spark.read.parquet(base)
+
+    dim_path = str(tmp_path / "dim")
+    ev.select("event_date").distinct().write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    first_dates = sorted(r.event_date for r in dim.collect())[:3]
+
+    j = (
+        fact.join(dim.filter(F.col("event_date") <= first_dates[-1]), "event_date")
+        .groupBy("event_date")
+        .count()
+    )
+    rows = j.collect()
+    # partition-column inference reads the dates back as DATE type
+    assert {str(r.event_date) for r in rows} == {str(d) for d in first_dates}
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "fact scan did not receive a dynamic partition filter:\n" + plan[:1500]
+    )
