@@ -2763,6 +2763,36 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "approx_distinct_users",
+    # HLL++ estimates are engine-specific; the exact per-group distinct
+    # count and the sketch's advertised error bound are not. The sketch
+    # is deterministic, so the boolean is stable.
+    """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+  TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The documented 100 TB swap-in for countDistinct: HLL++ with rsd
+    # 0.02, graded against the exact count computed in the same
+    # aggregate (3x rsd + 1 slack; exact distinct stays oracle-checked).
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("_a"),
+    ).select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_a") - F.col("n_users_exact"))
+            <= 0.06 * F.col("n_users_exact") + 1
+        ).alias("approx_ok"),
+    )
+
+
+@_register(
     "gopher_quality_flags",
     """
 WITH w AS (
