@@ -95,9 +95,33 @@ def _read_meta(base_dir: str) -> dict:
 
 
 def _write_meta(base_dir: str, meta: dict) -> None:
+    # atomic: a crash mid-write must not leave a truncated meta file —
+    # _read_meta would return {} and the next replayed batch would rebase
+    # on an empty gold table, silently discarding accumulated history
     os.makedirs(base_dir, exist_ok=True)
-    with open(os.path.join(base_dir, _META), "w") as f:
+    tmp = os.path.join(base_dir, _META + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(base_dir, _META))
+
+
+def _recover_meta(base_dir: str, store: "VersionedOutputStore") -> dict:
+    """Meta lost/corrupt but committed ``batch_*`` versions exist: rebuild
+    the merge base from the newest committed (non-underscore) version dir
+    rather than rebasing on empty — the rename that published that dir was
+    atomic, so it is a complete, consistent gold state. The batch id is
+    recovered from the dir name so replay-skipping keeps working."""
+    latest = store.latest_version_dir()
+    if latest is None:
+        return {}
+    name = os.path.basename(latest)
+    try:
+        last_id = int(name.split("_")[-1])
+    except ValueError:
+        last_id = -1
+    return {"last_batch_id": last_id, "version_dir": latest}
 
 
 def run_incremental_gold_daily(
@@ -129,6 +153,16 @@ def run_incremental_gold_daily(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_meta(gold_dir)
+        if not meta:
+            # guard: meta missing but committed versions on disk means the
+            # meta was lost, not that the store is fresh — recover the base
+            # from the newest committed dir instead of rebasing on empty
+            meta = _recover_meta(gold_dir, store)
+            if meta:
+                # re-persist immediately: if this batch turns out to be a
+                # replay (skipped below), no later write would restore the
+                # meta and every future run would re-run recovery
+                _write_meta(gold_dir, meta)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged, skip (idempotence)
         summary = batch_gold_summary(batch_df)
