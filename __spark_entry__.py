@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -38,7 +39,13 @@ def _previously_graded() -> set[str]:
     ones are protected by tests/test_oracle_parity.py regardless of order.
     """
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    # sort by the numeric round, not lexicographically: _r100 would sort
+    # before _r99 as a string and let a stale row win
+    paths = sorted(
+        glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 latest.update(json.load(f))

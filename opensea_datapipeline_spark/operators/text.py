@@ -7,6 +7,8 @@ expressible in ANSI SQL for DuckDB-oracle parity.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,16 +179,19 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-_PROFILE_TABLES: dict = {}
+# weak-keyed by SparkSession so a stopped/garbage-collected session drops
+# its cached frames with it (a plain dict would pin every session and every
+# distinct profiles tuple forever)
+_PROFILE_TABLES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _profile_table(spark, frozen_profiles: tuple) -> DataFrame:
     """(word, lang-index) lookup DataFrame for ``language_id``, memoized
     per session — rebuilding + re-broadcasting the same 600-row table on
     every call costs more than the join itself at small scale."""
-    key = (spark, frozen_profiles)
-    if key not in _PROFILE_TABLES:
-        _PROFILE_TABLES[key] = spark.createDataFrame(
+    per_session = _PROFILE_TABLES.setdefault(spark, {})
+    if frozen_profiles not in per_session:
+        per_session[frozen_profiles] = spark.createDataFrame(
             [
                 (w, i)
                 for i, (_, ws) in enumerate(frozen_profiles)
@@ -194,7 +199,7 @@ def _profile_table(spark, frozen_profiles: tuple) -> DataFrame:
             ],
             "word string, _lidx int",
         )
-    return _PROFILE_TABLES[key]
+    return per_session[frozen_profiles]
 
 
 def language_id(

@@ -211,6 +211,11 @@ def q_summary_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = e.join(F.broadcast(approx), "event_type")
     counts = j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
+        # the rank bracket must be computed over the population the sketch
+        # actually ranks: percentile_approx and the _le/_lt counts all skip
+        # NULL values, so the target rank p*n uses the non-null count (the
+        # n_events output column stays count(*) to match the oracle).
+        F.count("value").cast("long").alias("_n_vals"),
         *[
             F.count(
                 F.when(F.col("value") <= F.col(f"{name}_value"), 1)
@@ -224,14 +229,14 @@ def q_summary_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _, name in quantiles
         ],
     )
-    err = lambda: eps * F.col("n_events") + 2  # noqa: E731
+    err = lambda: eps * F.col("_n_vals") + 2  # noqa: E731
     return counts.select(
         "event_type",
         "n_events",
         *[
             (
-                (F.col(f"_le_{name}") >= p * F.col("n_events") - err())
-                & (F.col(f"_lt_{name}") <= p * F.col("n_events") + err())
+                (F.col(f"_le_{name}") >= p * F.col("_n_vals") - err())
+                & (F.col(f"_lt_{name}") <= p * F.col("_n_vals") + err())
             ).alias(f"{name}_ok")
             for p, name in quantiles
         ],
@@ -858,11 +863,18 @@ def q_quantile_filter_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("l_extendedprice").cast("long").alias("n_values"),
             F.count(F.when(F.col("l_extendedprice") < F.col("p99"), 1))
             .alias("_n_below"),
+            F.count(F.when(F.col("l_extendedprice") <= F.col("p99"), 1))
+            .alias("_n_le"),
         )
         .select(
             "n_values",
+            # the sketch's rank guarantee covers the returned element's rank
+            # interval [count_lt + 1, count_le]: with heavy ties at the p99
+            # element count_lt alone can legitimately sit far below the
+            # target rank, so the lower bound must use count_le (mirrors
+            # summary_quantiles_approx's two-sided bracket).
             (
-                (F.col("_n_below") >= (0.99 - eps) * F.col("n_values"))
+                (F.col("_n_le") >= (0.99 - eps) * F.col("n_values"))
                 & (F.col("_n_below") <= (0.99 + eps) * F.col("n_values") + 1)
             ).alias("p99_rank_ok"),
         )
