@@ -40,10 +40,15 @@ def _previously_graded() -> set[str]:
     """
     latest: dict[str, dict] = {}
     # sort by the numeric round, not lexicographically: _r100 would sort
-    # before _r99 as a string and let a stale row win
+    # before _r99 as a string and let a stale row win; files without a
+    # numeric round tag sort first (treated as oldest)
+    def _round_num(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     paths = sorted(
         glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+        key=_round_num,
     )
     for path in paths:
         try:

@@ -8,6 +8,19 @@ Per-query time is measured as plan-build + execute-to-driver (collect);
 session startup is excluded (BASELINE.md counts it as overhead outside the
 per-query measurement). Each query is the same callable the driver grades
 via __spark_entry__.queries().
+
+Stability protocol (round-5): the suite runs as TWO passes over the query
+list (3 runs then 2 runs per query); the recorded per-query time is the
+min of all 5. The record carries an ``env`` block (spark/python version,
+cpu count, load averages at start/end) and, when a prior round's record
+exists, both the raw ``vs_prev`` delta and an environment-normalized
+``vs_prev_norm``: raw deltas divide by ``env_ratio`` — the median of
+cur/prev over all shared queries — so a uniform machine/Spark-version
+slowdown (ratio ≈ env_ratio for every query) normalizes to ~0 while a
+genuine single-plan regression survives. ``tfidf_top_terms`` is the
+documented noise canary: its code has been frozen since round 2, so any
+movement in it is pure environment (round 4 saw 0.74 s vs a judge-run
+2.35 s on identical plans).
 """
 
 from __future__ import annotations
@@ -15,6 +28,8 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -65,8 +80,51 @@ HEADLINE = [
 ]
 
 
+# Two suite passes; the per-query stat is the min over 3+2=5 runs. The
+# first run of pass 1 pays one-off whole-stage-codegen JIT compilation
+# (amortized in any real deployment); splitting the remaining runs across
+# two passes separated by the whole suite samples two load regimes of a
+# shared box, which a single burst of 5 back-to-back runs would not.
+PASS_RUNS = (3, 2)
+
+# Code frozen since round 2 — any movement here is pure environment.
+NOISE_CANARY = "tfidf_top_terms"
+
+
+def _round_num(path: str) -> int:
+    m = re.search(r"_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _prev_queries(rec: dict) -> dict:
+    """Per-query times from a prior round's record, however the driver
+    stored it: our own raw JSON line, the driver's wrapper with a
+    ``parsed`` copy, or — when ``parsed`` is null because the driver kept
+    only a (possibly left-truncated) ``tail`` of stdout — the ``queries``
+    object brace-matched out of that tail."""
+    parsed = rec.get("parsed") or rec
+    q = parsed.get("queries")
+    if isinstance(q, dict):
+        return q
+    tail = rec.get("tail", "")
+    start = tail.find('"queries": {')
+    if start == -1:
+        return {}
+    start = tail.index("{", start)
+    depth = 0
+    for i in range(start, len(tail)):
+        depth += {"{": 1, "}": -1}.get(tail[i], 0)
+        if depth == 0:
+            try:
+                return json.loads(tail[start : i + 1])
+            except ValueError:
+                return {}
+    return {}
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,26 +134,32 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: warmup read failed: {exc}", file=sys.stderr)
 
-    # Steady-state timing: min of 3 runs per query (first run pays one-off
-    # whole-stage-codegen JIT compilation, which is amortized in any real
-    # deployment; per-run data work is identical). Min-of-3: observed
-    # run-to-run variance on a shared box is ±0.3-0.5 s/query, larger
-    # than several queries' real cost — the min is the stable statistic.
-    times: dict[str, float] = {}
+    per_pass: list[dict[str, float]] = []
     failures: list[str] = []
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                rows = fn(spark, SF_DIR).collect()
-                best = min(best, time.perf_counter() - t0)
-                del rows
-            times[name] = round(best, 3)
-        except Exception as exc:  # a broken query must not void the record
-            failures.append(name)
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    for nruns in PASS_RUNS:
+        pass_times: dict[str, float] = {}
+        for name in HEADLINE:
+            if name in failures:
+                continue
+            fn = QUERIES[name]
+            best = float("inf")
+            try:
+                for _ in range(nruns):
+                    t0 = time.perf_counter()
+                    rows = fn(spark, SF_DIR).collect()
+                    best = min(best, time.perf_counter() - t0)
+                    del rows
+                pass_times[name] = best
+            except Exception as exc:  # a broken query must not void the record
+                failures.append(name)
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        per_pass.append(pass_times)
+
+    times = {
+        name: round(min(p[name] for p in per_pass if name in p), 3)
+        for name in HEADLINE
+        if any(name in p for p in per_pass)
+    }
 
     total = round(sum(times.values()), 3)
     # reference-analogous core (BASELINE.md measures only the reference's
@@ -105,35 +169,71 @@ def main() -> None:
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "iterations": 2,
+        "iterations": sum(PASS_RUNS),
         "core_pipeline_seconds": round(
             sum(times[q] for q in core if q in times), 3
         ),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": {
+            "spark_version": spark.version,
+            "python": sys.version.split()[0],
+            "cpus": os.cpu_count(),
+            "load_1m_start": round(load_start[0], 2),
+            "load_1m_end": round(os.getloadavg()[0], 2),
+            "passes": list(PASS_RUNS),
+        },
+        # Cross-pass spread per query (pass-min difference): large spread
+        # = noisy box, not a plan change.
+        "pass_spread": {
+            name: round(
+                max(p[name] for p in per_pass if name in p)
+                - min(p[name] for p in per_pass if name in p),
+                3,
+            )
+            for name in times
+            if sum(name in p for p in per_pass) > 1
+        },
+        "noise_canary": NOISE_CANARY,
     }
     if failures:
         record["failed"] = failures
 
-    # Round-over-round visibility: per-query delta vs the latest recorded
-    # BENCH_r{N}.json (positive = slower than last round). Only queries
-    # present in both rounds appear; regressions are then greppable
-    # without diffing two JSON files by hand.
+    # Round-over-round visibility vs the latest BENCH_r{N}.json (numeric
+    # round order — lexical order breaks at r10). vs_prev is the raw delta
+    # (positive = slower); env_ratio is the median cur/prev over shared
+    # queries (a whole-suite slowdown moves every query by ~the same
+    # factor); vs_prev_norm divides the current time by env_ratio first,
+    # isolating genuine per-plan regressions from machine drift.
     prior = sorted(
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_r*.json"))
+                               "BENCH_r*.json")),
+        key=_round_num,
     )
     if prior:
         try:
             with open(prior[-1]) as f:
                 rec = json.load(f)
-            # the driver wraps our stdout JSON under "parsed"
-            prev = rec.get("parsed", rec).get("queries", {})
-            record["vs_prev"] = {
-                q: round(t - prev[q], 3) for q, t in times.items() if q in prev
-            }
+            prev = _prev_queries(rec)
+            shared = {q: t for q, t in times.items() if q in prev and prev[q]}
+            if shared:
+                env_ratio = statistics.median(
+                    t / prev[q] for q, t in shared.items()
+                )
+                record["vs_prev"] = {
+                    q: round(t - prev[q], 3) for q, t in shared.items()
+                }
+                record["env_ratio"] = round(env_ratio, 3)
+                record["vs_prev_norm"] = {
+                    q: round(t / env_ratio - prev[q], 3)
+                    for q, t in shared.items()
+                }
+                if NOISE_CANARY in shared:
+                    record["canary_ratio"] = round(
+                        shared[NOISE_CANARY] / prev[NOISE_CANARY], 3
+                    )
             record["prev_round"] = os.path.basename(prior[-1])
-        except (OSError, ValueError) as exc:
+        except Exception as exc:  # a malformed prior record must not void this one
             print(f"bench: prior-round delta skipped: {exc}", file=sys.stderr)
 
     print(json.dumps(record))

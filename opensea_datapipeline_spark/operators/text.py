@@ -7,7 +7,6 @@ expressible in ANSI SQL for DuckDB-oracle parity.
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -179,17 +178,19 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-# weak-keyed by SparkSession so a stopped/garbage-collected session drops
-# its cached frames with it (a plain dict would pin every session and every
-# distinct profiles tuple forever)
-_PROFILE_TABLES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
 def _profile_table(spark, frozen_profiles: tuple) -> DataFrame:
     """(word, lang-index) lookup DataFrame for ``language_id``, memoized
     per session — rebuilding + re-broadcasting the same 600-row table on
-    every call costs more than the join itself at small scale."""
-    per_session = _PROFILE_TABLES.setdefault(spark, {})
+    every call costs more than the join itself at small scale.
+
+    The memo dict lives ON the session object (not in a module-level map):
+    the cached DataFrames hold strong references back to their session, so
+    any external registry — weak-keyed or not — would pin the session
+    forever; an attribute dies with the session it belongs to."""
+    per_session = getattr(spark, "_opensea_profile_tables", None)
+    if per_session is None:
+        per_session = {}
+        spark._opensea_profile_tables = per_session
     if frozen_profiles not in per_session:
         per_session[frozen_profiles] = spark.createDataFrame(
             [

@@ -37,6 +37,11 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # convert at the reader (µs truncation — documented parity deviation,
     # sub-µs differences are below every grouping/window granularity used).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4.x infers parquet timestamp[us] without isAdjustedToUTC as
+    # TIMESTAMP_NTZ, which withWatermark/event-time windows reject. Restore
+    # the Spark-3 inference (TIMESTAMP, i.e. LTZ); under the UTC session tz
+    # the field values are identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Broadcast threshold: default 10 MB is right for the dimension tables
     # here; AQE can upgrade larger ones at runtime.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),

@@ -92,24 +92,56 @@ def load_json(
     return spark.read.option("multiLine", multi_line).json(path)
 
 
-# Testdata columns stored as INT64(TIMESTAMP_NANOS), which Spark reads as
-# LongType under spark.sql.legacy.parquet.nanosAsLong.
+# Testdata columns stored with nonstandard parquet timestamp encodings:
+# INT64(TIMESTAMP_NANOS) reads as LongType under
+# spark.sql.legacy.parquet.nanosAsLong; timestamp[us] without
+# isAdjustedToUTC infers as TIMESTAMP_NTZ under Spark 4's default
+# spark.sql.parquet.inferTimestampNTZ.enabled=true.
 _NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def ensure_reader_confs(spark: SparkSession) -> None:
+    """Pin the runtime SQL confs the testdata readers depend on.
+
+    Defensive: the driver may hand us a session built without our session.py
+    defaults; all three are runtime-settable. UTC pins date_format /
+    unix_timestamp semantics to the oracle's naive-UTC view; nanosAsLong
+    surfaces TIMESTAMP(NANOS) as long for explicit µs truncation;
+    inferTimestampNTZ=false makes Spark 4.x read non-UTC-adjusted µs
+    timestamps as TIMESTAMP (LTZ) like Spark 3 did — under the UTC session
+    tz the two types have identical field semantics, and TIMESTAMP is what
+    event-time operators (withWatermark, window) require.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def normalize_event_time(df: DataFrame, cols: Sequence[str] = ("ts",)) -> DataFrame:
+    """Normalize event-time columns to TimestampType regardless of how the
+    parquet encoding surfaced them: bigint (legacy ns-as-long → µs
+    truncation) or timestamp_ntz (Spark 4 NTZ inference → cast, which is
+    semantics-preserving under the UTC session time zone). Works on batch
+    and streaming DataFrames alike."""
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        dt = dtypes.get(col)
+        if dt == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md), normalizing
-    ns-precision timestamp columns to TimestampType (µs truncation)."""
-    # Defensive: the driver may hand us a session built without our
-    # defaults; these are runtime SQL confs, safe to set here. UTC pins
-    # date_format/unix_timestamp semantics to the oracle's naive-UTC view.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns-precision / NTZ-inferred timestamp columns to TimestampType."""
+    ensure_reader_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    # Normalize every declared event-time column plus any column the scan
+    # still surfaced as NTZ (e.g. driver sessions with inference pre-cached).
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    return normalize_event_time(df, [*_NANO_TS_COLUMNS.get(name, []), *ntz_cols])
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

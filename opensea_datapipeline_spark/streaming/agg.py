@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import ensure_reader_confs, normalize_event_time
+
 
 def streaming_daily_stats_df(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     """The streaming plan: event-time watermark + 1-day tumbling window +
@@ -64,7 +66,7 @@ def run_streaming_daily_stats(
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_reader_confs(spark)
     schema = spark.read.parquet(schema_source_path or events_path).schema
     if os.path.isfile(events_path):
         # The file-stream source requires a directory; expose a single
@@ -74,8 +76,7 @@ def run_streaming_daily_stats(
         events_path = stream_dir
     stream = spark.readStream.schema(schema).parquet(events_path)
     # testdata ts is INT64(ns) → read as long, truncate to µs timestamps
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
     result = streaming_daily_stats_df(stream)
     query = (
         result.writeStream.format("memory")
@@ -104,15 +105,14 @@ def run_streaming_to_parquet(
     offsets + operator state; rerunning with the same checkpoint resumes
     instead of recomputing).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_reader_confs(spark)
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
     result = streaming_daily_stats_df(stream, watermark=watermark)
     query = (
         result.writeStream.format("parquet")

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.readers import ensure_reader_confs, normalize_event_time
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -80,15 +82,14 @@ def run_running_user_stats(
     checkpoint after a crash; the state store rolls back to its pre-batch
     version on replay, so re-emitted rows overwrite-by-recency instead of
     double-counting."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_reader_confs(spark)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
     out = stream.groupBy("user_id").applyInPandasWithState(
         _running_user_stats,
         outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import ensure_reader_confs, normalize_event_time
+
 
 def streaming_dedup_df(
     stream: DataFrame,
@@ -56,15 +58,14 @@ def run_streaming_dedup(
     """Stream ``src_dir`` (AvailableNow, one file per trigger) through
     stateful dedup into a memory sink; returns the deduplicated table.
     Multiple micro-batches exercise the cross-batch state path."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_reader_confs(spark)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
     result = streaming_dedup_df(stream, key_cols, watermark=watermark)
     query = (
         result.writeStream.format("memory")

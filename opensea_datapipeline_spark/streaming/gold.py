@@ -34,6 +34,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import ensure_reader_confs, normalize_event_time
+
 from ..sources.writers import VersionedOutputStore
 
 _META = "_gold_meta.json"
@@ -139,15 +141,14 @@ def run_incremental_gold_daily(
     Restartable: the checkpoint resumes source offsets; the meta file
     makes replayed batch ids no-ops, so crash-replay cannot double-count.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_reader_confs(spark)
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
 
     store = VersionedOutputStore(gold_dir)
 

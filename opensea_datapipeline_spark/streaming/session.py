@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import ensure_reader_confs, normalize_event_time
+
 
 def streaming_sessions_df(
     stream: DataFrame,
@@ -53,15 +55,14 @@ def run_streaming_sessions(
 ) -> DataFrame:
     """Run sessionization over a parquet directory, one file per
     micro-batch, append mode. Returns the emitted (finalized) sessions."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_reader_confs(spark)
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_time(stream)
     result = streaming_sessions_df(stream, gap=gap)
     query = (
         result.writeStream.format("memory")
