@@ -364,6 +364,19 @@ def connected_components(
     the iteration count to O(log log n) for adversarial chain graphs;
     min-label is the right trade for threshold-graph dedup workloads.)
     """
+    e = _symmetrize_edges(edges, src_col, dst_col, assume_distinct)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels, converged = _min_label_rounds(e, labels, max_iter)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels.select(F.col("id"), F.col("label").alias("group_id"))
+
+
+def _symmetrize_edges(
+    edges: DataFrame, src_col: str, dst_col: str, assume_distinct: bool
+) -> DataFrame:
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -374,9 +387,17 @@ def connected_components(
     # pure cost and the symmetrized union cannot re-introduce duplicates
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    return e.localCheckpoint(eager=True)
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+
+def _min_label_rounds(
+    e: DataFrame, labels: DataFrame, max_iter: int
+) -> tuple[DataFrame, bool]:
+    """Run up to ``max_iter`` min-label propagation rounds over symmetrized
+    edges ``e`` (src, dst) starting from ``labels`` (id, label). Returns
+    (labels, converged); on the non-converged path the returned labels are
+    the checkpointed state after round ``max_iter`` — reusable by the
+    contract-and-star fallback without redoing the prefix work."""
     check_every = 2
     for it in range(1, max_iter + 1):
         nbr_min = (
@@ -396,13 +417,9 @@ def connected_components(
                 updated.filter(F.col("_chg")).limit(1).count() == 0
             )
             if converged:
-                return updated.select(
-                    F.col("id"), F.col("label").alias("group_id")
-                )
+                return updated.select("id", "label"), True
         labels = updated.select("id", "label")
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+    return labels, False
 
 
 def connected_components_two_phase(
@@ -504,4 +521,67 @@ def connected_components_two_phase(
         .select(
             "id", F.coalesce("group_id", F.col("id")).alias("group_id")
         )
+    )
+
+
+def connected_components_auto(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    switch_after: int = 4,
+    max_iter: int = 30,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Shape-adaptive pairs→groups resolution — THE default resolver
+    (VERDICT r4 task #8). Measured on 20k-node fixtures
+    (`scripts/profile_cc_shapes.py`): on dense near-dup blobs min-label
+    and star are equal (4.1 s vs 4.0 s, both converge in ≤4 rounds); on a
+    20k-node chain min-label needs ~diameter rounds (DNF at 40) while
+    star finishes in O(log² n). Threshold graphs are the common case, so:
+
+    1. run ``switch_after`` min-label rounds (one equi-join + one
+       map-side-combined min aggregate each) — near-dup clusters have
+       diameter ~1-3, so real dedup workloads converge HERE and never pay
+       a star round;
+    2. if not converged the graph is long-diameter: CONTRACT nodes by
+       their current label (label(v) = min id within ``switch_after``
+       hops, so contraction shrinks paths by ~that factor and collapses
+       every dense region to a point), run alternating large-star/
+       small-star on the contracted graph, and compose labels back.
+
+    Output is identical to both pure variants: group_id = min node id of
+    the component (the global min keeps itself as label through the
+    prefix, and star then returns component minima in label space).
+    """
+    e = _symmetrize_edges(edges, src_col, dst_col, assume_distinct)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    labels, converged = _min_label_rounds(e, labels, switch_after)
+    if converged:
+        return labels.select("id", F.col("label").alias("group_id"))
+    # Long-diameter graph: contract to label space. Both endpoints map
+    # through the same (id, label) table; self-loops vanish, so the
+    # contracted edge set only keeps inter-quasi-component links.
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    contracted = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    cnodes = labels.select(F.col("label").alias("id")).distinct()
+    roots = connected_components_two_phase(
+        cnodes, contracted, id_col="id", src_col="la", dst_col="lb",
+        max_iter=max_iter,
+    )
+    return (
+        labels.join(
+            roots.select(F.col("id").alias("label"), "group_id"), "label"
+        )
+        .select("id", "group_id")
     )

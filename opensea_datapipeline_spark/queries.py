@@ -1645,15 +1645,18 @@ def q_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("dedup_groups", _dedup_groups_oracle(16, 3, 300))
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairs -> groups: the dedup-resolution step between LSH candidate
-    # generation and canonical-doc retention. Iterative min-label
-    # propagation (per round: one equi-join + one min aggregate,
-    # lineage-truncated); singleton docs keep their own id as group_id.
+    # generation and canonical-doc retention. Shape-adaptive default
+    # (VERDICT r4 #8): min-label rounds (one equi-join + one min agg
+    # each) resolve threshold near-dup graphs outright — their clusters
+    # have diameter ~1-3 — and a long-diameter graph auto-switches to
+    # label-contracted large-star/small-star instead of iterating to the
+    # diameter. Singleton docs keep their own id as group_id.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     pairs = dd.simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         bits=16, radius=3, max_id=300,
     )
-    return dd.connected_components(
+    return dd.connected_components_auto(
         docs.select("doc_id"), pairs, id_col="doc_id", assume_distinct=True
     ).select(F.col("id").cast("long").alias("id"),
              F.col("group_id").cast("long").alias("group_id"))

@@ -1,0 +1,62 @@
+"""Round-5 guardrails: shape-adaptive connected components (VERDICT r4
+task #8) — auto must equal min-label on dense threshold graphs, equal
+star on long-diameter chains, and never iterate to the diameter."""
+import pytest
+from pyspark.sql import functions as F
+
+from opensea_datapipeline_spark.operators.dedup import (
+    connected_components,
+    connected_components_auto,
+    connected_components_two_phase,
+)
+
+
+def _labels(df):
+    return {(r.id, r.group_id) for r in df.collect()}
+
+
+def test_auto_matches_min_label_on_dense_blobs(spark):
+    # threshold-graph shape: 10 cliques of 5 — converges inside the
+    # min-label prefix, so auto == min-label exactly
+    n = 50
+    nodes = spark.range(n).select("id")
+    edges = (
+        spark.range(n).alias("a")
+        .join(spark.range(n).alias("b"),
+              (F.col("a.id") < F.col("b.id"))
+              & ((F.col("a.id") / 5).cast("long")
+                 == (F.col("b.id") / 5).cast("long")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    got = _labels(connected_components_auto(
+        nodes, edges, assume_distinct=True))
+    want = _labels(connected_components(nodes, edges, assume_distinct=True))
+    assert got == want
+    assert got == {(i, (i // 5) * 5) for i in range(n)}
+
+
+def test_auto_resolves_chain_where_min_label_budget_fails(spark):
+    # 120-node path: diameter 119. Min-label at the auto prefix budget
+    # (4 rounds) cannot converge; auto must contract and finish via star
+    # rounds with the same labels star produces from scratch.
+    n = 120
+    nodes = spark.range(n).select("id")
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    with pytest.raises(RuntimeError):
+        connected_components(nodes, chain, max_iter=4, assume_distinct=True)
+    got = _labels(connected_components_auto(
+        nodes, chain, switch_after=4, assume_distinct=True))
+    assert got == {(i, 0) for i in range(n)}
+    assert got == _labels(connected_components_two_phase(nodes, chain))
+
+
+def test_auto_keeps_singletons_and_mixed_shapes(spark):
+    # two components + isolated nodes, ids deliberately non-contiguous
+    nodes = spark.createDataFrame(
+        [(i,) for i in [3, 7, 9, 12, 20, 31, 44]], "id long")
+    edges = spark.createDataFrame(
+        [(7, 3), (9, 7), (20, 12)], "id_a long, id_b long")
+    got = _labels(connected_components_auto(nodes, edges))
+    assert got == {(3, 3), (7, 3), (9, 3), (12, 12), (20, 12),
+                   (31, 31), (44, 44)}
