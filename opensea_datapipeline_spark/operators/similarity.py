@@ -95,6 +95,7 @@ def knn_topk_lsh(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (the 100 TB path).
 
@@ -110,26 +111,36 @@ def knn_topk_lsh(
     recall ~0.63 vs exact top-10 on the testdata); 12 planes on a
     300-vector slice leaves ~2^-12 collision odds and near-zero recall.
 
+    ``queries`` restricts the probe side: the corpus is signed once and
+    only the query batch joins against it — per-query cost is then flat
+    in corpus size (bucket size is held constant by the n_planes rule),
+    which is the serving shape at 100 TB. Default: self-join (every
+    corpus vector is a query).
+
     Deterministic given ``seed`` (numpy RNG for hyperplanes).
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    tagged = []
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim)).tolist()
-        tagged.append(
-            embeddings.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("vec"),
-                F.lit(t).alias("table"),
-                _lsh_signature(vec_col, planes).alias("sig"),
-            )
-        )
     import functools
 
-    sigs = functools.reduce(lambda a, b: a.unionByName(b), tagged)
-    a = sigs.alias("a")
+    import numpy as np
+
+    def sig_table(df: DataFrame) -> DataFrame:
+        # fresh RNG per side: both sides must hash with IDENTICAL planes
+        rng = np.random.default_rng(seed)
+        parts = []
+        for t in range(n_tables):
+            planes = rng.standard_normal((n_planes, dim)).tolist()
+            parts.append(
+                df.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                    F.lit(t).alias("table"),
+                    _lsh_signature(vec_col, planes).alias("sig"),
+                )
+            )
+        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+    sigs = sig_table(embeddings)
+    a = (sig_table(queries) if queries is not None else sigs).alias("a")
     b = sigs.alias("b")
     cand = (
         a.join(b, on=["table", "sig"], how="inner")
@@ -163,11 +174,17 @@ def ann_ivf(
     n_lists: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer → assign each vector to its
     list; each query probes its ``n_probe`` nearest centroids and searches
     only those lists (equi-join on list id). The centroid table is tiny and
-    broadcast. Approximate — recall controlled by n_probe."""
+    broadcast. Approximate — recall controlled by n_probe.
+
+    ``queries`` restricts the probe side (the quantizer still trains on
+    the full corpus): the serving shape — per-query cost ∝ n_probe ×
+    list size, independent of how many queries the corpus itself would
+    pose. Default: every corpus vector is a query."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -187,9 +204,13 @@ def ann_ivf(
         "list_id INT, centroid ARRAY<DOUBLE>",
     )
     # each query → its n_probe nearest lists (cross with tiny centroid table)
+    q = (
+        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if queries is not None
+        else assigned.select("id", "vec")
+    )
     probes = (
-        assigned.select("id", "vec")
-        .crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(centroids))
         .select(
             "id",
             "vec",

@@ -1,0 +1,263 @@
+"""Measure the LLM-pipeline scale paths under 10x/100x corpus growth
+(VERDICT r4 task #6): minhash_lsh_pairs, dedup_groups (auto resolver),
+knn_topk_lsh, ann_ivf_topk.
+
+Growth model — the realistic direction for corpus growth:
+
+  documents   a 500-doc slice of sf0.1 documents replicated with every
+              word tagged by its replica index, so replica word-SETS are
+              disjoint: each replica carries the same internal near-dup
+              structure as the base corpus while replicas are NOT
+              near-dups of each other. Near-dup RATE stays constant as
+              N grows — true pairs grow ~linearly in N while possible
+              pairs grow as N^2, which is exactly the regime LSH exists
+              for. (The slice, not the full 5,000: the synthetic corpus
+              is template-generated and 71%% of ALL pairs are word-set
+              near-dups — measured at 1x — so absolute pair counts, not
+              the growth law, are what the cap controls.)
+  embeddings  sf0.1 embeddings (2,000 x dim-64) replicated with a
+              per-replica circular shift of the vector — norm-preserving,
+              keeps within-replica geometry identical to base, makes
+              cross-replica similarity incidental. Replica 1 is instead a
+              PLANTED near-duplicate of replica 0 (elementwise ±0.3
+              perturbation, cos ~ 0.95): the synthetic corpus has no
+              natural near-neighbors (top-10 sims are noise-level
+              cos ~ 0.4-0.5, the worst case for any LSH), so
+              ``planted_recall`` — did the query's twin make its top-k —
+              is the recall gate that must stay FLAT across scales.
+
+Per scale the documented tuning rules apply: LSH planes grow with
+log2(N) (constant expected bucket), LSH tables with N^rho (rho =
+ln(1/p1)/ln(1/p2) ~ 0.42 for hyperplane LSH at cos ~ 0.75 — the
+Indyk-Motwani recall-holding rate), IVF lists with sqrt(N) and probes
+with ~scale^0.3. The probe verifies the recall gate HOLDS while
+per-query candidates grow sublinearly (~N^0.4, vs N for brute force).
+
+Run:  python scripts/scaling_llm_paths.py [--scales 1,10,100]
+"""
+import functools
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from opensea_datapipeline_spark.session import get_spark
+from opensea_datapipeline_spark.sources.readers import load_table
+from opensea_datapipeline_spark.operators import dedup as dd
+from opensea_datapipeline_spark.operators import similarity as sim
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP_OFFSET = 10_000_000
+
+
+def scaled_docs(base, mult):
+    if mult == 1:
+        return base.select("doc_id", "text")
+    reps = base.sparkSession.range(mult).select(F.col("id").alias("rep"))
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    tagged = F.array_join(
+        F.transform(
+            words, lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string"))
+        ),
+        " ",
+    )
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * REP_OFFSET).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(tagged).alias("text"),
+        )
+        .repartition(32)
+    )
+
+
+def scaled_embeddings(base, mult, dim):
+    if mult == 1:
+        return base.select("vec_id", "embedding")
+    reps = base.sparkSession.range(mult).select(F.col("id").alias("rep"))
+    shift = (F.col("rep") % dim).cast("int")
+    rotated = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), shift + 1, F.lit(dim) - shift),
+            F.slice(F.col("embedding"), 1, shift),
+        )
+    )
+    # replica 1 = planted near-dup of replica 0: deterministic elementwise
+    # perturbation, cos(v, twin) ~ 0.95
+    planted = F.transform(
+        F.col("embedding"),
+        lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+    )
+    vec = F.when(F.col("rep") == 1, planted).otherwise(rotated)
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * REP_OFFSET).alias("vec_id"),
+            vec.cast("array<float>").alias("embedding"),
+        )
+        .repartition(32)
+    )
+
+
+def minhash_candidates(docs, num_hashes=8, band_size=2):
+    """Candidate-pair count BEFORE Jaccard verification — the number LSH
+    must keep sublinear in N^2 (mirrors minhash_lsh_pairs' band join)."""
+    sigs = dd.minhash_signatures(docs, "text", "doc_id", num_hashes)
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        band_rows.append(
+            sigs.select(
+                F.col("doc_id").alias("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    bands = functools.reduce(lambda a, b: a.unionByName(b), band_rows)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band", "band_key"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+
+
+def ann_recall(approx, exact):
+    """Fraction of exact top-k pairs the approximate index recovered."""
+    hits = approx.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    return hits.count() / max(exact.count(), 1)
+
+
+def main():
+    scales = [1, 10, 100]
+    skip_docs = "--skip-docs" in sys.argv
+    for arg in sys.argv[1:]:
+        if arg.startswith("--scales"):
+            scales = [int(x) for x in arg.split("=", 1)[1].split(",")]
+    spark = get_spark("scaling-llm")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_base = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < 500
+    )
+    emb_base = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb_base.select("embedding").first()[0])
+    report = {"sf_dir": SF_DIR, "scales": {}}
+
+    for mult in scales:
+        entry = {}
+        if not skip_docs:
+            docs = scaled_docs(docs_base, mult).localCheckpoint(eager=True)
+            n_docs = docs.count()
+            entry["n_docs"] = n_docs
+
+            t0 = time.perf_counter()
+            cand = minhash_candidates(docs)
+            entry["minhash_candidates"] = cand
+            entry["minhash_candidates_sec"] = round(time.perf_counter() - t0, 2)
+            entry["cand_frac_of_allpairs"] = round(
+                cand / (n_docs * (n_docs - 1) / 2), 8
+            )
+
+            t0 = time.perf_counter()
+            pairs = dd.minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=8, band_size=2,
+                jaccard_threshold=0.7,
+            ).localCheckpoint(eager=True)
+            n_pairs = pairs.count()
+            entry["verified_pairs"] = n_pairs
+            entry["minhash_lsh_pairs_sec"] = round(time.perf_counter() - t0, 2)
+
+            t0 = time.perf_counter()
+            groups = dd.connected_components_auto(
+                docs.select("doc_id"), pairs, id_col="doc_id",
+                assume_distinct=True,
+            )
+            entry["dedup_groups"] = groups.select("group_id").distinct().count()
+            entry["dedup_groups_auto_sec"] = round(time.perf_counter() - t0, 2)
+
+        emb = scaled_embeddings(emb_base, mult, dim).localCheckpoint(eager=True)
+        n_vec = emb.count()
+        entry["n_vectors"] = n_vec
+
+        # fixed 2,000-query batch (replica 0 = the 1x corpus) at every
+        # scale: wall time then measures PER-QUERY cost growth, the
+        # serving shape. Bucket size held ~constant (~64) by the planes
+        # rule, so the flat-time claim is falsifiable.
+        batch = emb.filter(F.col("vec_id") < REP_OFFSET).localCheckpoint(
+            eager=True
+        )
+        n_planes = max(4, math.ceil(math.log2(n_vec / 64)))
+        n_tables = math.ceil(8 * mult ** 0.415)
+        entry["lsh_n_planes"] = n_planes
+        entry["lsh_n_tables"] = n_tables
+        t0 = time.perf_counter()
+        approx = sim.knn_topk_lsh(
+            emb, "vec_id", "embedding", k=10, n_planes=n_planes,
+            n_tables=n_tables, dim=dim, queries=batch,
+        ).localCheckpoint(eager=True)
+        entry["knn_topk_lsh_batch_sec"] = round(time.perf_counter() - t0, 2)
+        # rank-free candidate count: k=inf keeps every scored candidate
+        n_cand = sim.knn_topk_lsh(
+            emb, "vec_id", "embedding", k=2**31, n_planes=n_planes,
+            n_tables=n_tables, dim=dim, queries=batch,
+        ).count()
+        entry["lsh_cand_per_query"] = round(n_cand / batch.count(), 1)
+
+        # recall gate on a fixed 100-query sample against brute-force truth
+        sample_ids = batch.select("vec_id").orderBy("vec_id").limit(100)
+        sample = emb.join(sample_ids, "vec_id")
+        exact = sim.knn_topk_exact(
+            emb, "vec_id", "embedding", k=10, queries=sample
+        ).localCheckpoint(eager=True)
+        entry["knn_lsh_recall"] = round(
+            ann_recall(approx.join(sample_ids, approx.query_id ==
+                                   sample_ids.vec_id), exact), 3
+        )
+        if mult > 1:
+            # planted twin (vec_id + REP_OFFSET) must appear in its
+            # query's approximate top-k — the flat-recall gate
+            hits = approx.filter(
+                F.col("neighbor_id") == F.col("query_id") + REP_OFFSET
+            ).count()
+            entry["lsh_planted_recall"] = round(hits / batch.count(), 3)
+
+        n_lists = max(16, int(math.sqrt(n_vec)))
+        n_probe = max(3, round(3 * mult ** 0.3))
+        entry["ivf_n_lists"] = n_lists
+        entry["ivf_n_probe"] = n_probe
+        t0 = time.perf_counter()
+        ivf = sim.ann_ivf(
+            emb, "vec_id", "embedding", k=10, n_lists=n_lists,
+            n_probe=n_probe, queries=batch,
+        ).localCheckpoint(eager=True)
+        entry["ann_ivf_batch_sec"] = round(time.perf_counter() - t0, 2)
+        entry["ann_ivf_recall"] = round(
+            ann_recall(ivf.join(sample_ids, ivf.query_id ==
+                                sample_ids.vec_id), exact), 3
+        )
+        if mult > 1:
+            hits = ivf.filter(
+                F.col("neighbor_id") == F.col("query_id") + REP_OFFSET
+            ).count()
+            entry["ivf_planted_recall"] = round(hits / batch.count(), 3)
+
+        report["scales"][f"{mult}x"] = entry
+        print(json.dumps({f"{mult}x": entry}), file=sys.stderr)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

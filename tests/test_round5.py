@@ -60,3 +60,39 @@ def test_auto_keeps_singletons_and_mixed_shapes(spark):
     got = _labels(connected_components_auto(nodes, edges))
     assert got == {(3, 3), (7, 3), (9, 3), (12, 12), (20, 12),
                    (31, 31), (44, 44)}
+
+
+def test_knn_topk_lsh_query_batch_matches_self_join_slice(spark):
+    # the queries= batch path must return exactly the self-join result
+    # restricted to the batch ids (same planes both sides)
+    from opensea_datapipeline_spark.operators.similarity import knn_topk_lsh
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200)
+    batch = emb.filter(F.col("vec_id") < 40)
+    dim = len(emb.select("embedding").first()[0])
+    full = knn_topk_lsh(emb, "vec_id", "embedding", k=5, dim=dim)
+    batched = knn_topk_lsh(emb, "vec_id", "embedding", k=5, dim=dim,
+                           queries=batch)
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in full.filter(F.col("query_id") < 40).collect()}
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in batched.collect()}
+    assert got == want
+    assert all(q < 40 for q, _, _ in got)
+
+
+def test_ann_ivf_query_batch_matches_self_join_slice(spark):
+    from opensea_datapipeline_spark.operators.similarity import ann_ivf
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200)
+    batch = emb.filter(F.col("vec_id") < 40)
+    full = ann_ivf(emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=2)
+    batched = ann_ivf(emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=2,
+                      queries=batch)
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in full.filter(F.col("query_id") < 40).collect()}
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in batched.collect()}
+    assert got == want
