@@ -19,6 +19,7 @@ machine. Here:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,6 +87,55 @@ def _lsh_signature(vec_col: str, hyperplanes: list[list[float]]) -> F.Column:
     return F.concat(*bits)
 
 
+def _lsh_sig_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """All-tables LSH signatures in ONE Arrow-batched pass: a single
+    numpy matmul per batch ((batch × dim) @ (dim × tables·planes)) with
+    sign bits packed into a long per table, versus n_tables × n_planes
+    separate ``aggregate(zip_with(...))`` expressions per row. Index
+    build drops from the dominant cost of the 100×-scale probe (~12 s at
+    20k×21 tables expression-side) to a vectorized pass; the long join
+    key also beats the old bit-string key in the candidate shuffle.
+
+    The plane matrix is drawn from the same seeded RNG stream in the
+    same order as sequential per-table draws, so buckets — and therefore
+    results — are identical to the expression path.
+
+    Returns (id, vec, table, sig:long).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    # one draw == concatenation of the per-table (n_planes, dim) draws
+    W = rng.standard_normal((n_tables * n_planes, dim)).T
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def table_sigs(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (M @ W) >= 0.0
+        packed = (
+            bits.reshape(len(M), n_tables, n_planes) * pw
+        ).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        table_sigs(F.col(vec_col)).alias("_sigs"),
+    ).select(
+        "id", "vec", F.posexplode("_sigs").alias("table", "sig")
+    )
+
+
 def knn_topk_lsh(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -119,44 +169,43 @@ def knn_topk_lsh(
 
     Deterministic given ``seed`` (numpy RNG for hyperplanes).
     """
-    import functools
-
-    import numpy as np
 
     def sig_table(df: DataFrame) -> DataFrame:
-        # fresh RNG per side: both sides must hash with IDENTICAL planes
-        rng = np.random.default_rng(seed)
-        parts = []
-        for t in range(n_tables):
-            planes = rng.standard_normal((n_planes, dim)).tolist()
-            parts.append(
-                df.select(
-                    F.col(id_col).alias("id"),
-                    F.col(vec_col).alias("vec"),
-                    F.lit(t).alias("table"),
-                    _lsh_signature(vec_col, planes).alias("sig"),
-                )
-            )
-        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+        # same seed per side: both sides must hash with IDENTICAL planes
+        return _lsh_sig_table(
+            df, id_col, vec_col, n_planes, n_tables, dim, seed
+        )
 
     sigs = sig_table(embeddings)
     a = (sig_table(queries) if queries is not None else sigs).alias("a")
     b = sigs.alias("b")
+    # candidate ids ONLY through the dedup shuffle — carrying both
+    # 64-float vectors per pair through dropDuplicates multiplies the
+    # shuffle ~30×; vectors re-attach afterwards via two id equi-joins
+    # against the (much smaller) vector tables
     cand = (
         a.join(b, on=["table", "sig"], how="inner")
         .filter(F.col("a.id") != F.col("b.id"))
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
-            F.col("a.vec").alias("_qvec"),
-            F.col("b.vec").alias("_cvec"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity("_qvec", "_cvec").alias("sim"),
+    qvecs = (queries if queries is not None else embeddings).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    cvecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        cand.join(qvecs, "query_id")
+        .join(cvecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qvec", "_cvec").alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
