@@ -1,13 +1,14 @@
 """Attribute language_id's cost stage by stage (VERDICT r4 task #7).
 
 Times cumulative prefixes of the language_id plan at sf0.1 so the delta
-between consecutive stages isolates each component:
+between consecutive stages isolates each component. All stages collect
+their full output (a global count() lets Catalyst prune the very
+columns being measured — the r5 lesson: the earlier probe under-read
+the cost by 0.26 s that way).
 
-  scan        parquet scan of documents(text, doc_id) + count
-  normalize   lower/regexp/split/distinct/length-filter, summed sizes
-  explode     + explode_outer fan-out (count of word rows)
-  join_agg    + broadcast profile join + conditional-count groupBy
-  full        the registered query (adds the argmax fold + casts)
+  scan        parquet scan of documents(doc_id, text), full collect
+  normalize   + lower/regexp/split/distinct (the candidates array)
+  full        the registered query (six folded array_intersects + argmax)
 
 Each stage is min-of-5 after one warmup, same protocol as bench.py.
 Run:  python scripts/profile_language_id.py [sf_dir]
@@ -42,72 +43,34 @@ def main():
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
-    profiles = tx.LANG_PROFILES
-    max_len = max(len(w) for ws in profiles.values() for w in ws)
-    candidates = F.filter(
-        F.array_distinct(tx._words("text")),
-        lambda w: F.length(w) <= max_len,
-    )
-
+    candidates = F.coalesce(F.array_distinct(tx._words("text")), F.array())
     stages = {}
-
-    t0 = time.perf_counter()
-    tx._profile_table.__wrapped__ if hasattr(tx._profile_table, "__wrapped__") else None
-    frozen = tuple(
-        (lang, tuple(sorted(set(profiles[lang])))) for lang in sorted(profiles)
-    )
-    spark.createDataFrame(
-        [(w, i) for i, (_, ws) in enumerate(frozen) for w in ws],
-        "word string, _lidx int",
-    ).count()
-    stages["profile_table_build_once"] = time.perf_counter() - t0
-
-    stages["scan"] = timed(
-        lambda: docs.select("doc_id", "text").count()
-    )
+    stages["scan"] = timed(lambda: docs.select("doc_id", "text").collect())
     stages["normalize"] = timed(
-        lambda: docs.select(F.size(candidates).alias("n")).agg(F.sum("n")).collect()
+        lambda: docs.select("doc_id", candidates.alias("w")).collect()
     )
-    stages["explode"] = timed(
-        lambda: docs.select(
-            F.col("doc_id"), F.explode_outer(candidates).alias("word")
-        ).count()
-    )
-
-    def join_agg():
-        out = tx.language_id(docs)
-        out.groupBy().count().collect()
-
-    stages["full_language_id"] = timed(join_agg)
-
     q = Q.QUERIES["language_id"]
-    stages["registered_query"] = timed(
-        lambda: q(spark, sf_dir).groupBy().count().collect()
+    stages["full_registered_query"] = timed(
+        lambda: q(spark, sf_dir).collect()
     )
 
-    fanout = docs.select(
-        F.col("doc_id"), F.explode_outer(candidates).alias("word")
-    ).count()
-
-    report = {
+    print(json.dumps({
         "sf_dir": sf_dir,
         "n_docs": n_docs,
-        "word_rows_after_filter": fanout,
         "stages_sec": {k: round(v, 4) for k, v in stages.items()},
         "deltas_sec": {
-            "normalize_over_scan": round(stages["normalize"] - stages["scan"], 4),
-            "explode_over_normalize": round(
-                stages["explode"] - stages["normalize"], 4
+            "normalize_over_scan": round(
+                stages["normalize"] - stages["scan"], 4
             ),
-            "join_agg_over_explode": round(
-                stages["full_language_id"] - stages["explode"], 4
+            "score_over_normalize": round(
+                stages["full_registered_query"] - stages["normalize"], 4
             ),
         },
-    }
-    print(json.dumps(report, indent=2))
+    }, indent=2))
 
 
 if __name__ == "__main__":
