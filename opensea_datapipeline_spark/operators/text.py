@@ -121,6 +121,18 @@ def _words(text_col: str) -> F.Column:
     return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
 
 
+def _lit_str_array(words) -> F.Column:
+    """Literal string array as ONE py4j literal + split (constant-folded
+    to the array by Catalyst). Per-element `F.lit` — or `F.lit(list)`,
+    which loops internally — costs ~1 ms of py4j round-trip per element
+    at every plan CONSTRUCTION; a 670-word profile rebuilt per bench run
+    measured 0.6 s of pure build overhead that way."""
+    words = list(words)
+    if not words:  # split("") would yield [""], a phantom empty token
+        return F.array()
+    return F.split(F.lit(" ".join(words)), " ")
+
+
 def _word_ngrams(words: F.Column, n: int) -> F.Column:
     """Space-joined word ``n``-grams, empty array for docs shorter than
     ``n`` words. The guard is semantic, not cosmetic: for size < n,
@@ -160,7 +172,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     LLM-corpus pipelines."""
     words = _words(text_col)
     n_words = F.size(words)
-    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    en_stop = _lit_str_array(LANG_PROFILES["en"])
     return df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars_measured"),
@@ -206,20 +218,12 @@ def language_id(
     candidates = F.coalesce(
         F.array_distinct(_words(text_col)), F.array()
     )
-    # literal arrays enter as ONE string literal + split (constant-folded
-    # to the array by Catalyst): building ~670 scalar literals — even via
-    # F.lit(list), which loops per element — costs ~0.6 s of py4j
-    # round-trips per plan CONSTRUCTION, which a bench that rebuilds the
-    # plan every run pays every run
-    def lit_words(ws) -> F.Column:
-        return F.split(F.lit(" ".join(ws)), " ")
-
     scored = df.select(
         F.col(id_col),
         *[
             F.size(
                 F.array_intersect(
-                    candidates, lit_words(sorted(set(profiles[lang])))
+                    candidates, _lit_str_array(sorted(set(profiles[lang])))
                 )
             )
             .cast("int")
@@ -238,7 +242,7 @@ def language_id(
     # array_max/array_position sharing but skips conditional branches.
     arr = F.array(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.element_at(
-        lit_words(langs),
+        _lit_str_array(langs),
         F.array_position(arr, F.array_max(arr)).cast("int"),
     )
     return scored.withColumn("predicted_lang", pred)
@@ -539,7 +543,7 @@ def gopher_quality_flags(
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(words),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            _lit_str_array(GOPHER_STOPWORDS),
         )
     )
     flags = {

@@ -22,6 +22,7 @@ column pruning), which is the core of the 100 TB story.
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,13 +136,31 @@ def normalize_event_time(df: DataFrame, cols: Sequence[str] = ("ts",)) -> DataFr
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md), normalizing
-    ns-precision / NTZ-inferred timestamp columns to TimestampType."""
-    ensure_reader_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Normalize every declared event-time column plus any column the scan
-    # still surfaced as NTZ (e.g. driver sessions with inference pre-cached).
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    return normalize_event_time(df, [*_NANO_TS_COLUMNS.get(name, []), *ntz_cols])
+    ns-precision / NTZ-inferred timestamp columns to TimestampType.
+
+    Memoized per session: `spark.read.parquet` lists files and reads the
+    footer schema on every call (~0.1 s of driver work per table — a
+    6-table TPC-H join shape paid ~0.6 s of pure plan-construction tax
+    per bench run). DataFrames are immutable, so handing back the same
+    instance is safe; the testdata dirs this loader serves are static by
+    contract (the driver never rewrites them mid-session). The memo
+    lives ON the session object so it dies with the session."""
+    cache = getattr(spark, "_opensea_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._opensea_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key not in cache:
+        ensure_reader_confs(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Normalize every declared event-time column plus any column the
+        # scan still surfaced as NTZ (e.g. driver sessions with inference
+        # pre-cached).
+        ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        cache[key] = normalize_event_time(
+            df, [*_NANO_TS_COLUMNS.get(name, []), *ntz_cols]
+        )
+    return cache[key]
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
