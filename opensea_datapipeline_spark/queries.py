@@ -1951,6 +1951,32 @@ def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_click_attribution",
+    """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+  CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us,
+  p.value AS purchase_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""",
+)
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermarked stream-stream interval join (the bounded-state form:
+    # the interval predicate + both watermarks give Spark an eviction
+    # bound for each side's join state). AvailableNow over the static
+    # log makes the inner join equal the batch join — graded with a FULL
+    # oracle.
+    from .streaming.join import run_streaming_click_attribution
+
+    return run_streaming_click_attribution(
+        spark, f"{sf_dir}/events.parquet",
+        table_name="streaming_click_attribution_q",
+    )
+
+
+@_register(
     "streaming_dedup_keys",
     """
 SELECT DISTINCT md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type))

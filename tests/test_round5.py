@@ -96,3 +96,43 @@ def test_ann_ivf_query_batch_matches_self_join_slice(spark):
             for r in full.filter(F.col("query_id") < 40).collect()}
     got = {(r.query_id, r.neighbor_id, r.rank) for r in batched.collect()}
     assert got == want
+
+
+def test_streaming_click_attribution_matches_batch_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    # events split into 3 files, one per trigger: click/purchase pairs
+    # whose halves arrive in DIFFERENT micro-batches only match if the
+    # stream-stream join keeps state across triggers
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.join import (
+        run_streaming_click_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_split"
+    events.repartition(3).write.parquet(str(src))
+
+    got = run_streaming_click_attribution(
+        spark, str(src), table_name="attr_mb_test"
+    )
+    c = events.filter(F.col("event_type") == "click")
+    p = events.filter(F.col("event_type") == "purchase")
+    # batch truth: the same join expressed on static frames
+    want = (
+        p.alias("p")
+        .join(
+            c.alias("c"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") <= F.col("p.ts"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+    )
+    got_set = {(r.purchase_id, r.click_id) for r in got.collect()}
+    want_set = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert got_set == want_set
+    assert len(want_set) > 0, "fixture must produce at least one match"
