@@ -108,7 +108,9 @@ def _lsh_sig_table(
     same order as sequential per-table draws, so buckets — and therefore
     results — are identical to the expression path.
 
-    Returns (id, vec, table, sig:long).
+    Returns (id, table, sig:long) — ids only: the bucket join is the
+    widest shuffle in the LSH pipeline, and vectors re-attach later by
+    id equi-join, so carrying them here would be pure shuffle weight.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -129,10 +131,9 @@ def _lsh_sig_table(
 
     return df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         table_sigs(F.col(vec_col)).alias("_sigs"),
     ).select(
-        "id", "vec", F.posexplode("_sigs").alias("table", "sig")
+        "id", F.posexplode("_sigs").alias("table", "sig")
     )
 
 
