@@ -129,11 +129,17 @@ def _lsh_sig_table(
         ).sum(axis=2)
         return pd.Series(list(packed))
 
+    # posexplode_outer, deliberately: plain posexplode plants a
+    # size(_sigs)>0 pre-filter that references the UDF column separately
+    # from the Generate input, and ExtractPythonUDFs then evaluates the
+    # UDF TWICE per row (two stacked ArrowEvalPython nodes — observed in
+    # the r5 plan audit). The UDF always returns n_tables entries, so
+    # outer semantics are identical here.
     return df.select(
         F.col(id_col).alias("id"),
         table_sigs(F.col(vec_col)).alias("_sigs"),
     ).select(
-        "id", F.posexplode("_sigs").alias("table", "sig")
+        "id", F.posexplode_outer("_sigs").alias("table", "sig")
     )
 
 
