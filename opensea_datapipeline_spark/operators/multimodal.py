@@ -9,11 +9,11 @@ Conventions:
   meta STRUCT<...>)``. The binary payload is opaque to the engine; all
   engine-side ops are metadata extraction, chunking/frame-sampling, and
   batched feature extraction over Arrow.
-- Real decoders (PIL / libav) are NOT in this container: ``decode_media``
-  is a clearly-marked stub behind an import-try. The Spark-side plumbing —
-  schema, partitioning, ``mapInPandas`` batch shape — is real and tested
-  with ``byte_histogram_features`` as the deterministic stand-in
-  featurizer.
+- ``decode_media`` is a REAL decoder: a pure-Python PNG/GIF/BMP header
+  parser with a PIL fallback behind an import-try (no stub). The
+  Spark-side plumbing — schema, partitioning, ``mapInPandas`` batch
+  shape — is tested with ``byte_histogram_features`` as the
+  deterministic featurizer.
 - Payload columns are heavy: every op here projects the binary column
   late and never shuffles it unless the result requires it (metadata ops
   reduce to scalars *before* any groupBy).

@@ -106,7 +106,15 @@ def _lsh_sig_table(
 
     The plane matrix is drawn from the same seeded RNG stream in the
     same order as sequential per-table draws, so buckets — and therefore
-    results — are identical to the expression path.
+    results — are equivalent to the expression path in practice (a dot
+    product sitting exactly at a float boundary could in principle flip
+    a sign bit between BLAS and sequential-fold summation; with
+    continuous random planes the event has measure zero and has never
+    been observed in the recall/parity suites).
+
+    NULL embeddings are filtered out before the UDF (``np.vstack``
+    would raise on ``None``); the expression path yielded a NULL
+    signature that produced no candidates — same net effect.
 
     Returns (id, table, sig:long) — ids only: the bucket join is the
     widest shuffle in the LSH pipeline, and vectors re-attach later by
@@ -135,7 +143,7 @@ def _lsh_sig_table(
     # UDF TWICE per row (two stacked ArrowEvalPython nodes — observed in
     # the r5 plan audit). The UDF always returns n_tables entries, so
     # outer semantics are identical here.
-    return df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         table_sigs(F.col(vec_col)).alias("_sigs"),
     ).select(
@@ -173,6 +181,12 @@ def knn_topk_lsh(
     in corpus size (bucket size is held constant by the n_planes rule),
     which is the serving shape at 100 TB. Default: self-join (every
     corpus vector is a query).
+
+    Query ids must share the corpus id space: the ``a.id != b.id``
+    self-exclusion applies in both modes, so an external query whose id
+    happens to collide with a corpus vector's id will not see that
+    vector as a neighbor. Re-key external query batches (e.g. negative
+    ids) if exact-id collisions are possible.
 
     Deterministic given ``seed`` (numpy RNG for hyperplanes).
     """
@@ -240,7 +254,9 @@ def ann_ivf(
     ``queries`` restricts the probe side (the quantizer still trains on
     the full corpus): the serving shape — per-query cost ∝ n_probe ×
     list size, independent of how many queries the corpus itself would
-    pose. Default: every corpus vector is a query."""
+    pose. Default: every corpus vector is a query. As with
+    ``knn_topk_lsh``, query ids must share the corpus id space — the
+    ``query_id != neighbor_id`` exclusion applies in both modes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

@@ -130,7 +130,8 @@ def _lit_str_array(words) -> F.Column:
     words = list(words)
     if not words:  # split("") would yield [""], a phantom empty token
         return F.array()
-    assert all(" " not in w for w in words), "space in word breaks the encoding"
+    if any(" " in w for w in words):  # not assert: must hold under python -O
+        raise ValueError("space in word breaks the encoding")
     return F.split(F.lit(" ".join(words)), " ")
 
 

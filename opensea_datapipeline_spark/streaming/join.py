@@ -35,8 +35,16 @@ def streaming_click_attribution_df(
     purchase_ts]) is what lets Spark derive a state eviction bound for
     BOTH sides from the two watermarks; without it the click state would
     grow forever. Inner-join rows emit as soon as both inputs arrive —
-    the watermark governs state cleanup, not result completeness, so
-    AvailableNow over static input yields exactly the batch answer.
+    the watermark governs state cleanup, not result completeness.
+
+    Batch-equivalence caveat: AvailableNow over static input yields
+    exactly the batch answer when everything lands in a single
+    micro-batch, or when input arrives roughly time-ordered within the
+    watermark delay. With multiple micro-batches and event times out of
+    order by more than ``watermark``, below-watermark rows are dropped
+    on arrival and their matches are silently lost vs the batch oracle —
+    multi-batch replays of unordered logs must widen ``watermark`` to
+    cover the data span (see ``run_streaming_click_attribution``).
     """
     c = (
         clicks.select(
@@ -81,11 +89,19 @@ def run_streaming_click_attribution(
     events_path: str,
     lookback: str = "1 hour",
     table_name: str = "streaming_click_attribution",
+    max_files_per_trigger: int | None = None,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Run the attribution join over a parquet events directory with
     AvailableNow and a memory sink (append mode — the only output mode a
     stream-stream inner join supports). Returns the result table;
-    deterministic over static input, so oracle-comparable."""
+    deterministic over static input, so oracle-comparable.
+
+    ``max_files_per_trigger`` splits the replay into one micro-batch per
+    N files, genuinely exercising cross-trigger join-state retention.
+    Unordered multi-file input then needs ``watermark`` ≥ the event-time
+    span, or below-watermark rows in later batches are dropped (see the
+    caveat on ``streaming_click_attribution_df``)."""
     import os
     import tempfile
 
@@ -100,12 +116,15 @@ def run_streaming_click_attribution(
     # two independent file-stream scans of the same log — the standard
     # shape when both sides come from one firehose topic
     def side(event_type: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(events_path)
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        s = reader.parquet(events_path)
         s = normalize_event_time(s)
         return s.filter(F.col("event_type") == event_type)
 
     result = streaming_click_attribution_df(
-        side("click"), side("purchase"), lookback=lookback
+        side("click"), side("purchase"), lookback=lookback, watermark=watermark
     )
     query = (
         result.writeStream.format("memory")

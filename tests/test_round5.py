@@ -113,8 +113,15 @@ def test_streaming_click_attribution_matches_batch_across_microbatches(
     src = tmp_path / "events_split"
     events.repartition(3).write.parquet(str(src))
 
+    # maxFilesPerTrigger=1 → one micro-batch per file, so pairs whose
+    # halves live in different files only match via retained join state.
+    # The random 3-way split is NOT time-ordered, so the watermark must
+    # exceed the event-time span or later batches' rows would be dropped
+    # as late (the vacuity ADVICE r5 flagged: without the option all
+    # three files landed in ONE AvailableNow batch).
     got = run_streaming_click_attribution(
-        spark, str(src), table_name="attr_mb_test"
+        spark, str(src), table_name="attr_mb_test",
+        max_files_per_trigger=1, watermark="3650 days",
     )
     c = events.filter(F.col("event_type") == "click")
     p = events.filter(F.col("event_type") == "purchase")
@@ -136,3 +143,24 @@ def test_streaming_click_attribution_matches_batch_across_microbatches(
     want_set = {(r.purchase_id, r.click_id) for r in want.collect()}
     assert got_set == want_set
     assert len(want_set) > 0, "fixture must produce at least one match"
+
+    # non-vacuity: at least one matched pair must have its halves in
+    # DIFFERENT files (= different micro-batches), proving the join
+    # retained state across triggers rather than matching within one
+    ev_files = spark.read.parquet(str(src)).select(
+        "event_id", F.input_file_name().alias("file")
+    )
+    pairs = spark.createDataFrame(
+        [(p, c) for p, c in want_set], "purchase_id LONG, click_id LONG"
+    )
+    cross_file = (
+        pairs.join(
+            ev_files.withColumnRenamed("event_id", "purchase_id")
+            .withColumnRenamed("file", "p_file"), "purchase_id")
+        .join(
+            ev_files.withColumnRenamed("event_id", "click_id")
+            .withColumnRenamed("file", "c_file"), "click_id")
+        .filter(F.col("p_file") != F.col("c_file"))
+        .count()
+    )
+    assert cross_file > 0, "split must place some pair halves in different files"
