@@ -1,0 +1,316 @@
+"""ANN index lifecycle: build once, persist, probe many times (VERDICT r5
+task #1; the serving reality of the reference, which itself persists its
+neighbor map — `scripts/analysis/analyze_peer_effects.py:55-97` writes
+`visual_neighbors.json` and analysis replays it).
+
+Round 5 exposed the design gap: ``ann_ivf`` re-trained its KMeans coarse
+quantizer inside every call and ``knn_topk_lsh`` re-signed the corpus per
+probe batch — SCALING.md's IVF wall (9.2 → 39.7 s across 1×→100×) was
+build-dominated. At 100 TB the index is a persisted artifact keyed by
+corpus version:
+
+- **LSH index** = the (id, table, sig) signature table + the (id, vec)
+  vector table. Build cost: one Arrow matmul pass over the corpus.
+- **IVF index** = the (list_id, centroid) centroid table + the
+  (id, vec, list_id) inverted-list assignment. Build cost: one KMeans
+  fit + one transform pass.
+
+Both persist as plain parquet directories plus a one-row JSON meta table
+(written with Spark writers, so ``path`` may be any Hadoop-compatible URI
+— local, HDFS, s3a). Probes against a read-back index are plan-identical
+to probes against the in-memory build: ``knn_topk_lsh`` / ``ann_ivf`` in
+`similarity.py` are now thin build+probe compositions, so results are
+bit-identical to the pre-split operators.
+
+Probe semantics (shared with `similarity.py`): query ids must share the
+corpus id space — the ``query_id != neighbor_id`` self-exclusion applies
+in both self-join and external-batch modes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+_META_SCHEMA = (
+    "kind STRING, n_planes INT, n_tables INT, dim INT, seed INT, "
+    "n_lists INT, id_col STRING, vec_col STRING"
+)
+
+
+@dataclass(frozen=True)
+class LshIndex:
+    """Random-hyperplane LSH index: ids-only signature table + vectors."""
+
+    sigs: DataFrame  # (id, table, sig: long)
+    vectors: DataFrame  # (id, vec)
+    n_planes: int
+    n_tables: int
+    dim: int
+    seed: int
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """IVF index: broadcastable centroid table + inverted-list assignment."""
+
+    centroids: DataFrame  # (list_id, centroid: array<double>)
+    assignments: DataFrame  # (id, vec, list_id)
+    n_lists: int
+    seed: int
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    materialize: bool = False,
+) -> LshIndex:
+    """Sign the corpus once (one Arrow matmul pass — `similarity.py`'s
+    ``_lsh_sig_table``) and capture the (id, vec) table for scoring.
+
+    ``materialize=True`` eagerly localCheckpoints both tables so repeated
+    probes skip the signature UDF — the in-memory analog of
+    ``write_lsh_index``; leave False when the next step IS a write."""
+    from .similarity import _lsh_sig_table
+
+    sigs = _lsh_sig_table(embeddings, id_col, vec_col, n_planes, n_tables, dim, seed)
+    vectors = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+        vectors = vectors.localCheckpoint(eager=True)
+    return LshIndex(sigs, vectors, n_planes, n_tables, dim, seed)
+
+
+def lsh_probe(
+    index: LshIndex,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a built LSH index; plan-identical to the
+    monolithic ``knn_topk_lsh`` (candidate ids only through the bucket
+    shuffle, vectors re-attached by id equi-join afterwards).
+
+    ``queries=None`` → self-join (every indexed vector is a query);
+    otherwise only the query batch is signed — per-probe cost is flat in
+    corpus size, and the corpus-side signature table is reused as-is."""
+    from .similarity import _lsh_sig_table
+
+    if queries is None:
+        a = index.sigs.alias("a")
+        qvecs = index.vectors.select(
+            F.col("id").alias("query_id"), F.col("vec").alias("_qvec")
+        )
+    else:
+        a = _lsh_sig_table(
+            queries, id_col, vec_col,
+            index.n_planes, index.n_tables, index.dim, index.seed,
+        ).alias("a")
+        qvecs = queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+    b = index.sigs.alias("b")
+    cand = (
+        a.join(b, on=["table", "sig"], how="inner")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cvecs = index.vectors.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("_cvec")
+    )
+    scored = (
+        cand.join(qvecs, "query_id")
+        .join(cvecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qvec", "_cvec").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    materialize: bool = False,
+) -> IvfIndex:
+    """Train the KMeans coarse quantizer ONCE and assign every vector to
+    its inverted list. The expensive step — this is what round 5's
+    ``ann_ivf`` paid on every call."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed).fit(ml_df)
+    assignments = model.transform(ml_df).select(
+        "id", "vec", F.col("prediction").alias("list_id")
+    )
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    if materialize:
+        assignments = assignments.localCheckpoint(eager=True)
+    return IvfIndex(centroids, assignments, n_lists, seed)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a built IVF index: each query ranks the (tiny,
+    broadcast) centroid table, keeps its ``n_probe`` nearest lists, and
+    equi-joins the inverted lists — plan-identical to the monolithic
+    ``ann_ivf`` minus the per-call KMeans fit."""
+    q = (
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        if queries is not None
+        else index.assignments.select("id", "vec")
+    )
+    probes = q.crossJoin(F.broadcast(index.centroids)).select(
+        "id",
+        "vec",
+        "list_id",
+        cosine_similarity("vec", "centroid").alias("csim"),
+    )
+    wp = Window.partitionBy("id").orderBy(F.desc("csim"), F.col("list_id"))
+    probed = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            F.col("id").alias("query_id"), F.col("vec").alias("_qvec"), "list_id"
+        )
+    )
+    cand = probed.join(
+        index.assignments.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("_cvec"),
+            "list_id",
+        ),
+        on="list_id",
+        how="inner",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_similarity("_qvec", "_cvec").alias("sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistence — parquet tables + one-row JSON meta, all via Spark writers so
+# the index lives wherever the data does (local fs in tests, object store at
+# cluster scale). Layout: <path>/{meta, sigs|centroids, vectors|assignments}.
+# ---------------------------------------------------------------------------
+
+
+def _write_meta(spark: SparkSession, path: str, row: dict) -> None:
+    full = {
+        "kind": None, "n_planes": None, "n_tables": None, "dim": None,
+        "seed": None, "n_lists": None, "id_col": None, "vec_col": None,
+    }
+    full.update(row)
+    spark.createDataFrame([tuple(full.values())], _META_SCHEMA).toDF(
+        *full.keys()
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str, kind: str) -> dict:
+    row = spark.read.schema(_META_SCHEMA).json(f"{path}/meta").first()
+    meta = row.asDict()
+    if meta["kind"] != kind:
+        raise ValueError(
+            f"index at {path!r} is kind={meta['kind']!r}, expected {kind!r}"
+        )
+    return meta
+
+
+def write_lsh_index(index: LshIndex, path: str) -> None:
+    """Persist: sigs partitioned by table (probe joins prune per-table),
+    vectors flat. Overwrites — an index directory is one corpus version."""
+    spark = index.sigs.sparkSession
+    index.sigs.write.mode("overwrite").partitionBy("table").parquet(
+        f"{path}/sigs"
+    )
+    index.vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+    _write_meta(
+        spark, path,
+        {
+            "kind": "lsh", "n_planes": index.n_planes,
+            "n_tables": index.n_tables, "dim": index.dim, "seed": index.seed,
+        },
+    )
+
+
+def read_lsh_index(spark: SparkSession, path: str) -> LshIndex:
+    meta = _read_meta(spark, path, "lsh")
+    return LshIndex(
+        sigs=spark.read.parquet(f"{path}/sigs").select("id", "table", "sig"),
+        vectors=spark.read.parquet(f"{path}/vectors"),
+        n_planes=meta["n_planes"],
+        n_tables=meta["n_tables"],
+        dim=meta["dim"],
+        seed=meta["seed"],
+    )
+
+
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist: assignments partitioned by list_id (a probe touching
+    n_probe lists prunes to those partitions at the scan), centroids flat
+    (tiny — always broadcast)."""
+    spark = index.centroids.sparkSession
+    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    index.assignments.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/assignments"
+    )
+    _write_meta(
+        spark, path, {"kind": "ivf", "n_lists": index.n_lists, "seed": index.seed}
+    )
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    meta = _read_meta(spark, path, "ivf")
+    return IvfIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        assignments=spark.read.parquet(f"{path}/assignments").select(
+            "id", "vec", "list_id"
+        ),
+        n_lists=meta["n_lists"],
+        seed=meta["seed"],
+    )

@@ -189,51 +189,19 @@ def knn_topk_lsh(
     ids) if exact-id collisions are possible.
 
     Deterministic given ``seed`` (numpy RNG for hyperplanes).
+
+    This is the single-shot composition of ``ann_index.build_lsh_index``
+    + ``ann_index.lsh_probe`` — fine for batch pipelines. Repeated probe
+    batches against one corpus version should build (and usually
+    ``write_lsh_index``) ONCE and call ``lsh_probe`` per batch instead,
+    or the corpus is re-signed on every call.
     """
+    from .ann_index import build_lsh_index, lsh_probe
 
-    def sig_table(df: DataFrame) -> DataFrame:
-        # same seed per side: both sides must hash with IDENTICAL planes
-        return _lsh_sig_table(
-            df, id_col, vec_col, n_planes, n_tables, dim, seed
-        )
-
-    sigs = sig_table(embeddings)
-    a = (sig_table(queries) if queries is not None else sigs).alias("a")
-    b = sigs.alias("b")
-    # candidate ids ONLY through the dedup shuffle — carrying both
-    # 64-float vectors per pair through dropDuplicates multiplies the
-    # shuffle ~30×; vectors re-attach afterwards via two id equi-joins
-    # against the (much smaller) vector tables
-    cand = (
-        a.join(b, on=["table", "sig"], how="inner")
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("b.id").alias("neighbor_id"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    index = build_lsh_index(
+        embeddings, id_col, vec_col, n_planes, n_tables, dim, seed
     )
-    qvecs = (queries if queries is not None else embeddings).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    cvecs = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
-    scored = (
-        cand.join(qvecs, "query_id")
-        .join(cvecs, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity("_qvec", "_cvec").alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        
-    )
+    return lsh_probe(index, queries=queries, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ann_ivf(
@@ -256,62 +224,18 @@ def ann_ivf(
     list size, independent of how many queries the corpus itself would
     pose. Default: every corpus vector is a query. As with
     ``knn_topk_lsh``, query ids must share the corpus id space — the
-    ``query_id != neighbor_id`` exclusion applies in both modes."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``query_id != neighbor_id`` exclusion applies in both modes.
 
-    ml_df = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_lists, seed=seed).fit(ml_df)
-    assigned = model.transform(ml_df).select(
-        "id", "vec", F.col("prediction").alias("list_id")
-    )
+    Single-shot composition of ``ann_index.build_ivf_index`` +
+    ``ann_index.ivf_probe``. The KMeans fit dominates — repeated probe
+    batches must build (and usually ``write_ivf_index``) once and call
+    ``ivf_probe`` per batch, or every call re-trains the quantizer."""
+    from .ann_index import build_ivf_index, ivf_probe
 
-    spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id INT, centroid ARRAY<DOUBLE>",
-    )
-    # each query → its n_probe nearest lists (cross with tiny centroid table)
-    q = (
-        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        if queries is not None
-        else assigned.select("id", "vec")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            "id",
-            "vec",
-            "list_id",
-            cosine_similarity("vec", "centroid").alias("csim"),
-        )
-    )
-    wp = Window.partitionBy("id").orderBy(F.desc("csim"), F.col("list_id"))
-    probed = probes.withColumn("pr", F.row_number().over(wp)).filter(
-        F.col("pr") <= n_probe
-    ).select(F.col("id").alias("query_id"), F.col("vec").alias("_qvec"), "list_id")
-
-    cand = probed.join(
-        assigned.select(
-            F.col("id").alias("neighbor_id"),
-            F.col("vec").alias("_cvec"),
-            "list_id",
-        ),
-        on="list_id",
-        how="inner",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_similarity("_qvec", "_cvec").alias("sim")
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        
+    index = build_ivf_index(embeddings, id_col, vec_col, n_lists, seed)
+    return ivf_probe(
+        index, queries=queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

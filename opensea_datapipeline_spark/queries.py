@@ -1089,24 +1089,46 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "embedding_near_dup",
     """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-    AS cos_sim
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
-  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-    >= 0.9
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300
+), aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000, list_concat([0.0::DOUBLE], e[2:])
+  FROM base WHERE vec_id < 20
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      AS cos
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.9
 """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.9, max_id=300,
+    # The r5 green row was VACUOUS — 0 rows at sf0.01 (noise corpus, no
+    # natural pair above 0.9). Plant deterministic near-dups IN-PLAN so
+    # the oracle sees real pairs: for vec_id < 20, add a twin at
+    # vec_id+1000 with element 1 zeroed — cos(x, twin) = sqrt(1 -
+    # x_1^2/|x|^2) ≈ 0.99 on this corpus, data-dependent and strictly
+    # below 1, so the threshold is genuinely exercised. Both engines
+    # build the twin from identical doubles with the same elementwise
+    # ops, so pair sets and 6dp-rounded sims must agree exactly.
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    twins = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1),
+        ).alias("embedding"),
+    )
+    return dd.embedding_near_dup_pairs(
+        base.unionByName(twins), "vec_id", "embedding", threshold=0.9
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 # ---------------------------------------------------------------------------
@@ -1919,6 +1941,55 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = sim.knn_topk_exact(emb, "vec_id", "embedding", k=10)
     return _ann_recall_query(approx, exact, floor=0.35)
+
+
+@_register(
+    "ann_index_lifecycle",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  TRUE AS lsh_roundtrip_ok, TRUE AS ivf_roundtrip_ok
+FROM embeddings WHERE vec_id < 300
+""",
+)
+def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The r6 build/probe split graded end-to-end: build both ANN indexes,
+    # persist to parquet, read back, probe — the persisted probe must
+    # return EXACTLY the in-memory probe's (query, neighbor, rank) set
+    # (symmetric difference via two left_anti counts), hash-comparable.
+    import tempfile
+
+    from .operators import ann_index as ai
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+
+    def roundtrip_ok(in_mem: DataFrame, persisted: DataFrame) -> F.Column:
+        cols = ["query_id", "neighbor_id", "rank"]
+        a, b = in_mem.select(*cols), persisted.select(*cols)
+        diff = a.join(b, cols, "left_anti").count() + b.join(
+            a, cols, "left_anti"
+        ).count()
+        return F.lit(diff == 0)
+
+    lsh = ai.build_lsh_index(emb, "vec_id", "embedding")
+    lsh_path = tempfile.mkdtemp(prefix="ann_lsh_idx_")
+    ai.write_lsh_index(lsh, lsh_path)
+    lsh_ok = roundtrip_ok(
+        ai.lsh_probe(lsh, k=5), ai.lsh_probe(ai.read_lsh_index(spark, lsh_path), k=5)
+    )
+
+    ivf = ai.build_ivf_index(emb, "vec_id", "embedding", n_lists=8)
+    ivf_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+    ai.write_ivf_index(ivf, ivf_path)
+    ivf_ok = roundtrip_ok(
+        ai.ivf_probe(ivf, k=5, n_probe=2),
+        ai.ivf_probe(ai.read_ivf_index(spark, ivf_path), k=5, n_probe=2),
+    )
+
+    return emb.agg(F.count(F.lit(1)).alias("n_vectors")).select(
+        "n_vectors",
+        lsh_ok.alias("lsh_roundtrip_ok"),
+        ivf_ok.alias("ivf_roundtrip_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

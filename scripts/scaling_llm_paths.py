@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from opensea_datapipeline_spark.session import get_spark
 from opensea_datapipeline_spark.sources.readers import load_table
+from opensea_datapipeline_spark.operators import ann_index as ann
 from opensea_datapipeline_spark.operators import dedup as dd
 from opensea_datapipeline_spark.operators import similarity as sim
 
@@ -202,17 +203,25 @@ def main():
         n_tables = math.ceil(8 * mult ** 0.415)
         entry["lsh_n_planes"] = n_planes
         entry["lsh_n_tables"] = n_tables
+        # r6 index-lifecycle split: build ONCE (materialized signature
+        # table = the persisted-index analog), then time probe-only —
+        # the per-batch serving cost a persisted index actually pays
         t0 = time.perf_counter()
-        approx = sim.knn_topk_lsh(
-            emb, "vec_id", "embedding", k=10, n_planes=n_planes,
-            n_tables=n_tables, dim=dim, queries=batch,
-        ).localCheckpoint(eager=True)
-        entry["knn_topk_lsh_batch_sec"] = round(time.perf_counter() - t0, 2)
+        lsh_index = ann.build_lsh_index(
+            emb, "vec_id", "embedding", n_planes=n_planes,
+            n_tables=n_tables, dim=dim, materialize=True,
+        )
+        entry["lsh_build_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        approx = ann.lsh_probe(lsh_index, queries=batch, k=10).localCheckpoint(
+            eager=True
+        )
+        entry["lsh_probe_only_sec"] = round(time.perf_counter() - t0, 2)
+        entry["knn_topk_lsh_batch_sec"] = round(
+            entry["lsh_build_sec"] + entry["lsh_probe_only_sec"], 2
+        )
         # rank-free candidate count: k=inf keeps every scored candidate
-        n_cand = sim.knn_topk_lsh(
-            emb, "vec_id", "embedding", k=2**31, n_planes=n_planes,
-            n_tables=n_tables, dim=dim, queries=batch,
-        ).count()
+        n_cand = ann.lsh_probe(lsh_index, queries=batch, k=2**31).count()
         entry["lsh_cand_per_query"] = round(n_cand / batch.count(), 1)
 
         # recall gate on a fixed 100-query sample against brute-force truth
@@ -238,11 +247,18 @@ def main():
         entry["ivf_n_lists"] = n_lists
         entry["ivf_n_probe"] = n_probe
         t0 = time.perf_counter()
-        ivf = sim.ann_ivf(
-            emb, "vec_id", "embedding", k=10, n_lists=n_lists,
-            n_probe=n_probe, queries=batch,
+        ivf_index = ann.build_ivf_index(
+            emb, "vec_id", "embedding", n_lists=n_lists, materialize=True,
+        )
+        entry["ivf_build_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        ivf = ann.ivf_probe(
+            ivf_index, queries=batch, k=10, n_probe=n_probe
         ).localCheckpoint(eager=True)
-        entry["ann_ivf_batch_sec"] = round(time.perf_counter() - t0, 2)
+        entry["ivf_probe_only_sec"] = round(time.perf_counter() - t0, 2)
+        entry["ann_ivf_batch_sec"] = round(
+            entry["ivf_build_sec"] + entry["ivf_probe_only_sec"], 2
+        )
         entry["ann_ivf_recall"] = round(
             ann_recall(ivf.join(sample_ids, ivf.query_id ==
                                 sample_ids.vec_id), exact), 3
