@@ -234,6 +234,159 @@ def ivf_probe(
 
 
 # ---------------------------------------------------------------------------
+# Incremental append — index the corpus DELTA without a full rebuild.
+#
+# The 100 TB corpus is not static: a daily ingest adds a sliver of new
+# documents. Re-signing (LSH) or re-training KMeans (IVF) over the whole
+# corpus for a 1% delta wastes 99% of the build. Append semantics:
+#
+# - LSH: signatures are a pure per-row function of (seed, planes) — signing
+#   ONLY the delta and unioning is bit-identical to a full rebuild.
+# - IVF: the coarse quantizer stays FROZEN; delta vectors are assigned to
+#   the nearest existing centroid (same squared-euclidean rule KMeans
+#   ``transform`` uses). This is exactly how FAISS-style IVF serves adds:
+#   assignment drift accumulates as the data distribution shifts, so
+#   schedule a periodic full rebuild (new corpus version), but between
+#   rebuilds appends are a cheap assign-only pass.
+#
+# Ids already present in the index are dropped from the delta (left_anti),
+# so re-appending an overlapping batch is idempotent rather than
+# duplicating rows.
+# ---------------------------------------------------------------------------
+
+
+def append_lsh_index(
+    index: LshIndex,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LshIndex:
+    """Sign only the delta and union — bit-identical to rebuilding over
+    corpus ∪ delta because signatures are a pure per-row function of the
+    index's frozen (seed, n_planes, n_tables, dim)."""
+    from .similarity import _lsh_sig_table
+
+    existing = index.vectors.select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    delta_sigs = _lsh_sig_table(
+        delta.select(F.col("id").alias(id_col), F.col("vec").alias(vec_col)),
+        id_col, vec_col,
+        index.n_planes, index.n_tables, index.dim, index.seed,
+    )
+    return LshIndex(
+        sigs=index.sigs.unionByName(delta_sigs),
+        vectors=index.vectors.unionByName(delta),
+        n_planes=index.n_planes,
+        n_tables=index.n_tables,
+        dim=index.dim,
+        seed=index.seed,
+    )
+
+
+def _assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(id, vec) → (id, vec, list_id): nearest centroid by squared
+    euclidean distance — the same rule ``KMeansModel.transform`` applies,
+    so appended assignments agree with built ones under frozen centroids.
+    Centroids are tiny and broadcast; distance is a JVM-side
+    ``aggregate(zip_with(...))`` fold, no Python."""
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("vec").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id").orderBy("_sqd", "list_id")
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("id", "vec", "list_id", sqdist.alias("_sqd"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "vec", "list_id")
+    )
+
+
+def append_ivf_index(
+    index: IvfIndex,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Assign-only append under the FROZEN coarse quantizer: no KMeans
+    refit, one broadcast-nearest-centroid pass over the delta. Centroid
+    drift accumulates across appends — rebuild (a new corpus version) on
+    a schedule; between rebuilds this is the cheap path."""
+    existing = index.assignments.select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    assigned = _assign_to_centroids(delta, index.centroids)
+    return IvfIndex(
+        centroids=index.centroids,
+        assignments=index.assignments.unionByName(assigned),
+        n_lists=index.n_lists,
+        seed=index.seed,
+    )
+
+
+def append_lsh_index_at(
+    spark: SparkSession, path: str, new_embeddings: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persisted append: read meta + existing ids, sign the delta, and
+    ``mode("append")`` the new rows into the same parquet layout — the
+    daily-ingest shape (delta ≪ corpus, so reading the ids column of the
+    vectors table for the anti-join is the only corpus-side cost; parquet
+    column pruning keeps that read to one thin column)."""
+    from .similarity import _lsh_sig_table
+
+    meta = _read_meta(spark, path, "lsh")
+    existing = spark.read.parquet(f"{path}/vectors").select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    delta_sigs = _lsh_sig_table(
+        delta.select(F.col("id").alias(id_col), F.col("vec").alias(vec_col)),
+        id_col, vec_col,
+        meta["n_planes"], meta["n_tables"], meta["dim"], meta["seed"],
+    )
+    delta_sigs.write.mode("append").partitionBy("table").parquet(f"{path}/sigs")
+    delta.write.mode("append").parquet(f"{path}/vectors")
+
+
+def append_ivf_index_at(
+    spark: SparkSession, path: str, new_embeddings: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persisted assign-only append into the partitioned assignments
+    layout; centroids and meta are immutable for the index's lifetime."""
+    _read_meta(spark, path, "ivf")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    existing = spark.read.parquet(f"{path}/assignments").select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    assigned = _assign_to_centroids(delta, centroids)
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/assignments"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persistence — parquet tables + one-row JSON meta, all via Spark writers so
 # the index lives wherever the data does (local fs in tests, object store at
 # cluster scale). Layout: <path>/{meta, sigs|centroids, vectors|assignments}.

@@ -199,3 +199,109 @@ def test_index_kind_mismatch_raises(spark, tmp_path):
     write_lsh_index(build_lsh_index(_emb(spark, 50), "vec_id", "embedding"), path)
     with pytest.raises(ValueError, match="kind"):
         read_ivf_index(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental append: index the corpus delta without a full rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_append_equals_full_rebuild(spark):
+    # LSH signatures are a pure per-row function of the frozen index
+    # params, so prefix-build + delta-append must be BIT-identical to a
+    # full rebuild over the union. The delta deliberately overlaps the
+    # prefix (ids 100-119) to prove idempotent re-append.
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_lsh_index, build_lsh_index, lsh_probe,
+    )
+
+    emb = _emb(spark, n=200)
+    prefix = emb.filter(F.col("vec_id") < 120)
+    delta = emb.filter(F.col("vec_id") >= 100)  # 20-id overlap
+    appended = append_lsh_index(
+        build_lsh_index(prefix, "vec_id", "embedding"), delta,
+        "vec_id", "embedding",
+    )
+    full = build_lsh_index(emb, "vec_id", "embedding")
+    assert appended.vectors.count() == full.vectors.count() == emb.count()
+    assert _result_set(lsh_probe(appended, k=5)) == _result_set(
+        lsh_probe(full, k=5)
+    )
+
+
+def test_ivf_append_assigns_nearest_frozen_centroid(spark):
+    import numpy as np
+
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_ivf_index, build_ivf_index,
+    )
+
+    emb = _emb(spark, n=200)
+    prefix = emb.filter(F.col("vec_id") < 150)
+    delta = emb.filter(F.col("vec_id") >= 150)
+    index = build_ivf_index(prefix, "vec_id", "embedding", n_lists=6)
+    appended = append_ivf_index(index, delta, "vec_id", "embedding")
+
+    # centroids are frozen: same object, and the appended assignments for
+    # the delta must match a numpy argmin over squared euclidean distance
+    cents = {r.list_id: np.array(r.centroid) for r in index.centroids.collect()}
+    keys = sorted(cents)
+    C = np.vstack([cents[k] for k in keys])
+    new_rows = appended.assignments.filter(F.col("id") >= 150).collect()
+    assert len(new_rows) == delta.count()
+    for r in new_rows:
+        d = ((np.array(r.vec, dtype=np.float64) - C) ** 2).sum(axis=1)
+        assert keys[int(d.argmin())] == r.list_id
+    # prefix assignments untouched
+    assert (
+        appended.assignments.filter(F.col("id") < 150).count()
+        == index.assignments.count()
+    )
+
+
+def test_lsh_persisted_append_roundtrip(spark, tmp_path):
+    # daily-ingest shape: write prefix index → append delta in place →
+    # read back ≡ in-memory append; overlapping ids are not duplicated
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_lsh_index, append_lsh_index_at, build_lsh_index, lsh_probe,
+        read_lsh_index, write_lsh_index,
+    )
+
+    emb = _emb(spark, n=200)
+    prefix = emb.filter(F.col("vec_id") < 120)
+    delta = emb.filter(F.col("vec_id") >= 100)
+    path = str(tmp_path / "lsh_index")
+    index = build_lsh_index(prefix, "vec_id", "embedding")
+    write_lsh_index(index, path)
+    append_lsh_index_at(spark, path, delta, "vec_id", "embedding")
+    loaded = read_lsh_index(spark, path)
+    assert loaded.vectors.count() == emb.count()
+    assert loaded.vectors.select("id").distinct().count() == emb.count()
+    want = _result_set(
+        lsh_probe(append_lsh_index(index, delta, "vec_id", "embedding"), k=5)
+    )
+    assert _result_set(lsh_probe(loaded, k=5)) == want and len(want) > 0
+
+
+def test_ivf_persisted_append_roundtrip(spark, tmp_path):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_ivf_index, append_ivf_index_at, build_ivf_index, ivf_probe,
+        read_ivf_index, write_ivf_index,
+    )
+
+    emb = _emb(spark, n=200)
+    prefix = emb.filter(F.col("vec_id") < 150)
+    delta = emb.filter(F.col("vec_id") >= 130)  # 20-id overlap
+    path = str(tmp_path / "ivf_index")
+    index = build_ivf_index(prefix, "vec_id", "embedding", n_lists=6)
+    write_ivf_index(index, path)
+    append_ivf_index_at(spark, path, delta, "vec_id", "embedding")
+    loaded = read_ivf_index(spark, path)
+    assert loaded.assignments.count() == emb.count()
+    assert loaded.assignments.select("id").distinct().count() == emb.count()
+    want = _result_set(
+        ivf_probe(append_ivf_index(index, delta, "vec_id", "embedding"),
+                  k=5, n_probe=2)
+    )
+    assert _result_set(ivf_probe(loaded, k=5, n_probe=2)) == want
+    assert len(want) > 0
