@@ -318,6 +318,74 @@ def train_test_split(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-based domain mixing — the data-mixing step every
+    multi-source training corpus runs: domain d's share of the output is
+    proportional to count(d)^alpha instead of count(d), so alpha<1
+    flattens the mix toward rare domains (alpha=1 natural, alpha=0
+    uniform). Output sizes to ``target_fraction`` of the input corpus.
+
+    Per-domain keep rates derive from ONE tiny count aggregate
+    (broadcast back onto the fact table — no fact-side shuffle), and the
+    per-doc keep decision is the same engine-portable md5-threshold used
+    by ``train_test_split``: deterministic, re-run/repartition-stable,
+    and recomputable by any other system including the SQL oracle.
+    Rates are rounded to 6 dp before thresholding so cross-engine float
+    ULP differences cannot move a doc across the keep boundary; the
+    default alpha=0.5 uses sqrt, which IEEE-754 rounds exactly (pow is
+    not so specified — prefer binary-exact alphas for oracle parity).
+
+    Domains whose rate clamps at 1 keep everything: without-replacement
+    materialization cannot upsample past a domain's own size — true
+    with-replacement temperature sampling is the training loader's
+    repeat-epoch concern, not the corpus builder's.
+
+    Adds ``rate`` (double) and ``kept`` (boolean); filter on ``kept`` to
+    materialize the mix. At 100 TB the plan is one thin count aggregate
+    plus a broadcast hash join and a per-row hash — no wide shuffle.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.withColumn("_w", F.pow(F.col("_n"), F.lit(float(alpha))))
+    totals = weights.agg(
+        F.sum("_w").alias("_sw"), F.sum("_n").alias("_tot")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_fraction))
+                    * F.col("_tot") * F.col("_w") / F.col("_sw") / F.col("_n"),
+                ),
+                6,
+            ),
+        )
+        .select(domain_col, "rate")
+    )
+    digest = F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
+    # fixed-width UPPERCASE hex compares lexicographically == numerically
+    # ('0'-'9' < 'A'-'F' in ASCII); Spark hex() and DuckDB to_hex() both
+    # emit uppercase, md5 emits lowercase — upper() aligns them.
+    thresh = F.lpad(
+        F.hex(F.floor(F.col("rate") * F.lit(float(16**8))).cast("long")),
+        8, "0",
+    )
+    return df.join(F.broadcast(rates), domain_col).withColumn(
+        "kept",
+        (F.col("rate") >= 1.0)
+        | (F.upper(F.substring(digest, 1, 8)) < thresh),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -563,3 +631,21 @@ def gopher_quality_flags(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def shard_assignment(
+    id_col: str, n_shards: int, salt: str = "shard-v1"
+):
+    """Deterministic training-shard assignment: a 24-bit md5 prefix mod
+    ``n_shards``. Like ``train_test_split``'s bucketing, md5 makes the
+    assignment engine-portable (the SQL oracle and any downstream loader
+    recompute it exactly) and stable under re-runs, repartitioning, and
+    incremental appends — a doc never migrates between shards.
+
+    Returns (shard, _shuffle_key) columns: the full digest doubles as a
+    deterministic pseudo-random intra-shard sort key, which is how a
+    training pipeline gets a reproducible GLOBAL shuffle without a
+    global sort — hash order is the shuffle."""
+    digest = F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(digest, 1, 6), 16, 10).cast("long") % n_shards)
+    return shard.alias("shard"), digest.alias("_shuffle_key")

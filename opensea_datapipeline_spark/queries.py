@@ -2702,6 +2702,94 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "domain_mix_resample",
+    # Temperature-based domain mixing (count^alpha shares, alpha=0.5):
+    # the oracle replays the exact rate arithmetic (sqrt is IEEE-exact
+    # cross-engine; rates rounded to 6dp before thresholding) and the
+    # same portable md5-threshold keep rule. Fixed-width UPPERCASE hex
+    # compares lexicographically == numerically in both engines.
+    """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT lang, n, sqrt(n) AS wt FROM c
+), t AS (
+  SELECT sum(wt) AS sw, sum(n) AS tot FROM w
+), r AS (
+  SELECT lang, round(least(1.0, 0.5 * tot * wt / sw / n), 6) AS rate
+  FROM w CROSS JOIN t
+), k AS (
+  SELECT d.lang, r.rate,
+    CASE WHEN r.rate >= 1.0 THEN TRUE
+         ELSE upper(substr(md5(concat('mix-v1', '_', CAST(d.doc_id AS VARCHAR))), 1, 8))
+              < lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')
+    END AS kept
+  FROM documents d JOIN r USING (lang)
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS total_docs,
+  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS kept_docs,
+  min(rate) AS rate
+FROM k GROUP BY 1
+""",
+)
+def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-mixing for multi-source training corpora: shares ∝ count^0.5
+    # flatten the lang distribution (en is ~3× de here; after mixing the
+    # ratio is ~sqrt(3)). One thin count agg + broadcast join + per-row
+    # hash — no fact-side shuffle beyond the final summary.
+    d = _t(spark, sf_dir, "documents")
+    mixed = tx.temperature_resample(
+        d, "lang", "doc_id", alpha=0.5, target_fraction=0.5
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("kept_docs"),
+        F.min("rate").alias("rate"),
+    )
+
+
+@_register(
+    "training_shard_stats",
+    # Portable shard assignment (24-bit md5 prefix mod 8) replayed by the
+    # oracle via DuckDB's hex-string cast; min/max of the full digest
+    # pin the intra-shard deterministic shuffle order at both ends.
+    """
+WITH s AS (
+  SELECT doc_id, lang,
+    md5(concat('shard-v1', '_', CAST(doc_id AS VARCHAR))) AS digest
+  FROM documents
+), a AS (
+  SELECT doc_id, lang, digest,
+    CAST(concat('0x', substr(digest, 1, 6)) AS BIGINT) % 8 AS shard
+  FROM s
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  min(digest) AS first_key, max(digest) AS last_key
+FROM a GROUP BY 1
+""",
+)
+def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The shard manifest a training loader reads: per-shard sizes (hash
+    # balance), lang coverage (every shard sees the full mix), and the
+    # deterministic shuffle-key span. Same expression the shard sink
+    # (`sources.writers.write_training_shards`) partitions by.
+    d = _t(spark, sf_dir, "documents")
+    shard, key = tx.shard_assignment("doc_id", 8)
+    return (
+        d.select("doc_id", "lang", shard, key)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("_shuffle_key").alias("first_key"),
+            F.max("_shuffle_key").alias("last_key"),
+        )
+    )
+
+
+@_register(
     "value_histogram",
     """
 SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,

@@ -138,3 +138,39 @@ def write_range_partitioned(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 32,
+    salt: str = "shard-v1",
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard sink: a reproducible GLOBAL shuffle of the corpus
+    into ``n_shards`` hash shards, the layout a training loader streams.
+
+    Assignment and intra-shard order both derive from a portable md5 of
+    (salt, id) — see ``operators.text.shard_assignment`` — so the output
+    is byte-stable across re-runs and cluster sizes: no ``rand()``, no
+    global sort. ``repartition`` on the shard column gives each reducer
+    whole shards; ``partitionBy`` writes one directory per shard;
+    ``sortWithinPartitions`` fixes the in-file row order. At 100 TB this
+    is exactly one hash-partition shuffle of the fact table — the
+    cheapest possible global shuffle — and shard counts stay balanced
+    because the 24-bit hash is near-uniform regardless of key skew.
+    """
+    from ..operators.text import shard_assignment
+
+    shard, key = shard_assignment(id_col, n_shards, salt)
+    (
+        df.withColumn("shard", shard)
+        .withColumn("_shuffle_key", key)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_shuffle_key")
+        .drop("_shuffle_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -305,3 +305,92 @@ def test_ivf_persisted_append_roundtrip(spark, tmp_path):
     )
     assert _result_set(ivf_probe(loaded, k=5, n_probe=2)) == want
     assert len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: temperature mixing + shard sink
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_resample_flattens_shares(spark):
+    from opensea_datapipeline_spark.operators.text import temperature_resample
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    mixed = temperature_resample(docs, "lang", "doc_id", alpha=0.5,
+                                 target_fraction=0.5)
+    rows = {
+        r.lang: r
+        for r in mixed.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("kept"),
+            F.min("rate").alias("rate"),
+        ).collect()
+    }
+    # alpha<1 upweights rare domains: smaller lang => strictly higher rate
+    by_n = sorted(rows.values(), key=lambda r: r.n)
+    rates = [r.rate for r in by_n]
+    assert rates == sorted(rates, reverse=True)
+    # kept counts track rate*n within binomial noise (3 sigma)
+    import math
+    for r in rows.values():
+        exp, sd = r.n * r.rate, math.sqrt(r.n * r.rate * (1 - r.rate))
+        assert abs(r.kept - exp) <= 3 * sd + 1
+    # determinism: re-running selects the identical doc set
+    ids1 = {x.doc_id for x in mixed.filter("kept").select("doc_id").collect()}
+    mixed2 = temperature_resample(docs, "lang", "doc_id", alpha=0.5,
+                                  target_fraction=0.5)
+    ids2 = {x.doc_id for x in mixed2.filter("kept").select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_temperature_resample_alpha_zero_rate_clamp(spark):
+    # alpha=0 → uniform target shares; with a high target_fraction the
+    # rare domains clamp at rate 1.0 and keep every doc
+    from opensea_datapipeline_spark.operators.text import temperature_resample
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    mixed = temperature_resample(docs, "lang", "doc_id", alpha=0.0,
+                                 target_fraction=0.9)
+    per = {
+        r.lang: r
+        for r in mixed.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("kept"),
+            F.min("rate").alias("rate"),
+        ).collect()
+    }
+    smallest = min(per.values(), key=lambda r: r.n)
+    assert smallest.rate == 1.0 and smallest.kept == smallest.n
+
+
+def test_write_training_shards_deterministic_layout(spark, tmp_path):
+    import os
+
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.sources.writers import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, "doc_id", n_shards=8)
+    # second run from a differently-partitioned input: same bytes-level
+    # content (assignment + order are pure functions of doc_id)
+    write_training_shards(docs.repartition(13), p2, "doc_id", n_shards=8)
+
+    assert sorted(d for d in os.listdir(p1) if d.startswith("shard=")) == [
+        f"shard={i}" for i in range(8)
+    ]
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    assert r1.count() == docs.count()
+    # per-shard doc sets identical across runs
+    a = {(r.shard, r.doc_id) for r in r1.select("shard", "doc_id").collect()}
+    b = {(r.shard, r.doc_id) for r in r2.select("shard", "doc_id").collect()}
+    assert a == b
+    # in-file order identical across runs (the deterministic shuffle)
+    o1 = [r.doc_id for r in spark.read.parquet(p1 + "/shard=3").collect()]
+    o2 = [r.doc_id for r in spark.read.parquet(p2 + "/shard=3").collect()]
+    assert o1 == o2 and len(o1) > 0
