@@ -11,7 +11,8 @@ and the function decides what to update and emit.
 API note: Spark 4 offers two seams — ``transformWithStateInPandas``
 (StatefulProcessor, richer: multiple state variables, timers, TTL) and
 ``applyInPandasWithState`` (GroupState). The former's Python state
-server requires protobuf, which this environment does not ship, so the
+server requires protobuf, which this environment does not ship (absence
+re-verified round 6: ``import google.protobuf`` still fails), so the
 operator uses the stable GroupState API; the state-machine semantics
 demonstrated here are identical, and the processor body would transplant
 into a StatefulProcessor unchanged.

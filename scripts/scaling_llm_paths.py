@@ -269,6 +269,35 @@ def main():
             ).count()
             entry["ivf_planted_recall"] = round(hits / batch.count(), 3)
 
+            # r6 incremental append: the daily-ingest shape. Delta = the
+            # last replica (1/mult of the corpus — 1% at 100x); prefix
+            # index is built untimed (it exists already in serving), then
+            # append-only wall is timed and compared against the same
+            # run's full-rebuild wall (lsh_build_sec / ivf_build_sec).
+            delta = emb.filter(
+                F.col("vec_id") >= (mult - 1) * REP_OFFSET
+            ).localCheckpoint(eager=True)
+            prefix = emb.filter(F.col("vec_id") < (mult - 1) * REP_OFFSET)
+            entry["append_delta_frac"] = round(1.0 / mult, 3)
+
+            pre_lsh = ann.build_lsh_index(
+                prefix, "vec_id", "embedding", n_planes=n_planes,
+                n_tables=n_tables, dim=dim, materialize=True,
+            )
+            t0 = time.perf_counter()
+            app_lsh = ann.append_lsh_index(pre_lsh, delta, "vec_id", "embedding")
+            app_lsh.sigs.count()
+            entry["lsh_append_delta_sec"] = round(time.perf_counter() - t0, 2)
+
+            pre_ivf = ann.build_ivf_index(
+                prefix, "vec_id", "embedding", n_lists=n_lists,
+                materialize=True,
+            )
+            t0 = time.perf_counter()
+            app_ivf = ann.append_ivf_index(pre_ivf, delta, "vec_id", "embedding")
+            app_ivf.assignments.count()
+            entry["ivf_append_delta_sec"] = round(time.perf_counter() - t0, 2)
+
         report["scales"][f"{mult}x"] = entry
         print(json.dumps({f"{mult}x": entry}), file=sys.stderr)
 
