@@ -174,3 +174,46 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files of ~``target_file_mb`` each.
+
+    The operational reality of a long-lived 100 TB lake: streaming
+    micro-batches, partitioned writes, and incremental appends all leave
+    directories of KB-scale files, and scan throughput collapses under
+    per-file open/footer costs (plus driver memory for file listings).
+    Sizing uses the Hadoop FileSystem API on the table's own input
+    files, so it works on any URI the data lives behind (local fs in
+    tests, HDFS/object store on a cluster). Round-robin repartition —
+    not coalesce — so output files are equal-sized regardless of input
+    skew; coalesce would glue unbalanced inputs into unbalanced outputs.
+
+    Returns the number of output files written. Writes to a NEW path:
+    compact-in-place belongs to table formats with atomic commit; plain
+    parquet gets the write-then-swap idiom (`VersionedOutputStore`).
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dst_path)
+    )
+    return n_files

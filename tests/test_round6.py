@@ -394,3 +394,55 @@ def test_write_training_shards_deterministic_layout(spark, tmp_path):
     o1 = [r.doc_id for r in spark.read.parquet(p1 + "/shard=3").collect()]
     o2 = [r.doc_id for r in spark.read.parquet(p2 + "/shard=3").collect()]
     assert o1 == o2 and len(o1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Lake operations: small-file compaction + runtime bloom-filter pruning
+# ---------------------------------------------------------------------------
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import os
+
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.sources.writers import compact_parquet
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    src = str(tmp_path / "fragmented")
+    events.repartition(32).write.parquet(src)  # the streaming-sink shape
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 32
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_file_mb=128)
+    n_files = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_files == n_out < n_small
+    assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark):
+    # Spark's runtime row-level filtering: a selective filter on one join
+    # side injects a bloom filter into the other side's scan, pruning
+    # shuffle input before the join — the 100 TB fact-join saver when the
+    # dim side is too big to broadcast. Guardrail: the optimizer must
+    # inject it once thresholds allow (local data is tiny, so the test
+    # lowers the application-side threshold; defaults engage at scale).
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        import pyspark.sql.functions as F
+
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan  # bloom_filter_agg / might_contain pair
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
