@@ -87,6 +87,8 @@ HEADLINE = [
     "group_p90_distributed",  # per-group exact percentile, no value buffer
     "order_shipping_priority",  # TPC-H Q3 shape: filtered broadcast + top-N heaps
     "returned_item_losses",     # TPC-H Q10 shape: quarter slice + top-N heaps
+    "domain_mix_resample",      # temperature mixing: broadcast rate join (r6)
+    "training_shard_stats",     # portable shard manifest, one agg shuffle (r6)
 ]
 
 

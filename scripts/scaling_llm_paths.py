@@ -212,11 +212,18 @@ def main():
             n_tables=n_tables, dim=dim, materialize=True,
         )
         entry["lsh_build_sec"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        approx = ann.lsh_probe(lsh_index, queries=batch, k=10).localCheckpoint(
-            eager=True
-        )
-        entry["lsh_probe_only_sec"] = round(time.perf_counter() - t0, 2)
+        # min-of-3 probes in one session (the table's stated discipline;
+        # this host's contention bursts inflate single runs up to 5x, and
+        # repeated probes ARE the serving shape a persisted index exists
+        # for — run 1 additionally pays codegen/JIT)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            approx = ann.lsh_probe(
+                lsh_index, queries=batch, k=10
+            ).localCheckpoint(eager=True)
+            best = min(best, time.perf_counter() - t0)
+        entry["lsh_probe_only_sec"] = round(best, 2)
         entry["knn_topk_lsh_batch_sec"] = round(
             entry["lsh_build_sec"] + entry["lsh_probe_only_sec"], 2
         )
@@ -251,11 +258,14 @@ def main():
             emb, "vec_id", "embedding", n_lists=n_lists, materialize=True,
         )
         entry["ivf_build_sec"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        ivf = ann.ivf_probe(
-            ivf_index, queries=batch, k=10, n_probe=n_probe
-        ).localCheckpoint(eager=True)
-        entry["ivf_probe_only_sec"] = round(time.perf_counter() - t0, 2)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ivf = ann.ivf_probe(
+                ivf_index, queries=batch, k=10, n_probe=n_probe
+            ).localCheckpoint(eager=True)
+            best = min(best, time.perf_counter() - t0)
+        entry["ivf_probe_only_sec"] = round(best, 2)
         entry["ann_ivf_batch_sec"] = round(
             entry["ivf_build_sec"] + entry["ivf_probe_only_sec"], 2
         )

@@ -446,3 +446,14 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_domain_mix_rate_join_broadcasts(spark):
+    # the rate table is O(#domains) rows — the fact-side join must stay a
+    # broadcast hash join (no SortMergeJoin on the corpus) at any scale
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    df = QUERIES["domain_mix_resample"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
