@@ -506,3 +506,228 @@ def read_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
         n_lists=meta["n_lists"],
         seed=meta["seed"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-bandwidth half of the ANN scale story.
+#
+# Scalar int8 (`similarity.quantize_embeddings`) buys 4×; PQ buys
+# dim·4B → m·log2(k)/8 B (e.g. a 64-dim float32 vector, 256 B, becomes
+# m=8 codes from k=16-entry codebooks = 4 B logical — 64×). At 100 TB the
+# exhaustive scan over PQ codes is memory-bandwidth-bound instead of
+# capacity-bound, and ADC (asymmetric distance computation) scores a
+# candidate with m table lookups instead of a dim-length dot product.
+# Public method: Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011.
+#
+# Design notes for the Spark shape:
+# - Codebooks are trained driver-side with seeded numpy Lloyd iterations
+#   on a BOUNDED ordered sample (codebooks are m·k·(dim/m) floats — KB-
+#   scale — and training on a sample is the standard practice; the
+#   ordered take keeps the build deterministic under repartitioning).
+# - Vectors are L2-normalized before encoding, so ADC inner product
+#   approximates cosine — aligned with every other similarity operator
+#   here.
+# - Code assignment is one Arrow matmul pass per subspace batch.
+# - The probe is a mapInPandas scan over the codes table with per-query
+#   lookup tables closed over (queries are a bounded serving batch by
+#   contract, like the centroid table): each Arrow batch emits only its
+#   LOCAL top-k per query, so the final shuffle carries
+#   partitions × queries × k rows, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PqIndex:
+    """Product-quantization index: tiny codebooks + compressed codes."""
+
+    codebooks: DataFrame  # (subspace, code, centroid: array<double>)
+    codes: DataFrame  # (id, codes: array<int>)
+    m: int
+    k: int
+    dim: int
+    seed: int
+
+
+def _train_pq_codebooks(X, m: int, k: int, seed: int, iters: int = 15):
+    """Seeded Lloyd per subspace on the driver sample: deterministic —
+    init picks k distinct rows via the seeded RNG, empty clusters keep
+    their previous centroid (no randomness mid-iteration)."""
+    import numpy as np
+
+    n, dim = X.shape
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        C = Xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    materialize: bool = False,
+) -> PqIndex:
+    """Train per-subspace codebooks on an ordered bounded sample, then
+    encode the whole corpus in one Arrow pass (normalize → per-subspace
+    argmin against the codebook). ``dim`` must divide into ``m`` equal
+    subspaces."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = embeddings.sparkSession
+    clean = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    sample = np.vstack(
+        [r.vec for r in clean.orderBy("id").limit(sample_size).collect()]
+    ).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sample = sample / norms
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    books = _train_pq_codebooks(sample, m, k, seed)
+    sub = dim // m
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        nr = np.linalg.norm(M, axis=1, keepdims=True)
+        nr[nr == 0.0] = 1.0
+        M = M / nr
+        out = np.empty((M.shape[0], m), dtype=np.int64)
+        for s in range(m):
+            Ms = M[:, s * sub:(s + 1) * sub]
+            # argmin ||x-c||^2 == argmax x.c - 0.5|c|^2
+            scores = Ms @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)
+            out[:, s] = scores.argmax(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    codes = clean.select(
+        "id", encode(F.col("vec").cast("array<double>")).alias("codes")
+    )
+    if materialize:
+        codes = codes.localCheckpoint(eager=True)
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(m)
+            for c in range(k)
+        ],
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>",
+    )
+    return PqIndex(codebooks, codes, m, k, dim, seed)
+
+
+def pq_probe(
+    index: PqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per-query inner-product lookup tables against the
+    codebooks (Q × m × k floats, driver-built from the bounded query
+    batch), then a mapInPandas scan over the codes table — each Arrow
+    batch scores ALL queries against its codes via numpy gather and
+    emits only its local top-k per query; a final window reduces
+    partitions × Q × k rows to the global top-k. The corpus never
+    leaves its partitions, and each candidate costs m int lookups."""
+    import numpy as np
+
+    rows = sorted(
+        index.codebooks.collect(), key=lambda r: (r.subspace, r.code)
+    )
+    m, kk, dim = index.m, index.k, index.dim
+    sub = dim // m
+    books = np.empty((m, kk, sub), dtype=np.float64)
+    for r in rows:
+        books[r.subspace, r.code] = r.centroid
+
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .collect()
+    )
+    qids = np.array([r.id for r in q_rows], dtype=np.int64)
+    Q = np.vstack([r.vec for r in q_rows]).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    # T[q, s, c] = q_sub(s) . codebook[s, c]  — ADC sim decomposes as a sum
+    T = np.einsum("qsd,skd->qsk", Q.reshape(len(qids), m, sub), books)
+
+    out_schema = "query_id LONG, neighbor_id LONG, sim DOUBLE"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            # S[q, b] = sum_s T[q, s, C[b, s]] — per-subspace gather (m is
+            # small; each step is one (Q, k) table indexed by a code column)
+            S = np.zeros((len(qids), C.shape[0]))
+            for s in range(m):
+                S += T[:, s, :][:, C[:, s]]
+            top = min(k + 1, S.shape[1])  # +1 absorbs a self-match
+            part = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            qi = np.repeat(np.arange(len(qids)), top)
+            bi = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "neighbor_id": ids[bi],
+                    "sim": S[qi, bi],
+                }
+            )
+
+    scored = index.codes.mapInPandas(score_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def write_pq_index(index: PqIndex, path: str) -> None:
+    """Persist codebooks + codes; the codes table IS the compressed
+    corpus (m small ints per vector vs dim floats)."""
+    spark = index.codebooks.sparkSession
+    index.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    _write_meta(
+        spark, path,
+        {"kind": "pq", "n_planes": index.m, "n_tables": index.k,
+         "dim": index.dim, "seed": index.seed},
+    )
+
+
+def read_pq_index(spark: SparkSession, path: str) -> PqIndex:
+    meta = _read_meta(spark, path, "pq")
+    return PqIndex(
+        codebooks=spark.read.parquet(f"{path}/codebooks"),
+        codes=spark.read.parquet(f"{path}/codes").select("id", "codes"),
+        m=meta["n_planes"],
+        k=meta["n_tables"],
+        dim=meta["dim"],
+        seed=meta["seed"],
+    )

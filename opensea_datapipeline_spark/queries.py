@@ -1944,6 +1944,48 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pq_topk",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS twin_recall_ok
+FROM embeddings WHERE vec_id < 50
+""",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product quantization graded by its falsifiable property: a planted
+    # cos≈0.95 twin (deterministic in-plan perturbation, id+10000) must
+    # survive ADC distortion (m=8, k=16 → 64-dim float32 256B → 8B codes)
+    # and land in its query's top-10 for ≥90% of queries. Codebooks are
+    # seeded-Lloyd deterministic, so the boolean is stable, not flaky.
+    from .operators import ann_index as ai
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    idx = ai.build_pq_index(corpus, "vec_id", "embedding", m=8, k=16)
+    res = ai.pq_probe(idx, corpus.filter(F.col("vec_id") < 50), k=10)
+    return (
+        res.agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.sum(
+                (F.col("neighbor_id") == F.col("query_id") + 10_000).cast("int")
+            ).alias("_twin_hits"),
+        )
+        .select(
+            "n_queries",
+            (F.col("_twin_hits") >= F.round(F.col("n_queries") * 0.9)).alias(
+                "twin_recall_ok"
+            ),
+        )
+    )
+
+
+@_register(
     "ann_index_lifecycle",
     """
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,

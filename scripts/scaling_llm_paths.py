@@ -279,6 +279,33 @@ def main():
             ).count()
             entry["ivf_planted_recall"] = round(hits / batch.count(), 3)
 
+        # r6 product quantization: exhaustive scan over 8-byte codes
+        # (vs 256-byte vectors — the memory-bandwidth path). Build =
+        # driver-sample Lloyd + one Arrow encode pass; probe = ADC
+        # mapInPandas with per-batch local top-k.
+        t0 = time.perf_counter()
+        pq_index = ann.build_pq_index(
+            emb, "vec_id", "embedding", m=8, k=16, materialize=True,
+        )
+        entry["pq_build_sec"] = round(time.perf_counter() - t0, 2)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pq = ann.pq_probe(pq_index, batch, k=10).localCheckpoint(
+                eager=True
+            )
+            best = min(best, time.perf_counter() - t0)
+        entry["pq_probe_only_sec"] = round(best, 2)
+        entry["pq_recall"] = round(
+            ann_recall(pq.join(sample_ids, pq.query_id ==
+                               sample_ids.vec_id), exact), 3
+        )
+        if mult > 1:
+            hits = pq.filter(
+                F.col("neighbor_id") == F.col("query_id") + REP_OFFSET
+            ).count()
+            entry["pq_planted_recall"] = round(hits / batch.count(), 3)
+
             # r6 incremental append: the daily-ingest shape. Delta = the
             # last replica (1/mult of the corpus — 1% at 100x); prefix
             # index is built untimed (it exists already in serving), then

@@ -457,3 +457,75 @@ def test_domain_mix_rate_join_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: compressed-scan ANN (ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_index_shapes_and_determinism(spark):
+    from opensea_datapipeline_spark.operators.ann_index import build_pq_index
+
+    emb = _emb(spark, n=300)
+    idx = build_pq_index(emb, "vec_id", "embedding", m=8, k=16)
+    assert idx.codebooks.count() == 8 * 16
+    rows = idx.codes.orderBy("id").collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    # deterministic rebuild: same sample order + seeded Lloyd → same codes
+    idx2 = build_pq_index(emb.repartition(7), "vec_id", "embedding", m=8, k=16)
+    assert rows == idx2.codes.orderBy("id").collect()
+
+
+def test_pq_probe_planted_twin_recall(spark):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_pq_index, pq_probe,
+    )
+
+    emb = _emb(spark, n=300)
+    # plant near-duplicates: deterministic elementwise perturbation of the
+    # first 50 vectors (cos ≈ 0.95), ids offset by 10_000
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    idx = build_pq_index(corpus, "vec_id", "embedding", m=8, k=16)
+    queries = corpus.filter(F.col("vec_id") < 50)
+    res = pq_probe(idx, queries, k=10)
+    hits = res.filter(
+        F.col("neighbor_id") == F.col("query_id") + 10_000
+    ).count()
+    # a cos≈0.95 twin in a cos≈0.4 noise corpus must survive PQ (m=8,
+    # k=16) distortion for nearly every query
+    assert hits >= 45
+    # every query returns exactly k rows and never itself
+    per_q = {r.query_id: r.n for r in res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_q) == set(range(50)) and all(v == 10 for v in per_q.values())
+    assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_pq_index_roundtrip_probe_identical(spark, tmp_path):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_pq_index, pq_probe, read_pq_index, write_pq_index,
+    )
+
+    emb = _emb(spark, n=300)
+    idx = build_pq_index(emb, "vec_id", "embedding", m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 40)
+    want = _result_set(pq_probe(idx, queries, k=5))
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(idx, path)
+    loaded = read_pq_index(spark, path)
+    assert (loaded.m, loaded.k, loaded.dim, loaded.seed) == (
+        idx.m, idx.k, idx.dim, idx.seed,
+    )
+    assert _result_set(pq_probe(loaded, queries, k=5)) == want
+    assert len(want) > 0
