@@ -642,6 +642,8 @@ def pq_probe(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    overfetch: int = 4,
 ) -> DataFrame:
     """ADC top-k: per-query inner-product lookup tables against the
     codebooks (Q × m × k floats, driver-built from the bounded query
@@ -649,7 +651,15 @@ def pq_probe(
     batch scores ALL queries against its codes via numpy gather and
     emits only its local top-k per query; a final window reduces
     partitions × Q × k rows to the global top-k. The corpus never
-    leaves its partitions, and each candidate costs m int lookups."""
+    leaves its partitions, and each candidate costs m int lookups.
+
+    ``rerank_with`` = the (id_col, vec_col) float vector table: ADC
+    over-fetches ``overfetch × k`` candidates per query, then exact
+    cosine re-ranks just those — the standard two-stage serving pattern
+    (compressed scan finds the neighborhood, floats order it). The
+    re-rank touches overfetch·k·Q vectors regardless of corpus size, so
+    the 32× scan saving is kept while ADC distortion stops deciding the
+    final order."""
     import numpy as np
 
     rows = sorted(
@@ -675,6 +685,7 @@ def pq_probe(
     T = np.einsum("qsd,skd->qsk", Q.reshape(len(qids), m, sub), books)
 
     out_schema = "query_id LONG, neighbor_id LONG, sim DOUBLE"
+    fetch = k if rerank_with is None else max(k, overfetch * k)
 
     def score_batches(batches):
         for pdf in batches:
@@ -687,7 +698,7 @@ def pq_probe(
             S = np.zeros((len(qids), C.shape[0]))
             for s in range(m):
                 S += T[:, s, :][:, C[:, s]]
-            top = min(k + 1, S.shape[1])  # +1 absorbs a self-match
+            top = min(fetch + 1, S.shape[1])  # +1 absorbs a self-match
             part = np.argpartition(-S, top - 1, axis=1)[:, :top]
             qi = np.repeat(np.arange(len(qids)), top)
             bi = part.ravel()
@@ -701,10 +712,30 @@ def pq_probe(
 
     scored = index.codes.mapInPandas(score_batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
-    return (
+    adc = (
         scored.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= fetch)
+    )
+    if rerank_with is None:
+        return adc
+    vecs = rerank_with.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rvec")
+    )
+    reranked = (
+        adc.drop("rank", "sim")
+        .join(vecs.withColumnRenamed("_rid", "query_id")
+                  .withColumnRenamed("_rvec", "_qvec"), "query_id")
+        .join(vecs.withColumnRenamed("_rid", "neighbor_id")
+                  .withColumnRenamed("_rvec", "_cvec"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_arrow("_qvec", "_cvec").alias("sim"),
+        )
+    )
+    return reranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
