@@ -644,6 +644,7 @@ def pq_probe(
     vec_col: str = "embedding",
     rerank_with: DataFrame | None = None,
     overfetch: int = 4,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """ADC top-k: per-query inner-product lookup tables against the
     codebooks (Q × m × k floats, driver-built from the bounded query
@@ -671,11 +672,21 @@ def pq_probe(
     for r in rows:
         books[r.subspace, r.code] = r.centroid
 
+    # queries are a bounded SERVING batch by contract (their lookup
+    # tables ride to every executor in the closure, like the centroid
+    # table) — fail loudly rather than silently collecting a corpus;
+    # corpus-scale all-pairs belongs to the LSH/IVF self-join modes.
     q_rows = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .limit(max_queries + 1)
         .collect()
     )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_probe query batch exceeds max_queries={max_queries}; "
+            "split the batch or raise the cap deliberately"
+        )
     qids = np.array([r.id for r in q_rows], dtype=np.int64)
     Q = np.vstack([r.vec for r in q_rows]).astype(np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)

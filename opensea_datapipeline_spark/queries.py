@@ -1989,7 +1989,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_index_lifecycle",
     """
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-  TRUE AS lsh_roundtrip_ok, TRUE AS ivf_roundtrip_ok
+  TRUE AS lsh_roundtrip_ok, TRUE AS ivf_roundtrip_ok,
+  TRUE AS pq_roundtrip_ok
 FROM embeddings WHERE vec_id < 300
 """,
 )
@@ -2027,10 +2028,20 @@ def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ai.ivf_probe(ai.read_ivf_index(spark, ivf_path), k=5, n_probe=2),
     )
 
+    pq = ai.build_pq_index(emb, "vec_id", "embedding", m=8, k=16)
+    pq_path = tempfile.mkdtemp(prefix="ann_pq_idx_")
+    ai.write_pq_index(pq, pq_path)
+    pq_queries = emb.filter(F.col("vec_id") < 50)
+    pq_ok = roundtrip_ok(
+        ai.pq_probe(pq, pq_queries, k=5),
+        ai.pq_probe(ai.read_pq_index(spark, pq_path), pq_queries, k=5),
+    )
+
     return emb.agg(F.count(F.lit(1)).alias("n_vectors")).select(
         "n_vectors",
         lsh_ok.alias("lsh_roundtrip_ok"),
         ivf_ok.alias("ivf_roundtrip_ok"),
+        pq_ok.alias("pq_roundtrip_ok"),
     )
 
 
