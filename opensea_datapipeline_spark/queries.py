@@ -2843,6 +2843,51 @@ def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "psi_value_drift",
+    # PSI drift monitor: integer bucket counts feed Laplace-smoothed
+    # shares, so the float math is engine-exact; ln() is natural log in
+    # both engines; 6dp rounding guards summation-order ULPs in the
+    # whole-table total.
+    """
+WITH e AS (
+  SELECT CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 'base' ELSE 'curr' END AS period,
+    CAST(least(floor(value / 25.0), 8) AS BIGINT) AS bucket
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT bucket,
+    CAST(count(*) FILTER (WHERE period = 'base') AS BIGINT) AS n_base,
+    CAST(count(*) FILTER (WHERE period = 'curr') AS BIGINT) AS n_curr
+  FROM e GROUP BY 1
+), t AS (
+  SELECT sum(n_base) AS tb, sum(n_curr) AS tc, count(*) AS nb FROM c
+), s AS (
+  SELECT bucket, n_base, n_curr,
+    (n_base + 0.5) / (tb + 0.5 * nb) AS pb,
+    (n_curr + 0.5) / (tc + 0.5 * nb) AS pc
+  FROM c CROSS JOIN t
+)
+SELECT bucket, n_base, n_curr,
+  round(pb, 6) AS p_base, round(pc, 6) AS p_curr,
+  round((pc - pb) * ln(pc / pb), 6) AS psi_term,
+  round(sum((pc - pb) * ln(pc / pb)) OVER (), 6) AS psi_total
+FROM s
+""",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Drift monitoring for a long-running ingest: PSI of the value
+    # distribution, first half of the month (base) vs second (curr).
+    e = _t(spark, sf_dir, "events").withColumn(
+        "period",
+        F.when(F.dayofmonth(F.col("ts").cast("date")) <= 15, "base").otherwise(
+            "curr"
+        ),
+    )
+    return agg.population_stability(
+        e, "value", "period", bucket_width=25.0, max_bucket=8
+    )
+
+
+@_register(
     "value_histogram",
     """
 SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,

@@ -606,3 +606,40 @@ def test_streaming_ingest_appends_persisted_lsh_index(spark, tmp_path):
     assert _result_set(lsh_probe(loaded, k=5)) == _result_set(
         lsh_probe(full, k=5)
     )
+
+
+def test_population_stability_detects_planted_drift(spark):
+    from opensea_datapipeline_spark.operators.aggregates import (
+        population_stability,
+    )
+
+    base = spark.range(2000).select(
+        F.lit("base").alias("period"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    same = spark.range(2000).select(
+        F.lit("curr").alias("period"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    shifted = spark.range(2000).select(
+        F.lit("curr").alias("period"),
+        ((F.col("id") % 100) + 120.0).alias("value"),  # mass moves buckets
+    )
+
+    stable = population_stability(
+        base.unionByName(same), "value", "period",
+        bucket_width=25.0, max_bucket=8,
+    )
+    drifted = population_stability(
+        base.unionByName(shifted), "value", "period",
+        bucket_width=25.0, max_bucket=8,
+    )
+    psi_stable = stable.select("psi_total").first()[0]
+    psi_drift = drifted.select("psi_total").first()[0]
+    # identical distributions: only smoothing noise; full shift: blows
+    # through the 0.25 investigate threshold
+    assert psi_stable < 0.01
+    assert psi_drift > 0.25
+    # per-bucket terms sum to the total (one row per touched bucket)
+    rows = drifted.collect()
+    assert abs(sum(r.psi_term for r in rows) - rows[0].psi_total) < 1e-4
