@@ -14,8 +14,12 @@ corpus version:
 - **IVF index** = the (list_id, centroid) centroid table + the
   (id, vec, list_id) inverted-list assignment. Build cost: one KMeans
   fit + one transform pass.
+- **PQ index** (r6) = per-subspace codebooks + the (id, codes) table:
+  a 32×-compressed corpus scanned exhaustively via ADC.
+- **IVF-PQ index** (r6) = the composition: n_probe of n_lists scanned,
+  8 B codes each — the FAISS-style serving architecture.
 
-Both persist as plain parquet directories plus a one-row JSON meta table
+All kinds persist as plain parquet directories plus a one-row JSON meta table
 (written with Spark writers, so ``path`` may be any Hadoop-compatible URI
 — local, HDFS, s3a). Probes against a read-back index are plan-identical
 to probes against the in-memory build: ``knn_topk_lsh`` / ``ann_ivf`` in
@@ -768,6 +772,228 @@ def read_pq_index(spark: SparkSession, path: str) -> PqIndex:
     return PqIndex(
         codebooks=spark.read.parquet(f"{path}/codebooks"),
         codes=spark.read.parquet(f"{path}/codes").select("id", "codes"),
+        m=meta["n_planes"],
+        k=meta["n_tables"],
+        dim=meta["dim"],
+        seed=meta["seed"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed serving architecture: IVF restricts WHICH codes
+# are scanned (n_probe of n_lists), PQ compresses WHAT is scanned (8 B
+# codes). This is the FAISS IVFPQ shape re-expressed on Spark tables,
+# with one documented deviation: codes encode the raw L2-normalized
+# vector, not the residual v − centroid (residual codebooks buy extra
+# precision at the cost of per-list rotation bookkeeping; the two-stage
+# `rerank_with` float re-rank recovers ordering precision more simply).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IvfPqIndex:
+    """Composed index: coarse lists + PQ codes per vector."""
+
+    centroids: DataFrame  # (list_id, centroid: array<double>)
+    codebooks: DataFrame  # (subspace, code, centroid: array<double>)
+    codes: DataFrame  # (id, list_id, codes: array<int>)
+    n_lists: int
+    m: int
+    k: int
+    dim: int
+    seed: int
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    materialize: bool = False,
+) -> IvfPqIndex:
+    """One KMeans fit (coarse lists) + one sampled Lloyd (codebooks) +
+    one Arrow encode pass; the codes table carries (id, list_id, codes)
+    so a probe scans only its probed lists' rows."""
+    ivf = build_ivf_index(
+        embeddings, id_col, vec_col, n_lists=n_lists, seed=seed
+    )
+    pq = build_pq_index(
+        embeddings, id_col, vec_col, m=m, k=k, seed=seed,
+        sample_size=sample_size,
+    )
+    codes = ivf.assignments.select("id", "list_id").join(pq.codes, "id")
+    if materialize:
+        codes = codes.localCheckpoint(eager=True)
+    return IvfPqIndex(
+        centroids=ivf.centroids,
+        codebooks=pq.codebooks,
+        codes=codes,
+        n_lists=n_lists,
+        m=m,
+        k=k,
+        dim=pq.dim,
+        seed=seed,
+    )
+
+
+def ivfpq_probe(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    overfetch: int = 4,
+    max_queries: int = 65536,
+) -> DataFrame:
+    """List-restricted ADC: rank centroids per query on the DRIVER (the
+    query batch is already collected for its lookup tables — no UDF
+    needed), then one mapInPandas scan over the codes table where each
+    Arrow batch groups its rows by list and scores each list's codes
+    against ONLY the queries probing that list. Per-batch local top-k
+    keeps the shuffle at partitions × queries × k rows; with codes
+    persisted partitioned by list_id, non-probed partitions are organic
+    scan skips at the file level once a pushed list filter applies.
+    ``rerank_with`` composes the same two-stage float re-rank as
+    ``pq_probe``."""
+    import numpy as np
+
+    rows = sorted(
+        index.codebooks.collect(), key=lambda r: (r.subspace, r.code)
+    )
+    m, kk, dim = index.m, index.k, index.dim
+    sub = dim // m
+    books = np.empty((m, kk, sub), dtype=np.float64)
+    for r in rows:
+        books[r.subspace, r.code] = r.centroid
+    crows = sorted(index.centroids.collect(), key=lambda r: r.list_id)
+    cids = np.array([r.list_id for r in crows], dtype=np.int64)
+    C = np.vstack([r.centroid for r in crows]).astype(np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Chat = (C.T / cn).T
+
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_probe query batch exceeds max_queries={max_queries}; "
+            "split the batch or raise the cap deliberately"
+        )
+    qids = np.array([r.id for r in q_rows], dtype=np.int64)
+    Q = np.vstack([r.vec for r in q_rows]).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    T = np.einsum("qsd,skd->qsk", Q.reshape(len(qids), m, sub), books)
+    # driver-side centroid ranking (same stable-argsort tie rule as
+    # ivf_probe's top_lists): probe_map[list_id] = query indices
+    np_ = min(n_probe, len(cids))
+    order = np.argsort(-(Q @ Chat.T), axis=1, kind="stable")[:, :np_]
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for l in cids[order[qi]]:
+            probe_map.setdefault(int(l), []).append(qi)
+    probe_map_np = {l: np.array(v, dtype=np.int64) for l, v in probe_map.items()}
+
+    fetch = k if rerank_with is None else max(k, overfetch * k)
+    out_schema = "query_id LONG, neighbor_id LONG, sim DOUBLE"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            Cc = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            frames = []
+            for l in np.unique(lists):
+                qidx = probe_map_np.get(int(l))
+                if qidx is None:
+                    continue
+                rsel = np.where(lists == l)[0]
+                S = np.zeros((len(qidx), len(rsel)))
+                for s in range(m):
+                    S += T[qidx, s, :][:, Cc[rsel, s]]
+                top = min(fetch + 1, S.shape[1])
+                part = np.argpartition(-S, top - 1, axis=1)[:, :top]
+                qi = np.repeat(np.arange(len(qidx)), top)
+                bi = part.ravel()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qidx[qi]],
+                            "neighbor_id": ids[rsel[bi]],
+                            "sim": S[qi, bi],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = index.codes.mapInPandas(score_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    adc = (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= fetch)
+    )
+    if rerank_with is None:
+        return adc
+    vecs = rerank_with.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rvec")
+    )
+    reranked = (
+        adc.drop("rank", "sim")
+        .join(vecs.withColumnRenamed("_rid", "query_id")
+                  .withColumnRenamed("_rvec", "_qvec"), "query_id")
+        .join(vecs.withColumnRenamed("_rid", "neighbor_id")
+                  .withColumnRenamed("_rvec", "_cvec"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_arrow("_qvec", "_cvec").alias("sim"),
+        )
+    )
+    return reranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Codes partitioned by list_id: a probe touching n_probe lists
+    prunes its scan to those partitions once a list filter pushes."""
+    spark = index.centroids.sparkSession
+    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    index.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    index.codes.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    _write_meta(
+        spark, path,
+        {"kind": "ivfpq", "n_planes": index.m, "n_tables": index.k,
+         "dim": index.dim, "seed": index.seed, "n_lists": index.n_lists},
+    )
+
+
+def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    meta = _read_meta(spark, path, "ivfpq")
+    return IvfPqIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        codebooks=spark.read.parquet(f"{path}/codebooks"),
+        codes=spark.read.parquet(f"{path}/codes").select(
+            "id", "list_id", "codes"
+        ),
+        n_lists=meta["n_lists"],
         m=meta["n_planes"],
         k=meta["n_tables"],
         dim=meta["dim"],

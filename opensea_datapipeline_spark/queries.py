@@ -1986,6 +1986,52 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivfpq_topk",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS twin_recall_ok
+FROM embeddings WHERE vec_id < 50
+""",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed serving shape (IVF restricts WHICH codes are scanned,
+    # PQ compresses WHAT is scanned) graded by the same falsifiable twin
+    # gate as pq_topk, with only half the lists probed: the cos≈0.95
+    # twin sits in (or next to) its query's own list, so n_probe=4 of 8
+    # must still surface it for ≥90% of queries.
+    from .operators import ann_index as ai
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    idx = ai.build_ivfpq_index(
+        corpus, "vec_id", "embedding", n_lists=8, m=8, k=16
+    )
+    res = ai.ivfpq_probe(
+        idx, corpus.filter(F.col("vec_id") < 50), k=10, n_probe=4
+    )
+    return (
+        res.agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.sum(
+                (F.col("neighbor_id") == F.col("query_id") + 10_000).cast("int")
+            ).alias("_twin_hits"),
+        )
+        .select(
+            "n_queries",
+            (F.col("_twin_hits") >= F.round(F.col("n_queries") * 0.9)).alias(
+                "twin_recall_ok"
+            ),
+        )
+    )
+
+
+@_register(
     "ann_index_lifecycle",
     """
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -306,6 +306,34 @@ def main():
             ).count()
             entry["pq_planted_recall"] = round(hits / batch.count(), 3)
 
+        # r6 IVF-PQ: list-restricted compressed scan — n_probe of
+        # n_lists partitions scanned, 8 B codes each. The composed
+        # serving shape; probe should undercut plain PQ's exhaustive
+        # compressed scan as N grows.
+        t0 = time.perf_counter()
+        ivfpq_index = ann.build_ivfpq_index(
+            emb, "vec_id", "embedding", n_lists=n_lists, m=8, k=16,
+            materialize=True,
+        )
+        entry["ivfpq_build_sec"] = round(time.perf_counter() - t0, 2)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ivfpq = ann.ivfpq_probe(
+                ivfpq_index, batch, k=10, n_probe=n_probe
+            ).localCheckpoint(eager=True)
+            best = min(best, time.perf_counter() - t0)
+        entry["ivfpq_probe_only_sec"] = round(best, 2)
+        entry["ivfpq_recall"] = round(
+            ann_recall(ivfpq.join(sample_ids, ivfpq.query_id ==
+                                  sample_ids.vec_id), exact), 3
+        )
+        if mult > 1:
+            hits = ivfpq.filter(
+                F.col("neighbor_id") == F.col("query_id") + REP_OFFSET
+            ).count()
+            entry["ivfpq_planted_recall"] = round(hits / batch.count(), 3)
+
             # r6 incremental append: the daily-ingest shape. Delta = the
             # last replica (1/mult of the corpus — 1% at 100x); prefix
             # index is built untimed (it exists already in serving), then

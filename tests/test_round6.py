@@ -643,3 +643,71 @@ def test_population_stability_detects_planted_drift(spark):
     # per-bucket terms sum to the total (one row per touched bucket)
     rows = drifted.collect()
     assert abs(sum(r.psi_term for r in rows) - rows[0].psi_total) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: list-restricted compressed scan (the composed serving shape)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark):
+    # with n_probe = n_lists the list restriction is a no-op, and since
+    # both indexes train identical codebooks (same seed + ordered
+    # sample), IVF-PQ must return exactly the plain-PQ ADC answer
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_ivfpq_index, build_pq_index, ivfpq_probe, pq_probe,
+    )
+
+    emb = _emb(spark, n=300).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 40)
+    pq = build_pq_index(emb, "vec_id", "embedding", m=8, k=16)
+    ivfpq = build_ivfpq_index(
+        emb, "vec_id", "embedding", n_lists=8, m=8, k=16
+    )
+    want = _result_set(pq_probe(pq, queries, k=5))
+    got = _result_set(ivfpq_probe(ivfpq, queries, k=5, n_probe=8))
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_planted_twin_recall_partial_probe(spark):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_ivfpq_index, ivfpq_probe,
+    )
+
+    emb = _emb(spark, n=300).select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    idx = build_ivfpq_index(corpus, "vec_id", "embedding", n_lists=8, m=8, k=16)
+    queries = corpus.filter(F.col("vec_id") < 50)
+    res = ivfpq_probe(idx, queries, k=10, n_probe=4)
+    hits = res.filter(F.col("neighbor_id") == F.col("query_id") + 10_000).count()
+    # a cos~0.95 twin lands in (or next to) its query's own list, so
+    # probing half the lists must still surface it for ~every query
+    assert hits >= 45
+    assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ivfpq_roundtrip_probe_identical(spark, tmp_path):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_ivfpq_index, ivfpq_probe, read_ivfpq_index, write_ivfpq_index,
+    )
+
+    emb = _emb(spark, n=300).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 40)
+    idx = build_ivfpq_index(emb, "vec_id", "embedding", n_lists=8, m=8, k=16)
+    want = _result_set(ivfpq_probe(idx, queries, k=5, n_probe=3))
+
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(idx, path)
+    loaded = read_ivfpq_index(spark, path)
+    assert (loaded.n_lists, loaded.m, loaded.k, loaded.dim, loaded.seed) == (
+        idx.n_lists, idx.m, idx.k, idx.dim, idx.seed,
+    )
+    assert _result_set(ivfpq_probe(loaded, queries, k=5, n_probe=3)) == want
+    assert len(want) > 0
