@@ -577,6 +577,43 @@ def _train_pq_codebooks(X, m: int, k: int, seed: int, iters: int = 15):
     return books
 
 
+def _pq_encode(clean: DataFrame, books) -> DataFrame:
+    """(id, vec) → (id, codes): normalize and per-subspace argmin against
+    FROZEN numpy codebooks — one Arrow pass, a pure per-row function of
+    the books (so encoding a delta ≡ re-encoding it in a full rebuild)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        nr = np.linalg.norm(M, axis=1, keepdims=True)
+        nr[nr == 0.0] = 1.0
+        M = M / nr
+        out = np.empty((M.shape[0], m), dtype=np.int64)
+        for s in range(m):
+            Ms = M[:, s * sub:(s + 1) * sub]
+            # argmin ||x-c||^2 == argmax x.c - 0.5|c|^2
+            scores = Ms @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)
+            out[:, s] = scores.argmax(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return clean.select(
+        "id", encode(F.col("vec").cast("array<double>")).alias("codes")
+    )
+
+
+def _books_from_df(codebooks: DataFrame, m: int, k: int, sub: int):
+    import numpy as np
+
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for r in codebooks.collect():
+        books[r.subspace, r.code] = r.centroid
+    return books
+
+
 def build_pq_index(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -608,25 +645,7 @@ def build_pq_index(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
     books = _train_pq_codebooks(sample, m, k, seed)
-    sub = dim // m
-
-    @pandas_udf("array<int>")
-    def encode(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        nr = np.linalg.norm(M, axis=1, keepdims=True)
-        nr[nr == 0.0] = 1.0
-        M = M / nr
-        out = np.empty((M.shape[0], m), dtype=np.int64)
-        for s in range(m):
-            Ms = M[:, s * sub:(s + 1) * sub]
-            # argmin ||x-c||^2 == argmax x.c - 0.5|c|^2
-            scores = Ms @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)
-            out[:, s] = scores.argmax(axis=1)
-        return pd.Series([row.tolist() for row in out])
-
-    codes = clean.select(
-        "id", encode(F.col("vec").cast("array<double>")).alias("codes")
-    )
+    codes = _pq_encode(clean, books)
     if materialize:
         codes = codes.localCheckpoint(eager=True)
     codebooks = spark.createDataFrame(
@@ -999,3 +1018,79 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
         dim=meta["dim"],
         seed=meta["seed"],
     )
+
+
+def append_pq_index(
+    index: PqIndex,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PqIndex:
+    """Encode-only append under FROZEN codebooks: a delta's codes are a
+    pure per-row function of the books, so append ≡ rebuild-over-union
+    exactly. Codebook drift accumulates as the corpus distribution
+    shifts — periodic rebuild (a new corpus version), same contract as
+    the IVF centroid append."""
+    existing = index.codes.select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    books = _books_from_df(
+        index.codebooks, index.m, index.k, index.dim // index.m
+    )
+    return PqIndex(
+        codebooks=index.codebooks,
+        codes=index.codes.unionByName(_pq_encode(delta, books)),
+        m=index.m,
+        k=index.k,
+        dim=index.dim,
+        seed=index.seed,
+    )
+
+
+def append_pq_index_at(
+    spark: SparkSession, path: str, new_embeddings: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persisted encode-only append into the codes parquet."""
+    meta = _read_meta(spark, path, "pq")
+    m, k, dim = meta["n_planes"], meta["n_tables"], meta["dim"]
+    books = _books_from_df(
+        spark.read.parquet(f"{path}/codebooks"), m, k, dim // m
+    )
+    existing = spark.read.parquet(f"{path}/codes").select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    _pq_encode(delta, books).write.mode("append").parquet(f"{path}/codes")
+
+
+def append_ivfpq_index_at(
+    spark: SparkSession, path: str, new_embeddings: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persisted IVF-PQ append: assign the delta to its frozen coarse
+    list (one Arrow matmul) AND encode it against the frozen codebooks
+    (one Arrow pass), then append into the list_id-partitioned codes
+    layout — the full daily-ingest path for the composed index."""
+    meta = _read_meta(spark, path, "ivfpq")
+    m, k, dim = meta["n_planes"], meta["n_tables"], meta["dim"]
+    books = _books_from_df(
+        spark.read.parquet(f"{path}/codebooks"), m, k, dim // m
+    )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    existing = spark.read.parquet(f"{path}/codes").select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    assigned = _assign_to_centroids(delta, centroids).select("id", "list_id")
+    coded = _pq_encode(delta, books)
+    assigned.join(coded, "id").select("id", "list_id", "codes").write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(f"{path}/codes")

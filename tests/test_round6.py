@@ -711,3 +711,67 @@ def test_ivfpq_roundtrip_probe_identical(spark, tmp_path):
     )
     assert _result_set(ivfpq_probe(loaded, queries, k=5, n_probe=3)) == want
     assert len(want) > 0
+
+
+def test_pq_append_encodes_with_frozen_books(spark, tmp_path):
+    import numpy as np
+
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_pq_index, append_pq_index_at, build_pq_index, read_pq_index,
+        write_pq_index,
+    )
+
+    emb = _emb(spark, n=200).select("vec_id", "embedding")
+    prefix = emb.filter(F.col("vec_id") < 120)
+    delta = emb.filter(F.col("vec_id") >= 100)  # 20-id overlap
+    idx = build_pq_index(prefix, "vec_id", "embedding", m=8, k=16)
+    appended = append_pq_index(idx, delta, "vec_id", "embedding")
+    assert appended.codes.count() == emb.count()
+    assert appended.codes.select("id").distinct().count() == emb.count()
+
+    # appended codes must equal a numpy re-encode against the FROZEN books
+    books = {(r.subspace, r.code): np.array(r.centroid)
+             for r in idx.codebooks.collect()}
+    sub = idx.dim // idx.m
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in delta.filter(F.col("vec_id") >= 120).collect()}
+    got = {r.id: r.codes for r in appended.codes.filter(F.col("id") >= 120).collect()}
+    for vid, v in vecs.items():
+        vn = v / (np.linalg.norm(v) or 1.0)
+        for s in range(idx.m):
+            xs = vn[s * sub:(s + 1) * sub]
+            best = min(range(idx.k),
+                       key=lambda c: ((xs - books[(s, c)]) ** 2).sum())
+            assert got[vid][s] == best
+
+    # persisted append round-trip matches the in-memory append
+    path = str(tmp_path / "pq_index")
+    write_pq_index(idx, path)
+    append_pq_index_at(spark, path, delta, "vec_id", "embedding")
+    loaded = read_pq_index(spark, path)
+    a = {(r.id, tuple(r.codes)) for r in loaded.codes.collect()}
+    b = {(r.id, tuple(r.codes)) for r in appended.codes.collect()}
+    assert a == b
+
+
+def test_ivfpq_persisted_append_roundtrip(spark, tmp_path):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_ivfpq_index_at, build_ivfpq_index, ivfpq_probe,
+        read_ivfpq_index, write_ivfpq_index,
+    )
+
+    emb = _emb(spark, n=200).select("vec_id", "embedding")
+    prefix = emb.filter(F.col("vec_id") < 150)
+    delta = emb.filter(F.col("vec_id") >= 130)  # 20-id overlap
+    path = str(tmp_path / "ivfpq_index")
+    idx = build_ivfpq_index(prefix, "vec_id", "embedding", n_lists=6, m=8, k=16)
+    write_ivfpq_index(idx, path)
+    append_ivfpq_index_at(spark, path, delta, "vec_id", "embedding")
+    loaded = read_ivfpq_index(spark, path)
+    assert loaded.codes.count() == emb.count()
+    assert loaded.codes.select("id").distinct().count() == emb.count()
+    # appended rows are probe-visible: querying the delta finds neighbors
+    res = ivfpq_probe(loaded, emb.filter(F.col("vec_id") >= 150), k=5,
+                      n_probe=6)
+    per_q = res.groupBy("query_id").count().collect()
+    assert len(per_q) == 50 and all(r["count"] == 5 for r in per_q)
