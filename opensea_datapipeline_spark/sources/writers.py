@@ -147,6 +147,7 @@ def write_training_shards(
     n_shards: int = 32,
     salt: str = "shard-v1",
     mode: str = "overwrite",
+    order_col: str | None = None,
 ) -> None:
     """Training-shard sink: a reproducible GLOBAL shuffle of the corpus
     into ``n_shards`` hash shards, the layout a training loader streams.
@@ -160,15 +161,25 @@ def write_training_shards(
     is exactly one hash-partition shuffle of the fact table — the
     cheapest possible global shuffle — and shard counts stay balanced
     because the 24-bit hash is near-uniform regardless of key skew.
+
+    ``order_col`` switches the intra-shard order from the hash key to a
+    CURRICULUM: rows sort ascending by that column (e.g. a difficulty or
+    quality score) within each shard, ties broken by the hash key so the
+    output stays deterministic. Shard membership is unchanged — every
+    shard still sees the full mix — so a loader reading shards in
+    parallel gets the same easy→hard progression in each stream.
     """
     from ..operators.text import shard_assignment
 
     shard, key = shard_assignment(id_col, n_shards, salt)
+    order = ["shard", "_shuffle_key"] if order_col is None else [
+        "shard", order_col, "_shuffle_key"
+    ]
     (
         df.withColumn("shard", shard)
         .withColumn("_shuffle_key", key)
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "_shuffle_key")
+        .sortWithinPartitions(*order)
         .drop("_shuffle_key")
         .write.mode(mode)
         .partitionBy("shard")

@@ -775,3 +775,22 @@ def test_ivfpq_persisted_append_roundtrip(spark, tmp_path):
                       n_probe=6)
     per_q = res.groupBy("query_id").count().collect()
     assert len(per_q) == 50 and all(r["count"] == 5 for r in per_q)
+
+
+def test_write_training_shards_curriculum_order(spark, tmp_path):
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.sources.writers import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "n_chars"
+    )
+    dst = str(tmp_path / "curriculum")
+    write_training_shards(docs, dst, "doc_id", n_shards=4,
+                          order_col="n_chars")
+    # same shard membership as the plain shuffle, but each shard file is
+    # sorted easy->hard (ascending n_chars)
+    for s in range(4):
+        vals = [r.n_chars for r in
+                spark.read.parquet(dst + f"/shard={s}").collect()]
+        assert vals and vals == sorted(vals)
+    assert spark.read.parquet(dst).count() == docs.count()
