@@ -64,11 +64,12 @@ def _previously_graded() -> set[str]:
     return ok
 
 
-# Regraded ahead of everything: the watermark path broke under Spark
-# 4.1.2's TIMESTAMP_NTZ inference and was fixed in r5 — its last green
-# CORRECTNESS row (r2) predates the breakage, so the staleness rules
-# above would never resurface it.
-_REGRADE_FIRST = ("streaming_daily_stats",)
+# Regraded ahead of everything: queries whose latest green row no longer
+# reflects the query. r5 surfaced streaming_daily_stats after the NTZ fix
+# (green r5 row recorded — retired from this list). r6: embedding_near_dup's
+# r5 row was green but VACUOUS (0 rows both engines); the query now plants
+# deterministic in-plan twins and must be regraded on its non-trivial form.
+_REGRADE_FIRST = ("embedding_near_dup",)
 
 
 def _ordered(mapping: dict) -> dict:
