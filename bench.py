@@ -101,6 +101,11 @@ PASS_RUNS = (3, 2)
 
 # Code frozen since round 2 — any movement here is pure environment.
 NOISE_CANARY = "tfidf_top_terms"
+# r6: one canary is too few to adjudicate (its own record can be the
+# outlier — r5's reconstructed tail inflated tfidf's baseline and the
+# single-canary flag fired on two quiet runs). Three frozen queries
+# vote; normalization is unstable when a MAJORITY exceed their bands.
+NOISE_CANARIES = ("tfidf_top_terms", "pricing_summary", "rolling_daily_mean")
 
 
 def _round_num(path: str) -> int:
@@ -301,10 +306,14 @@ def main() -> None:
                     for q, d in record["vs_prev_norm"].items()
                     if abs(d) > band[q]
                 )
+                flags = {
+                    c: abs(record["vs_prev_norm"][c]) > band[c]
+                    for c in NOISE_CANARIES
+                    if c in record["vs_prev_norm"]
+                }
+                record["canary_flags"] = flags
                 record["normalization_unstable"] = bool(
-                    NOISE_CANARY in record["vs_prev_norm"]
-                    and abs(record["vs_prev_norm"][NOISE_CANARY])
-                    > band[NOISE_CANARY]
+                    flags and sum(flags.values()) * 2 > len(flags)
                 )
             record["prev_round"] = os.path.basename(prior[-1])
         except Exception as exc:  # a malformed prior record must not void this one
