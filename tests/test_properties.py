@@ -144,3 +144,57 @@ def test_exact_percentile_distributed_property(spark, vals, p):
     got = exact_percentile_distributed(df, "v", p, accuracy=10)
     assert got is not None
     assert abs(got - want) <= 1e-9 * max(1.0, abs(want)), (p, got, want, vals)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=2, max_size=20, unique_by=lambda t: t[0],
+    ),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+)
+@SETTINGS
+def test_temperature_resample_properties(spark, docs, alpha):
+    from opensea_datapipeline_spark.operators.text import temperature_resample
+
+    df = spark.createDataFrame(docs, "doc_id long, domain string")
+    out = temperature_resample(
+        df, "domain", "doc_id", alpha=alpha, target_fraction=0.5
+    ).collect()
+    # row-preserving projection: every doc appears exactly once
+    assert sorted(r.doc_id for r in out) == sorted(d for d, _ in docs)
+    # rates are valid probabilities and constant per domain
+    per_domain = {}
+    for r in out:
+        assert 0.0 <= r.rate <= 1.0
+        per_domain.setdefault(r.domain, set()).add(r.rate)
+    assert all(len(v) == 1 for v in per_domain.values())
+    # alpha=1 is the natural distribution: every rate equals the target
+    if alpha == 1.0:
+        assert all(abs(r.rate - 0.5) < 1e-6 for r in out)
+    # determinism: kept set is a pure function of (domain mix, ids)
+    again = temperature_resample(
+        df, "domain", "doc_id", alpha=alpha, target_fraction=0.5
+    ).collect()
+    assert {(r.doc_id, r.kept) for r in again} == {
+        (r.doc_id, r.kept) for r in out
+    }
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+    n_shards=st.sampled_from([2, 8, 32]),
+)
+@SETTINGS
+def test_shard_assignment_properties(spark, ids, n_shards):
+    from opensea_datapipeline_spark.operators.text import shard_assignment
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    shard, key = shard_assignment("doc_id", n_shards)
+    out = df.select("doc_id", shard, key).collect()
+    assert all(0 <= r.shard < n_shards for r in out)
+    # pure function of the id: repartitioning never moves a doc
+    out2 = df.repartition(5).select("doc_id", shard, key).collect()
+    assert {(r.doc_id, r.shard) for r in out} == {
+        (r.doc_id, r.shard) for r in out2
+    }
