@@ -1069,6 +1069,41 @@ def append_pq_index_at(
     _pq_encode(delta, books).write.mode("append").parquet(f"{path}/codes")
 
 
+def append_ivfpq_index(
+    index: IvfPqIndex,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """In-memory composed append: frozen-centroid list assignment plus
+    frozen-codebook encoding of the delta, unioned into the codes table
+    (same contract as the persisted ``append_ivfpq_index_at``)."""
+    existing = index.codes.select("id")
+    delta = (
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+    )
+    books = _books_from_df(
+        index.codebooks, index.m, index.k, index.dim // index.m
+    )
+    assigned = _assign_to_centroids(delta, index.centroids).select(
+        "id", "list_id"
+    )
+    coded = _pq_encode(delta, books)
+    appended = assigned.join(coded, "id").select("id", "list_id", "codes")
+    return IvfPqIndex(
+        centroids=index.centroids,
+        codebooks=index.codebooks,
+        codes=index.codes.unionByName(appended),
+        n_lists=index.n_lists,
+        m=index.m,
+        k=index.k,
+        dim=index.dim,
+        seed=index.seed,
+    )
+
+
 def append_ivfpq_index_at(
     spark: SparkSession, path: str, new_embeddings: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",

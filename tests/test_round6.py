@@ -794,3 +794,47 @@ def test_write_training_shards_curriculum_order(spark, tmp_path):
                 spark.read.parquet(dst + f"/shard={s}").collect()]
         assert vals and vals == sorted(vals)
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_ivfpq_in_memory_append_matches_persisted(spark, tmp_path):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        append_ivfpq_index, append_ivfpq_index_at, build_ivfpq_index,
+        read_ivfpq_index, write_ivfpq_index,
+    )
+
+    emb = _emb(spark, n=200).select("vec_id", "embedding")
+    prefix = emb.filter(F.col("vec_id") < 150)
+    delta = emb.filter(F.col("vec_id") >= 140)  # 10-id overlap
+    idx = build_ivfpq_index(prefix, "vec_id", "embedding", n_lists=6, m=8, k=16)
+    in_mem = append_ivfpq_index(idx, delta, "vec_id", "embedding")
+
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(idx, path)
+    append_ivfpq_index_at(spark, path, delta, "vec_id", "embedding")
+    loaded = read_ivfpq_index(spark, path)
+
+    a = {(r.id, r.list_id, tuple(r.codes)) for r in in_mem.codes.collect()}
+    b = {(r.id, r.list_id, tuple(r.codes)) for r in loaded.codes.collect()}
+    assert a == b and len(a) == emb.count()
+
+
+def test_write_training_shards_single_exchange_plan(spark, tmp_path):
+    # the sink's scale claim pinned at the plan level: exactly ONE
+    # exchange (the shard hash-partition), no range/global sort exchange
+    from opensea_datapipeline_spark.operators.text import shard_assignment
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    shard, key = shard_assignment("doc_id", 8)
+    shaped = (
+        docs.withColumn("shard", shard)
+        .withColumn("_shuffle_key", key)
+        .repartition(8, "shard")
+        .sortWithinPartitions("shard", "_shuffle_key")
+        .drop("_shuffle_key")
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
