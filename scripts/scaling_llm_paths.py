@@ -334,6 +334,20 @@ def main():
             ).count()
             entry["ivfpq_planted_recall"] = round(hits / batch.count(), 3)
 
+        # two-stage serving: ADC over-fetch + exact float re-rank of
+        # overfetch*k candidates — the recall ADC distortion costs must
+        # come back without rescanning the corpus
+        t0 = time.perf_counter()
+        ivfpq_rr = ann.ivfpq_probe(
+            ivfpq_index, batch, k=10, n_probe=n_probe,
+            rerank_with=emb, overfetch=8,
+        ).localCheckpoint(eager=True)
+        entry["ivfpq_rerank_sec"] = round(time.perf_counter() - t0, 2)
+        entry["ivfpq_rerank_recall"] = round(
+            ann_recall(ivfpq_rr.join(sample_ids, ivfpq_rr.query_id ==
+                                     sample_ids.vec_id), exact), 3
+        )
+
             # r6 incremental append: the daily-ingest shape. Delta = the
             # last replica (1/mult of the corpus — 1% at 100x); prefix
             # index is built untimed (it exists already in serving), then

@@ -838,3 +838,40 @@ def test_write_training_shards_single_exchange_plan(spark, tmp_path):
     plan = shaped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_streaming_psi_monitor_flags_shifted_batch(spark, tmp_path):
+    # two micro-batches against a frozen reference: one drawn from the
+    # same distribution (PSI ~ smoothing noise), one shifted by 120
+    # (PSI blows through the 0.25 investigate threshold)
+    import os
+
+    from opensea_datapipeline_spark.streaming.quality import (
+        run_streaming_psi_monitor,
+    )
+
+    ref = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    spark.range(1000).select(
+        ((F.col("id") * 7) % 100).cast("double").alias("value")
+    ).coalesce(1).write.parquet(stream_dir + "/b_same")
+    spark.range(1000).select(
+        (((F.col("id") * 7) % 100) + 120.0).alias("value")
+    ).coalesce(1).write.parquet(stream_dir + "/b_shifted")
+
+    run_streaming_psi_monitor(
+        spark, stream_dir + "/b*", ref,
+        monitor_path=str(tmp_path / "monitor"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema="value double",
+        max_files_per_trigger=1,
+    )
+    rows = spark.read.parquet(str(tmp_path / "monitor")).collect()
+    assert len(rows) == 2
+    psis = sorted(r.psi_total for r in rows)
+    assert psis[0] < 0.05      # same-distribution batch
+    assert psis[1] > 0.25      # shifted batch trips the gate
+    assert all(r.n_rows == 1000 for r in rows)
