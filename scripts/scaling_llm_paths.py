@@ -348,6 +348,7 @@ def main():
                                      sample_ids.vec_id), exact), 3
         )
 
+        if mult > 1:
             # r6 incremental append: the daily-ingest shape. Delta = the
             # last replica (1/mult of the corpus — 1% at 100x); prefix
             # index is built untimed (it exists already in serving), then
