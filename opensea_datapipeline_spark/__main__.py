@@ -4,6 +4,8 @@
     python -m opensea_datapipeline_spark run --events <path> --out <dir>
     python -m opensea_datapipeline_spark query <name> --sf-dir <dir> [-n 20]
     python -m opensea_datapipeline_spark list
+    python -m opensea_datapipeline_spark index build|append|probe \
+        --kind lsh|ivf|pq|ivfpq --path <dir> [--embeddings|--queries ...]
 
 Local mode by default; under spark-submit the session factory defers to
 the submitted master.
@@ -31,6 +33,22 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered queries")
 
+    p_i = sub.add_parser(
+        "index", help="ANN index lifecycle: build / append / probe"
+    )
+    p_i.add_argument("action", choices=["build", "append", "probe"])
+    p_i.add_argument("--kind", choices=["lsh", "ivf", "pq", "ivfpq"],
+                     required=True)
+    p_i.add_argument("--path", required=True, help="index directory")
+    p_i.add_argument("--embeddings",
+                     help="embeddings parquet (build/append input)")
+    p_i.add_argument("--queries", help="query batch parquet (probe input)")
+    p_i.add_argument("--id-col", default="vec_id")
+    p_i.add_argument("--vec-col", default="embedding")
+    p_i.add_argument("-k", type=int, default=10)
+    p_i.add_argument("--n-probe", type=int, default=3)
+    p_i.add_argument("--out", help="probe result parquet (default: show)")
+
     args = parser.parse_args(argv)
 
     from .queries import ORACLE, QUERIES
@@ -41,8 +59,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{kind}")
         return 0
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # only stop a session this invocation created — getOrCreate returns
+    # any live session (embedded/test use), and stopping a borrowed one
+    # would kill the caller's context
+    borrowed = SparkSession.getActiveSession() is not None
     spark = get_spark("opensea-cli")
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -68,8 +92,61 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             QUERIES[args.name](spark, args.sf_dir).show(args.n, truncate=False)
             return 0
+
+        if args.cmd == "index":
+            from .operators import ann_index as ai
+
+            cols = dict(id_col=args.id_col, vec_col=args.vec_col)
+            if args.action == "build":
+                emb = spark.read.parquet(args.embeddings)
+                build = {
+                    "lsh": lambda: ai.write_lsh_index(
+                        ai.build_lsh_index(emb, **cols), args.path),
+                    "ivf": lambda: ai.write_ivf_index(
+                        ai.build_ivf_index(emb, **cols), args.path),
+                    "pq": lambda: ai.write_pq_index(
+                        ai.build_pq_index(emb, **cols), args.path),
+                    "ivfpq": lambda: ai.write_ivfpq_index(
+                        ai.build_ivfpq_index(emb, **cols), args.path),
+                }
+                build[args.kind]()
+            elif args.action == "append":
+                emb = spark.read.parquet(args.embeddings)
+                appender = {
+                    "lsh": ai.append_lsh_index_at,
+                    "ivf": ai.append_ivf_index_at,
+                    "pq": ai.append_pq_index_at,
+                    "ivfpq": ai.append_ivfpq_index_at,
+                }
+                appender[args.kind](spark, args.path, emb, **cols)
+            else:  # probe
+                if args.kind in ("pq", "ivfpq") and not args.queries:
+                    print("--queries is required for pq/ivfpq probes "
+                          "(bounded serving batch)", file=sys.stderr)
+                    return 2
+                q = spark.read.parquet(args.queries) if args.queries else None
+                if args.kind == "lsh":
+                    res = ai.lsh_probe(
+                        ai.read_lsh_index(spark, args.path), q, k=args.k, **cols)
+                elif args.kind == "ivf":
+                    res = ai.ivf_probe(
+                        ai.read_ivf_index(spark, args.path), q, k=args.k,
+                        n_probe=args.n_probe, **cols)
+                elif args.kind == "pq":
+                    res = ai.pq_probe(
+                        ai.read_pq_index(spark, args.path), q, k=args.k, **cols)
+                else:
+                    res = ai.ivfpq_probe(
+                        ai.read_ivfpq_index(spark, args.path), q, k=args.k,
+                        n_probe=args.n_probe, **cols)
+                if args.out:
+                    res.write.mode("overwrite").parquet(args.out)
+                else:
+                    res.show(50, truncate=False)
+            return 0
     finally:
-        spark.stop()
+        if not borrowed:
+            spark.stop()
     return 0
 
 

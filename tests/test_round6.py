@@ -875,3 +875,32 @@ def test_streaming_psi_monitor_flags_shifted_batch(spark, tmp_path):
     assert psis[0] < 0.05      # same-distribution batch
     assert psis[1] > 0.25      # shifted batch trips the gate
     assert all(r.n_rows == 1000 for r in rows)
+
+
+def test_cli_index_lifecycle(spark, tmp_path):
+    # the operational surface: build -> append -> probe through the CLI
+    # entry point (argument plumbing + kind dispatch; the operators
+    # themselves are covered above)
+    from opensea_datapipeline_spark.__main__ import main
+
+    emb = _emb(spark, n=150).select("vec_id", "embedding")
+    emb_path = str(tmp_path / "emb")
+    delta_path = str(tmp_path / "delta")
+    q_path = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 120).write.parquet(emb_path)
+    emb.filter(F.col("vec_id") >= 120).write.parquet(delta_path)
+    emb.filter(F.col("vec_id") < 20).write.parquet(q_path)
+    idx_path = str(tmp_path / "idx")
+    out_path = str(tmp_path / "res")
+
+    assert main(["index", "build", "--kind", "ivfpq", "--path", idx_path,
+                 "--embeddings", emb_path]) == 0
+    assert main(["index", "append", "--kind", "ivfpq", "--path", idx_path,
+                 "--embeddings", delta_path]) == 0
+    assert main(["index", "probe", "--kind", "ivfpq", "--path", idx_path,
+                 "--queries", q_path, "--out", out_path,
+                 "--n-probe", "16"]) == 0
+    res = spark.read.parquet(out_path)
+    assert res.select("query_id").distinct().count() == 20
+    # probe requires a query batch for the compressed kinds
+    assert main(["index", "probe", "--kind", "pq", "--path", idx_path]) == 2
