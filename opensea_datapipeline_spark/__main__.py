@@ -6,6 +6,8 @@
     python -m opensea_datapipeline_spark list
     python -m opensea_datapipeline_spark index build|append|probe \
         --kind lsh|ivf|pq|ivfpq --path <dir> [--embeddings|--queries ...]
+    python -m opensea_datapipeline_spark monitor --stream <glob> \
+        --reference <parquet> --monitor-out <dir> --checkpoint <dir>
 
 Local mode by default; under spark-submit the session factory defers to
 the submitted master.
@@ -48,6 +50,20 @@ def main(argv: list[str] | None = None) -> int:
     p_i.add_argument("-k", type=int, default=10)
     p_i.add_argument("--n-probe", type=int, default=3)
     p_i.add_argument("--out", help="probe result parquet (default: show)")
+
+    p_m = sub.add_parser(
+        "monitor", help="streaming PSI drift gate against a reference"
+    )
+    p_m.add_argument("--stream", required=True,
+                     help="parquet stream dir/glob to score per micro-batch")
+    p_m.add_argument("--reference", required=True,
+                     help="frozen reference distribution (parquet)")
+    p_m.add_argument("--monitor-out", required=True,
+                     help="monitor table path (one row per batch)")
+    p_m.add_argument("--checkpoint", required=True)
+    p_m.add_argument("--value-col", default="value")
+    p_m.add_argument("--bucket-width", type=float, default=25.0)
+    p_m.add_argument("--max-bucket", type=int, default=8)
 
     args = parser.parse_args(argv)
 
@@ -143,6 +159,24 @@ def main(argv: list[str] | None = None) -> int:
                     res.write.mode("overwrite").parquet(args.out)
                 else:
                     res.show(50, truncate=False)
+            return 0
+
+        if args.cmd == "monitor":
+            from .streaming.quality import run_streaming_psi_monitor
+
+            reference = spark.read.parquet(args.reference)
+            run_streaming_psi_monitor(
+                spark, args.stream, reference,
+                monitor_path=args.monitor_out,
+                checkpoint_dir=args.checkpoint,
+                value_col=args.value_col,
+                bucket_width=args.bucket_width,
+                max_bucket=args.max_bucket,
+                schema=reference.schema,
+            )
+            spark.read.parquet(args.monitor_out).orderBy("batch_id").show(
+                50, truncate=False
+            )
             return 0
     finally:
         if not borrowed:

@@ -904,3 +904,29 @@ def test_cli_index_lifecycle(spark, tmp_path):
     assert res.select("query_id").distinct().count() == 20
     # probe requires a query batch for the compressed kinds
     assert main(["index", "probe", "--kind", "pq", "--path", idx_path]) == 2
+
+
+def test_cli_monitor_scores_stream(spark, tmp_path):
+    import os
+
+    from opensea_datapipeline_spark.__main__ import main
+
+    ref_path = str(tmp_path / "ref")
+    spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    ).write.parquet(ref_path)
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    spark.range(500).select(
+        (((F.col("id") * 3) % 100) + 150.0).alias("value")
+    ).coalesce(1).write.parquet(stream_dir + "/b0")
+
+    rc = main([
+        "monitor", "--stream", stream_dir + "/b*",
+        "--reference", ref_path,
+        "--monitor-out", str(tmp_path / "mon"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(str(tmp_path / "mon")).collect()
+    assert len(rows) == 1 and rows[0].psi_total > 0.25
