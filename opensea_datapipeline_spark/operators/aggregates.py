@@ -631,9 +631,11 @@ def population_stability(
     investigate; public credit-scoring folklore, e.g. Siddiqi 2006).
 
     ``period_col`` must hold exactly two values, 'base' and 'curr'.
-    Values bucket into fixed-width bins capped at ``max_bucket`` (the
-    cap folds a thin tail into one bin so both periods populate every
-    bucket); Laplace-smoothed shares (+0.5 per bucket) keep ln() finite
+    Values bucket into fixed-width bins clamped to [0, ``max_bucket``]
+    (the upper cap folds a thin tail into one bin so both periods
+    populate every bucket; the lower clamp folds negatives into bucket 0
+    so a broken upstream cannot mint unbounded distinct bucket ids);
+    Laplace-smoothed shares (+0.5 per bucket) keep ln() finite
     when a bin empties on one side. All inputs to the float math are
     integers, so the arithmetic is engine-exact and the oracle replays
     it; shares and terms round to 6 dp.
@@ -642,9 +644,16 @@ def population_stability(
     a broadcast-total join: no wide shuffle, PSI at 100 TB costs one
     scan.
     """
-    bucket = F.least(
-        F.floor(F.col(value_col) / F.lit(float(bucket_width))),
-        F.lit(max_bucket),
+    # clamp BOTH ends: a broken upstream emitting negatives (exactly the
+    # regime a drift monitor must catch) lands in bucket 0 instead of an
+    # unbounded run of distinct negative bucket ids that would dilute the
+    # Laplace-smoothed shares (ADVICE r6).
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+            F.lit(max_bucket),
+        ),
     ).cast("long")
     counts = (
         df.filter(F.col(value_col).isNotNull())

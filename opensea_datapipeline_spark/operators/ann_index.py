@@ -644,6 +644,12 @@ def build_pq_index(
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    if sample.shape[0] < k:
+        raise ValueError(
+            f"PQ training sample has {sample.shape[0]} rows (sample_size="
+            f"{sample_size}) but k={k} codes per subspace need at least k "
+            "distinct training rows; shrink k or enlarge the corpus/sample"
+        )
     books = _train_pq_codebooks(sample, m, k, seed)
     codes = _pq_encode(clean, books)
     if materialize:

@@ -2626,8 +2626,8 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation sn ON s.s_nationkey = sn.n_nationkey
 JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-    OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+WHERE ((sn.n_name = 'NATION_5' AND cn.n_name = 'NATION_13')
+    OR (sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_5'))
 GROUP BY 1, 2, 3
 """,
 )
@@ -2648,9 +2648,12 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    # r7: the nation pair must EXIST in the testdata (NATION_0..24) — the
+    # TPC-H-spec FRANCE/GERMANY literals made every shipped row 0=0
+    # (vacuous green, VERDICT r6 #1). NATION_5/NATION_13 join real rows.
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_13")
+    ) | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_5"))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -2897,7 +2900,7 @@ def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH e AS (
   SELECT CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 'base' ELSE 'curr' END AS period,
-    CAST(least(floor(value / 25.0), 8) AS BIGINT) AS bucket
+    CAST(greatest(0, least(floor(value / 25.0), 8)) AS BIGINT) AS bucket
   FROM events WHERE value IS NOT NULL
 ), c AS (
   SELECT bucket,

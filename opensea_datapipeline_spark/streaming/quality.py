@@ -80,10 +80,14 @@ def run_streaming_psi_monitor(
             "batch_id LONG, n_rows LONG, psi_total DOUBLE",
         ).write.mode("append").parquet(monitor_path)
 
-    (
+    # availableNow terminates on its own once the backfill drains; await
+    # WITHOUT a timeout so the monitor table is guaranteed complete before
+    # any caller (the CLI `monitor` subcommand) reads it — a timed await
+    # returning False here silently truncated the batch set (ADVICE r6).
+    q = (
         stream.writeStream.foreachBatch(score_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(180)
     )
+    q.awaitTermination()
