@@ -38,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p_i = sub.add_parser(
         "index", help="ANN index lifecycle: build / append / probe"
     )
-    p_i.add_argument("action", choices=["build", "append", "probe"])
+    p_i.add_argument("action", choices=["build", "append", "probe", "stale"])
     p_i.add_argument("--kind", choices=["lsh", "ivf", "pq", "ivfpq"],
                      required=True)
     p_i.add_argument("--path", required=True, help="index directory")
@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     p_i.add_argument("-k", type=int, default=10)
     p_i.add_argument("--n-probe", type=int, default=3)
     p_i.add_argument("--out", help="probe result parquet (default: show)")
+    p_i.add_argument("--residual", action="store_true",
+                     help="ivfpq build: encode residuals v̂ − centroid "
+                          "(FAISS-style IVFADC) instead of raw vectors")
+    p_i.add_argument("--rebuild-threshold", type=float, default=0.2,
+                     help="stale: appended fraction that triggers a "
+                          "rebuild recommendation")
 
     p_m = sub.add_parser(
         "monitor", help="streaming PSI drift gate against a reference"
@@ -123,9 +129,17 @@ def main(argv: list[str] | None = None) -> int:
                     "pq": lambda: ai.write_pq_index(
                         ai.build_pq_index(emb, **cols), args.path),
                     "ivfpq": lambda: ai.write_ivfpq_index(
-                        ai.build_ivfpq_index(emb, **cols), args.path),
+                        ai.build_ivfpq_index(
+                            emb, residual=args.residual, **cols
+                        ),
+                        args.path),
                 }
                 build[args.kind]()
+            elif args.action == "stale":
+                print(json.dumps(ai.index_staleness(
+                    spark, args.path,
+                    rebuild_threshold=args.rebuild_threshold,
+                )))
             elif args.action == "append":
                 emb = spark.read.parquet(args.embeddings)
                 appender = {
