@@ -1288,6 +1288,99 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", *casts, "predicted_lang")
 
 
+# Deterministic CJK plants for the language_id_cjk grade: every 20th doc
+# becomes a Chinese/Japanese/Korean text (same CASE in query and oracle),
+# so the graded rows include real CJK predictions — the planted docs are
+# falsifiable (test_round7 asserts they classify as zh/ja/ko), not 0=0.
+_CJK_PLANT = {
+    0: "我们的数据管道可以处理很多文件，因为这个系统是为了大规模训练而设计的。"
+       "我们知道现在没有什么问题，但是如果有问题，大家可以知道。",
+    1: "このシステムはデータを処理しています。これはとても大きなファイルですから、"
+       "時間がかかることがあります。それでもこの方法がいいと思います。",
+    2: "이 시스템은 데이터를 처리하고 있습니다. 우리는 지금 문제가 없다는 것을 "
+       "알고 있습니다. 그리고 파일이 많지만 처리할 수 있습니다.",
+}
+
+
+def _lang_id_cjk_oracle() -> str:
+    langs = sorted(set(tx.LANG_PROFILES) | set(tx.CJK_BIGRAM_PROFILES))
+    score_exprs = []
+    for lang in langs:
+        parts = []
+        if lang in tx.LANG_PROFILES:
+            parts.append(
+                "len(list_intersect(words, [{}]))".format(
+                    ", ".join(
+                        f"'{w}'" for w in sorted(set(tx.LANG_PROFILES[lang]))
+                    )
+                )
+            )
+        if lang in tx.CJK_BIGRAM_PROFILES:
+            parts.append(
+                "len(list_intersect(grams, [{}]))".format(
+                    ", ".join(
+                        f"'{g}'"
+                        for g in sorted(set(tx.CJK_BIGRAM_PROFILES[lang]))
+                    )
+                )
+            )
+        score_exprs.append(
+            "CAST({} AS BIGINT) AS score_{}".format(" + ".join(parts), lang)
+        )
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    case_sql = "CASE CAST(doc_id % 20 AS INTEGER) " + " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in _CJK_PLANT.items()
+    ) + " ELSE text END"
+    scores = ",\n  ".join(score_exprs)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {case_sql} AS text FROM documents
+), c AS (
+  SELECT doc_id, text,
+    substring(regexp_replace(text, '[^{tx.CJK_CHAR_RANGES}]', '', 'g'),
+              1, 200) AS cjk
+  FROM planted
+), w AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS words,
+    list_distinct(list_transform(range(1, CAST(length(cjk) AS INTEGER)),
+      i -> substring(cjk, CAST(i AS INTEGER), 2))) AS grams
+  FROM c
+), scored AS (
+  SELECT doc_id,
+  {scores}
+  FROM w
+)
+SELECT *, {pred} AS predicted_lang FROM scored
+"""
+
+
+@_register("language_id_cjk", _lang_id_cjk_oracle())
+def q_language_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CJK coverage for language ID (VERDICT r6 #5): zh/ja/ko docs planted
+    # in-plan by the same CASE the oracle replays; the operator scores
+    # word stopword profiles AND character-bigram profiles in one
+    # zero-shuffle projection.
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 20
+    planted = docs.select(
+        "doc_id",
+        F.when(m == 0, F.lit(_CJK_PLANT[0]))
+        .when(m == 1, F.lit(_CJK_PLANT[1]))
+        .when(m == 2, F.lit(_CJK_PLANT[2]))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = tx.language_id_cjk(planted)
+    casts = [F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("score_")]
+    return out.select("doc_id", *casts, "predicted_lang")
+
+
 @_register(
     "document_fingerprints",
     """
