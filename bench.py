@@ -67,6 +67,7 @@ HEADLINE = [
     "minhash_signatures",   # minhash (LLM-pipeline extension)
     "token_stats",          # text analysis
     "language_id",          # text classification
+    "language_id_cjk",      # + CJK char-bigram profiles (r7)
     "clean_events_pipeline",  # full ETL cleaner (normalize->dedup->project)
     "asof_last_click",      # as-of join composition
     "sessionization",       # gap-based sessions (stacked windows)
@@ -89,6 +90,9 @@ HEADLINE = [
     "returned_item_losses",     # TPC-H Q10 shape: quarter slice + top-N heaps
     "domain_mix_resample",      # temperature mixing: broadcast rate join (r6)
     "training_shard_stats",     # portable shard manifest, one agg shuffle (r6)
+    "ann_persisted_probe",      # serving path: probe-only vs persisted IVF-PQ
+                                # (build memoized per process; min-of-5
+                                # amortizes it out exactly as production does)
 ]
 
 
@@ -150,19 +154,43 @@ def _load_recs(paths: list[str]) -> list[dict]:
     return recs
 
 
-def _prev_queries(recs: list[dict]) -> dict:
-    """Per-query times from the latest prior record. A LEFT-truncated
-    driver tail can lose the ``queries`` block but keep ``vs_prev``
-    (observed on BENCH_r05.json): reconstruct as round-before queries +
-    vs_prev deltas, so the normalization chain survives truncation."""
+def _local_queries(round_n: int) -> dict:
+    """Per-query times from this repo's own committed full record for a
+    round (``BENCH_LOCAL_rNN.json``, written by every bench run since r7)
+    — the primary defense against driver-side tail truncation, which by
+    r6 had eaten ``queries`` AND ``vs_prev`` (VERDICT r6 #3)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in (f"BENCH_LOCAL_r{round_n:02d}.json",
+                 f"BENCH_LOCAL_r{round_n}.json"):
+        try:
+            with open(os.path.join(here, name)) as f:
+                q = json.load(f).get("queries")
+            if isinstance(q, dict) and q:
+                return q
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
+def _prev_queries(recs: list[dict], paths: list[str] | None = None) -> dict:
+    """Per-query times from the latest prior round, in preference order:
+    the driver record's own ``queries`` block; the committed
+    ``BENCH_LOCAL_rN.json`` full record for that round; reconstruction
+    from the round before plus the driver tail's ``vs_prev`` deltas
+    (enough for r5-style truncation, not for r6's, which lost the
+    ``vs_prev`` key itself — hence the local record)."""
     if not recs:
         return {}
     q = _tail_obj(recs[-1], "queries")
     if q:
         return q
+    if paths:
+        q = _local_queries(_round_num(paths[-1]))
+        if q:
+            return q
     delta = _tail_obj(recs[-1], "vs_prev")
     if delta and len(recs) >= 2:
-        base = _prev_queries(recs[:-1])
+        base = _prev_queries(recs[:-1], paths[:-1] if paths else None)
         return {
             k: round(base[k] + d, 3) for k, d in delta.items() if k in base
         }
@@ -260,7 +288,7 @@ def main() -> None:
     if prior:
         try:
             recs = _load_recs(prior)
-            prev = _prev_queries(recs)
+            prev = _prev_queries(recs, prior)
             prev_spread = _tail_obj(recs[-1], "pass_spread")
             shared = {q: t for q, t in times.items() if q in prev and prev[q]}
             if shared:
@@ -320,6 +348,22 @@ def main() -> None:
             print(f"bench: prior-round delta skipped: {exc}", file=sys.stderr)
 
     print(json.dumps(record))
+    # Commit-able full record for THIS round (latest driver round + 1):
+    # the driver keeps only a 2000-char stdout tail, which by r6 had
+    # truncated away queries AND vs_prev — the local file is what keeps
+    # the round-over-round delta chain alive (VERDICT r6 #3). Repeated
+    # runs within a round overwrite (last run wins).
+    try:
+        this_round = (_round_num(prior[-1]) if prior else 0) + 1
+        local = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{this_round:02d}.json",
+        )
+        with open(local, "w") as f:
+            json.dump(record, f)
+        print(f"bench: full record written to {local}", file=sys.stderr)
+    except OSError as exc:
+        print(f"bench: local record not written: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -245,6 +245,41 @@ def test_ivfpq_residual_roundtrip_and_persisted_append(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r6 #3 — the bench delta chain survives the driver's tail
+# truncation via the committed BENCH_LOCAL_rNN.json full records.
+# ---------------------------------------------------------------------------
+
+
+def test_bench_prev_queries_prefers_committed_local_record():
+    import glob
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = sorted(
+        glob.glob("/root/repo/BENCH_r*.json"), key=bench._round_num
+    )
+    assert bench._round_num(prior[-1]) >= 6
+    recs = bench._load_recs(prior)
+    prev = bench._prev_queries(recs, prior)
+    tail_q = bench._tail_obj(recs[-1], "queries")
+    if tail_q:
+        # driver record intact — it wins over the local copy
+        assert prev == tail_q
+    else:
+        # the r6-style truncation lost `queries` AND `vs_prev`; without
+        # the committed local record the chain would be empty
+        n_local = bench._round_num(prior[-1])
+        with open(f"/root/repo/BENCH_LOCAL_r{n_local:02d}.json") as f:
+            local = json.load(f)["queries"]
+        assert prev == local
+    assert len(prev) >= 20
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r6 #5 — CJK language ID via character-bigram profiles.
 # ---------------------------------------------------------------------------
 
