@@ -967,15 +967,28 @@ class IvfPqIndex:
     residual: bool = False
 
 
-def _l2_normalize_expr(c) -> F.Column:
-    """Unit-normalize an array column with the same zero-vector guard the
-    numpy paths use (norm 0 → divide by 1, not NULL/inf)."""
+def _l2_normalized(df: DataFrame) -> DataFrame:
+    """(id, vec) → (id, vec) unit-normalized, with the same zero-vector
+    guard the numpy paths use (norm 0 → divide by 1, not NULL/inf).
+
+    The norm is STAGED as its own projection column before the
+    per-element divide: a ``transform`` lambda referencing the norm fold
+    inline re-evaluates the O(dim) fold per element — O(dim²)/row, which
+    put the residual 100× IVF-PQ build at 64 s; staged it measured 37 s
+    in the next session (same-session A/B not taken — build walls on
+    this box spread 2-6×, SCALING.md method note; the asymptotic fix is
+    what matters). Same trap as `text.cjk_char_array`, see PLANS.md r7."""
     from ..functions.vector import l2_norm
 
-    cd = c.cast("array<double>")
-    n = l2_norm(cd)
-    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
-    return F.transform(cd, lambda x: x / safe)
+    staged = df.select(
+        "id",
+        F.col("vec").cast("array<double>").alias("_v"),
+        l2_norm(F.col("vec").cast("array<double>")).alias("_n"),
+    )
+    safe = F.when(F.col("_n") == 0.0, F.lit(1.0)).otherwise(F.col("_n"))
+    return staged.select(
+        "id", F.transform("_v", lambda x: x / safe).alias("vec")
+    )
 
 
 def _pq_encode_residual(assigned: DataFrame, books, C, cids) -> DataFrame:
@@ -1061,9 +1074,10 @@ def build_ivfpq_index(
         )
 
     spark = embeddings.sparkSession
-    normed = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        _l2_normalize_expr(F.col(vec_col)).alias("vec"),
+    normed = _l2_normalized(
+        embeddings.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
     )
     ivf = build_ivf_index(normed, "id", "vec", n_lists=n_lists, seed=seed)
     crows = sorted(ivf.centroids.collect(), key=lambda r: r.list_id)
@@ -1369,9 +1383,7 @@ def append_ivfpq_index(
         crows = sorted(index.centroids.collect(), key=lambda r: r.list_id)
         cids = np.array([r.list_id for r in crows], dtype=np.int64)
         C = np.vstack([r.centroid for r in crows]).astype(np.float64)
-        delta_n = delta.select(
-            "id", _l2_normalize_expr(F.col("vec")).alias("vec")
-        )
+        delta_n = _l2_normalized(delta.select("id", "vec"))
         assigned = _assign_to_centroids(delta_n, index.centroids)
         appended = _pq_encode_residual(assigned, books, C, cids)
     else:
@@ -1419,9 +1431,7 @@ def append_ivfpq_index_at(
         crows = sorted(centroids.collect(), key=lambda r: r.list_id)
         cids = np.array([r.list_id for r in crows], dtype=np.int64)
         C = np.vstack([r.centroid for r in crows]).astype(np.float64)
-        delta_n = delta.select(
-            "id", _l2_normalize_expr(F.col("vec")).alias("vec")
-        )
+        delta_n = _l2_normalized(delta.select("id", "vec"))
         appended = _pq_encode_residual(
             _assign_to_centroids(delta_n, centroids), books, C, cids
         )

@@ -141,6 +141,103 @@ def ann_recall(approx, exact):
     return hits.count() / max(exact.count(), 1)
 
 
+def r7_extras(spark, emb_base, dim, scales):
+    """Focused r7 follow-ups the full run's shapes can't isolate:
+
+    - residual vs raw IVF-PQ recall at FULL probe (n_probe = n_lists) on
+      the 100-query sample: partial-probe recall is dominated by WHICH
+      lists are chosen, so the encoding improvement only separates when
+      every list is scanned and pure ADC distortion decides ordering.
+    - persisted-IVF probe pruning with a 5-query POINT-LOOKUP batch: the
+      full run's 100-query batch probes ~93%% of the 447 lists at 100×
+      (1−(1−12/447)^100), so file pruning has nothing to prune; the
+      serving point-lookup shape probes ≤ 60 lists and the pushed filter
+      shows up as files-read. Walls on this box are noisy (min-of-3, see
+      SCALING.md method note); the FILE COUNT is the load-bearing number.
+    - residual build wall, post `_l2_normalized` staging fix.
+    """
+    import tempfile
+
+    report = {}
+    for mult in scales:
+        emb = scaled_embeddings(emb_base, mult, dim).localCheckpoint(eager=True)
+        n_vec = emb.count()
+        n_lists = max(16, int(math.sqrt(n_vec)))
+        n_probe = max(3, round(3 * mult ** 0.3))
+        entry = {"n_vectors": n_vec, "n_lists": n_lists, "n_probe": n_probe}
+        batch = emb.filter(F.col("vec_id") < REP_OFFSET).localCheckpoint(
+            eager=True
+        )
+        sample_ids = batch.select("vec_id").orderBy("vec_id").limit(100)
+        sample = emb.join(sample_ids, "vec_id").localCheckpoint(eager=True)
+        exact = sim.knn_topk_exact(
+            emb, "vec_id", "embedding", k=10, queries=sample
+        ).localCheckpoint(eager=True)
+
+        for residual in (False, True):
+            key = "residual" if residual else "raw"
+            t0 = time.perf_counter()
+            idx = ann.build_ivfpq_index(
+                emb, "vec_id", "embedding", n_lists=n_lists, m=8, k=16,
+                materialize=True, residual=residual,
+            )
+            entry[f"ivfpq_{key}_build_sec"] = round(time.perf_counter() - t0, 2)
+            full = ann.ivfpq_probe(idx, sample, k=10, n_probe=n_lists)
+            entry[f"ivfpq_{key}_fullprobe_recall"] = round(
+                ann_recall(full, exact), 3
+            )
+
+        # point-lookup pruning A/B against a written IVF index
+        ivf_index = ann.build_ivf_index(
+            emb, "vec_id", "embedding", n_lists=n_lists, materialize=True
+        )
+        ivf_dir = tempfile.mkdtemp(prefix=f"r7x_ivf_{mult}x_")
+        ann.write_ivf_index(ivf_index, ivf_dir)
+        loaded = ann.read_ivf_index(spark, ivf_dir)
+        point = batch.limit(5).localCheckpoint(eager=True)
+        files_total = (
+            spark.read.parquet(f"{ivf_dir}/assignments")
+            .select(F.input_file_name()).distinct().count()
+        )
+        entry["assignment_files_total"] = files_total
+        for flag, key in ((True, "pruned"), (False, "unpruned")):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = ann.ivf_probe(
+                    loaded, point, k=10, n_probe=n_probe, prune_scan=flag
+                ).localCheckpoint(eager=True)
+                best = min(best, time.perf_counter() - t0)
+            entry[f"point_probe_{key}_sec"] = round(best, 2)
+            del res
+        # files the pruned scan actually reads: derive the probed-list
+        # union with the probe's own centroid-ranking rule (numpy,
+        # stable argsort — identical tie-break) and count distinct input
+        # files under the list filter. (A plan-regex on the IN-set broke
+        # once >10 values print as INSET; counting files directly is the
+        # load-bearing number anyway.)
+        import numpy as np
+
+        crows = sorted(ivf_index.centroids.collect(), key=lambda r: r.list_id)
+        cids = np.array([r.list_id for r in crows])
+        C = np.vstack([r.centroid for r in crows]).astype(float)
+        nm = np.linalg.norm(C, axis=1)
+        nm[nm == 0] = 1
+        Chat = (C.T / nm).T
+        Q = np.vstack([r.embedding for r in point.collect()]).astype(float)
+        order = np.argsort(-(Q @ Chat.T), axis=1, kind="stable")[:, :n_probe]
+        probed_ids = sorted({int(cids[l]) for row in order for l in row})
+        entry["point_probe_lists_probed"] = len(probed_ids)
+        entry["point_probe_files_read"] = (
+            spark.read.parquet(f"{ivf_dir}/assignments")
+            .filter(F.col("list_id").isin(probed_ids))
+            .select(F.input_file_name()).distinct().count()
+        )
+        report[f"{mult}x"] = entry
+        print(json.dumps({f"{mult}x": entry}), file=sys.stderr)
+    print(json.dumps({"r7_extras": report}, indent=2))
+
+
 def main():
     scales = [1, 10, 100]
     skip_docs = "--skip-docs" in sys.argv
@@ -154,6 +251,9 @@ def main():
     )
     emb_base = load_table(spark, SF_DIR, "embeddings")
     dim = len(emb_base.select("embedding").first()[0])
+    if "--r7-extras" in sys.argv:
+        r7_extras(spark, emb_base, dim, [m for m in scales if m > 1])
+        return
     report = {"sf_dir": SF_DIR, "scales": {}}
 
     for mult in scales:
@@ -347,6 +447,71 @@ def main():
             ann_recall(ivfpq_rr.join(sample_ids, ivfpq_rr.query_id ==
                                      sample_ids.vec_id), exact), 3
         )
+
+        # r7 residual IVF-PQ (VERDICT r6 #4): same n_lists/m/k budget,
+        # codebooks trained on residuals v̂ − centroid(list) — the
+        # sample-recall lift raw-vector codes leave on the table.
+        t0 = time.perf_counter()
+        res_index = ann.build_ivfpq_index(
+            emb, "vec_id", "embedding", n_lists=n_lists, m=8, k=16,
+            materialize=True, residual=True,
+        )
+        entry["ivfpq_residual_build_sec"] = round(time.perf_counter() - t0, 2)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_pq = ann.ivfpq_probe(
+                res_index, batch, k=10, n_probe=n_probe
+            ).localCheckpoint(eager=True)
+            best = min(best, time.perf_counter() - t0)
+        entry["ivfpq_residual_probe_only_sec"] = round(best, 2)
+        entry["ivfpq_residual_recall"] = round(
+            ann_recall(res_pq.join(sample_ids, res_pq.query_id ==
+                                   sample_ids.vec_id), exact), 3
+        )
+        if mult > 1:
+            hits = res_pq.filter(
+                F.col("neighbor_id") == F.col("query_id") + REP_OFFSET
+            ).count()
+            entry["ivfpq_residual_planted_recall"] = round(
+                hits / batch.count(), 3
+            )
+
+        if mult > 1:
+            # r7 persisted-index probe with probed-list FILE pruning
+            # (VERDICT r6 #2): a bounded serving batch probes a handful
+            # of lists, and the pushed list_id filter turns the
+            # partitionBy("list_id") layout into Catalyst partition
+            # pruning — A/B'd via ivf_probe's prune_scan flag against
+            # the same written index, min-of-3 each, 100-query batch.
+            import tempfile
+
+            ivf_dir = tempfile.mkdtemp(prefix=f"scaling_ivf_{mult}x_")
+            ann.write_ivf_index(ivf_index, ivf_dir)
+            loaded_ivf = ann.read_ivf_index(spark, ivf_dir)
+            small = batch.limit(100).localCheckpoint(eager=True)
+            for flag, key in ((True, "pruned"), (False, "unpruned")):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    ann.ivf_probe(
+                        loaded_ivf, small, k=10, n_probe=n_probe,
+                        prune_scan=flag,
+                    ).localCheckpoint(eager=True)
+                    best = min(best, time.perf_counter() - t0)
+                entry[f"ivf_persisted_probe_{key}_sec"] = round(best, 2)
+
+            ivfpq_dir = tempfile.mkdtemp(prefix=f"scaling_ivfpq_{mult}x_")
+            ann.write_ivfpq_index(ivfpq_index, ivfpq_dir)
+            loaded_ivfpq = ann.read_ivfpq_index(spark, ivfpq_dir)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ann.ivfpq_probe(
+                    loaded_ivfpq, small, k=10, n_probe=n_probe
+                ).localCheckpoint(eager=True)
+                best = min(best, time.perf_counter() - t0)
+            entry["ivfpq_persisted_probe_small_sec"] = round(best, 2)
 
         if mult > 1:
             # r6 incremental append: the daily-ingest shape. Delta = the
