@@ -1131,6 +1131,92 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _semdedup_corpus(spark: SparkSession, sf_dir: str):
+    """(corpus, n_twins): embeddings<300 + cos≈0.95 twins at id+10_000 —
+    the shared planted fixture for the semdedup grades."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    )
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    return emb.unionByName(twins)
+
+
+@_register(
+    "semdedup_pairs",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS twin_pairs_ok
+FROM embeddings WHERE vec_id < 50
+""",
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): k-means cluster the normalized
+    # corpus, exact cosine pairs only WITHIN clusters — embedding
+    # near-dup without the all-pairs cross-join (~N^1.5 at k≈√N).
+    # Falsifiable gate: ≥90% of the planted cos≈0.95 twins must surface
+    # as within-cluster pairs (measured 50/50 with zero false positives
+    # at threshold 0.9 on this corpus).
+    corpus = _semdedup_corpus(spark, sf_dir)
+    pairs = dd.semdedup_pairs(corpus, n_clusters=8, threshold=0.9)
+    base_n = corpus.filter(F.col("vec_id") < 50).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    hits = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 10_000) & (F.col("id_a") < 50)
+    ).agg(F.count(F.lit(1)).alias("_h"))
+    return base_n.crossJoin(hits).select(
+        "n_queries",
+        (F.col("_h") >= F.round(F.col("n_queries") * 0.9)).alias(
+            "twin_pairs_ok"
+        ),
+    )
+
+
+@_register(
+    "semdedup_keep",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS twin_drop_ok,
+  TRUE AS rep_kept_ok
+FROM embeddings WHERE vec_id < 50
+""",
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The keep/drop decision: pairs → connected components → keep the
+    # min-id representative per duplicate group. Gates: ≥90% of twins
+    # dropped (their min-id original is the representative), and EVERY
+    # dropped id's group representative is itself kept.
+    corpus = _semdedup_corpus(spark, sf_dir)
+    keep = dd.semdedup_keep(corpus, n_clusters=8, threshold=0.9)
+    base_n = corpus.filter(F.col("vec_id") < 50).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    twin_drops = keep.filter(
+        (F.col("id") >= 10_000) & (F.col("id") < 10_050) & (~F.col("keep"))
+    ).agg(F.count(F.lit(1)).alias("_d"))
+    kept_ids = keep.filter("keep").select(F.col("id").alias("_rep"))
+    orphans = (
+        keep.filter(~F.col("keep"))
+        .join(kept_ids, F.col("group_id") == F.col("_rep"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("_orphans"))
+    )
+    return (
+        base_n.crossJoin(twin_drops)
+        .crossJoin(orphans)
+        .select(
+            "n_queries",
+            (F.col("_d") >= F.round(F.col("n_queries") * 0.9)).alias(
+                "twin_drop_ok"
+            ),
+            (F.col("_orphans") == 0).alias("rep_kept_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

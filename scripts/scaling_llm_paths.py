@@ -238,6 +238,35 @@ def r7_extras(spark, emb_base, dim, scales):
     print(json.dumps({"r7_extras": report}, indent=2))
 
 
+def semdedup_leg(spark, emb_base, dim, scales):
+    """SemDeDup under growth (r7): k = √N clusters, exact pairs within
+    clusters only. The planted-recall gate: replica 1 is an elementwise
+    cos≈0.95 twin of replica 0, so the 2,000 (v, v+REP_OFFSET) pairs
+    must surface as within-cluster pairs; total compare work is
+    Σ(cluster²) ≈ N^1.5 at the √N rule instead of the N² cross-join."""
+    report = {}
+    for mult in scales:
+        emb = scaled_embeddings(emb_base, mult, dim).localCheckpoint(eager=True)
+        n_vec = emb.count()
+        k = max(16, int(math.sqrt(n_vec)))
+        entry = {"n_vectors": n_vec, "n_clusters": k}
+        t0 = time.perf_counter()
+        pairs = dd.semdedup_pairs(
+            emb, "vec_id", "embedding", n_clusters=k, threshold=0.9
+        ).localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        entry["semdedup_wall_sec"] = round(time.perf_counter() - t0, 2)
+        entry["n_pairs"] = n_pairs
+        n_base = emb.filter(F.col("vec_id") < REP_OFFSET).count()
+        hits = pairs.filter(
+            F.col("id_b") == F.col("id_a") + REP_OFFSET
+        ).count()
+        entry["planted_pair_recall"] = round(hits / n_base, 3)
+        report[f"{mult}x"] = entry
+        print(json.dumps({f"{mult}x": entry}), file=sys.stderr)
+    print(json.dumps({"semdedup": report}, indent=2))
+
+
 def main():
     scales = [1, 10, 100]
     skip_docs = "--skip-docs" in sys.argv
@@ -253,6 +282,9 @@ def main():
     dim = len(emb_base.select("embedding").first()[0])
     if "--r7-extras" in sys.argv:
         r7_extras(spark, emb_base, dim, [m for m in scales if m > 1])
+        return
+    if "--semdedup" in sys.argv:
+        semdedup_leg(spark, emb_base, dim, [m for m in scales if m > 1])
         return
     report = {"sf_dir": SF_DIR, "scales": {}}
 

@@ -430,6 +430,95 @@ def test_cli_residual_build_and_stale_report(spark, tmp_path, capsys):
     assert report["rebuild_recommended"] is False
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-within-cluster exact pairs (Abbas et al. 2023).
+# ---------------------------------------------------------------------------
+
+
+def _twin_corpus(spark, n=300, n_twins=50):
+    emb = _emb(spark, hi=n)
+    twins = emb.filter(F.col("vec_id") < n_twins).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.3 * F.sin(i.cast("double") + 1.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    return emb.unionByName(twins)
+
+
+def test_semdedup_matches_bruteforce_within_clusters(spark):
+    # completeness within the clustering: the pairs must be EXACTLY the
+    # exact-cosine pairs restricted to same-cluster membership
+    from opensea_datapipeline_spark.operators import dedup as dd
+    from opensea_datapipeline_spark.operators.ann_index import (
+        _l2_normalized, build_ivf_index,
+    )
+
+    corpus = _twin_corpus(spark)
+    base = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    idx = build_ivf_index(_l2_normalized(base), "id", "vec", n_lists=8)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.semdedup_pairs(
+            corpus, n_clusters=8, threshold=0.9, index=idx
+        ).collect()
+    }
+    lists = idx.assignments.select("id", "list_id")
+    exact = dd.embedding_near_dup_pairs(corpus, "vec_id", "embedding", 0.9)
+    same_cluster = (
+        exact.join(lists.withColumnRenamed("id", "id_a")
+                        .withColumnRenamed("list_id", "la"), "id_a")
+        .join(lists.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("list_id", "lb"), "id_b")
+        .filter(F.col("la") == F.col("lb"))
+    )
+    want = {(r.id_a, r.id_b) for r in same_cluster.collect()}
+    assert got == want and len(got) >= 45
+
+
+def test_semdedup_keep_drops_twins_keeps_reps(spark):
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    corpus = _twin_corpus(spark)
+    keep = dd.semdedup_keep(corpus, n_clusters=8, threshold=0.9).collect()
+    kept = {r.id for r in keep if r.keep}
+    dropped = [r for r in keep if not r.keep]
+    assert len(keep) == 350
+    # every dropped id's representative is kept, and reps are group minima
+    assert all(r.group_id in kept and r.group_id < r.id for r in dropped)
+    # twins (min-id original wins) dominate the drops
+    assert sum(1 for r in dropped if r.id >= 10_000) >= 45
+
+
+def test_semdedup_cluster_cap_fails_loudly(spark):
+    import pytest as _pytest
+
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    corpus = _twin_corpus(spark)
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        dd.semdedup_pairs(
+            corpus, n_clusters=2, threshold=0.9, max_cluster_rows=10
+        ).collect()
+
+
+def test_semdedup_string_ids(spark):
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    corpus = _twin_corpus(spark, n=100, n_twins=10).select(
+        F.concat(F.lit("d"), F.format_string("%06d", "vec_id")).alias("doc_id"),
+        "embedding",
+    )
+    pairs = dd.semdedup_pairs(
+        corpus, id_col="doc_id", vec_col="embedding", n_clusters=4,
+        threshold=0.9,
+    )
+    rows = pairs.collect()
+    assert len(rows) >= 9
+    assert all(r.id_a < r.id_b and r.id_a.startswith("d") for r in rows)
+
+
 def test_staleness_drifted_appends_decay_recall(spark, tmp_path):
     """The policy's justification, measured: a drifted append under
     frozen centroids+codebooks loses recall vs a rebuild over the union
