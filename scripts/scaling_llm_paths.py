@@ -250,18 +250,23 @@ def semdedup_leg(spark, emb_base, dim, scales):
         n_vec = emb.count()
         k = max(16, int(math.sqrt(n_vec)))
         entry = {"n_vectors": n_vec, "n_clusters": k}
-        t0 = time.perf_counter()
-        pairs = dd.semdedup_pairs(
-            emb, "vec_id", "embedding", n_clusters=k, threshold=0.9
-        ).localCheckpoint(eager=True)
-        n_pairs = pairs.count()
-        entry["semdedup_wall_sec"] = round(time.perf_counter() - t0, 2)
-        entry["n_pairs"] = n_pairs
         n_base = emb.filter(F.col("vec_id") < REP_OFFSET).count()
-        hits = pairs.filter(
-            F.col("id_b") == F.col("id_a") + REP_OFFSET
-        ).count()
-        entry["planted_pair_recall"] = round(hits / n_base, 3)
+        for n_assign in (1, 2):
+            tag = "" if n_assign == 1 else "_assign2"
+            t0 = time.perf_counter()
+            pairs = dd.semdedup_pairs(
+                emb, "vec_id", "embedding", n_clusters=k, threshold=0.9,
+                n_assign=n_assign,
+            ).localCheckpoint(eager=True)
+            n_pairs = pairs.count()
+            entry[f"semdedup_wall_sec{tag}"] = round(
+                time.perf_counter() - t0, 2
+            )
+            entry[f"n_pairs{tag}"] = n_pairs
+            hits = pairs.filter(
+                F.col("id_b") == F.col("id_a") + REP_OFFSET
+            ).count()
+            entry[f"planted_pair_recall{tag}"] = round(hits / n_base, 3)
         report[f"{mult}x"] = entry
         print(json.dumps({f"{mult}x": entry}), file=sys.stderr)
     print(json.dumps({"semdedup": report}, indent=2))

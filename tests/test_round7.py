@@ -491,6 +491,24 @@ def test_semdedup_keep_drops_twins_keeps_reps(spark):
     assert sum(1 for r in dropped if r.id >= 10_000) >= 45
 
 
+def test_semdedup_multi_assign_superset_and_unique(spark):
+    # n_assign=2 compares everything n_assign=1 does (first assignment
+    # is the argmin) plus boundary pairs; rediscoveries collapse to one
+    # row per pair
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    corpus = _twin_corpus(spark)
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in dd.semdedup_pairs(corpus, n_clusters=8, threshold=0.9).collect()
+    }
+    df2 = dd.semdedup_pairs(corpus, n_clusters=8, threshold=0.9, n_assign=2)
+    rows2 = df2.collect()
+    p2 = {(r.id_a, r.id_b) for r in rows2}
+    assert p1 <= p2 and len(p1) >= 45
+    assert len(rows2) == len(p2)  # no duplicate pair rows
+
+
 def test_semdedup_cluster_cap_fails_loudly(spark):
     import pytest as _pytest
 
