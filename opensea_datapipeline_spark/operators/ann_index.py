@@ -838,6 +838,13 @@ def pq_probe(
             f"pq_probe query batch exceeds max_queries={max_queries}; "
             "split the batch or raise the cap deliberately"
         )
+    if not q_rows:  # empty batch → empty result, not a numpy stack error
+        return index.codes.sparkSession.createDataFrame(
+            [],
+            f"query_id {_sql_type(queries, id_col)}, "
+            f"neighbor_id {_sql_type(index.codes, 'id')}, sim DOUBLE, "
+            "rank INT",
+        )
     # ids ride as object arrays and the output schema mirrors the input
     # id types, so string doc ids work like int vector ids (ADVICE r6)
     qids = np.array([r.id for r in q_rows], dtype=object)
@@ -1171,6 +1178,13 @@ def ivfpq_probe(
         raise ValueError(
             f"ivfpq_probe query batch exceeds max_queries={max_queries}; "
             "split the batch or raise the cap deliberately"
+        )
+    if not q_rows:  # empty batch → empty result, not a numpy stack error
+        return index.codes.sparkSession.createDataFrame(
+            [],
+            f"query_id {_sql_type(queries, id_col)}, "
+            f"neighbor_id {_sql_type(index.codes, 'id')}, sim DOUBLE, "
+            "rank INT",
         )
     qids = np.array([r.id for r in q_rows], dtype=object)
     Q = np.vstack([r.vec for r in q_rows]).astype(np.float64)

@@ -456,6 +456,7 @@ def semdedup_keep(
     threshold: float = 0.95,
     seed: int = 42,
     index=None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup's keep/drop decision: resolve the within-cluster pairs
     into duplicate groups (`connected_components_auto`) and keep ONE
@@ -468,7 +469,7 @@ def semdedup_keep(
     )
     pairs = semdedup_pairs(
         embeddings, id_col, vec_col, n_clusters=n_clusters,
-        threshold=threshold, seed=seed, index=index,
+        threshold=threshold, seed=seed, index=index, n_assign=n_assign,
     )
     groups = connected_components_auto(
         base, pairs.select("id_a", "id_b"), id_col="id",

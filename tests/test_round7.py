@@ -148,6 +148,19 @@ def test_pq_and_ivfpq_probe_string_ids(spark):
     assert res2.count() == 5 * 5
 
 
+def test_pq_and_ivfpq_probe_empty_query_batch(spark):
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    emb = _emb(spark, hi=100)
+    none = emb.filter(F.col("vec_id") < 0)
+    pq = ai.build_pq_index(emb, "vec_id", "embedding", m=8, k=16)
+    assert ai.pq_probe(pq, none, k=5).count() == 0
+    ivfpq = ai.build_ivfpq_index(emb, "vec_id", "embedding", n_lists=4, m=8, k=16)
+    res = ai.ivfpq_probe(ivfpq, none, k=5)
+    assert res.count() == 0
+    assert set(res.columns) == {"query_id", "neighbor_id", "sim", "rank"}
+
+
 def test_pq_build_rejects_undersized_training_sample(spark):
     from opensea_datapipeline_spark.operators import ann_index as ai
 
