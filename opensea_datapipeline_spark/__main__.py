@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_i.add_argument("action", choices=["build", "append", "probe", "stale"])
     p_i.add_argument("--kind", choices=["lsh", "ivf", "pq", "ivfpq"],
-                     required=True)
+                     help="index kind (required for build/append/probe; "
+                          "stale reads it from the index meta)")
     p_i.add_argument("--path", required=True, help="index directory")
     p_i.add_argument("--embeddings",
                      help="embeddings parquet (build/append input)")
@@ -118,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "index":
             from .operators import ann_index as ai
 
+            if args.action != "stale" and not args.kind:
+                print("--kind is required for build/append/probe",
+                      file=sys.stderr)
+                return 2
             cols = dict(id_col=args.id_col, vec_col=args.vec_col)
             if args.action == "build":
                 emb = spark.read.parquet(args.embeddings)
