@@ -943,11 +943,13 @@ def read_pq_index(spark: SparkSession, path: str) -> PqIndex:
 # ---------------------------------------------------------------------------
 # IVF-PQ — the composed serving architecture: IVF restricts WHICH codes
 # are scanned (n_probe of n_lists), PQ compresses WHAT is scanned (8 B
-# codes). This is the FAISS IVFPQ shape re-expressed on Spark tables,
-# with one documented deviation: codes encode the raw L2-normalized
-# vector, not the residual v − centroid (residual codebooks buy extra
-# precision at the cost of per-list rotation bookkeeping; the two-stage
-# `rerank_with` float re-rank recovers ordering precision more simply).
+# codes). This is the FAISS IVFPQ shape re-expressed on Spark tables.
+# Codes encode either the raw L2-normalized vector (default — simplest,
+# r6 behavior) or, with ``residual=True`` (r7), the residual
+# v̂ − centroid(list) as in Jégou et al. / FAISS IVFADC — same code
+# budget, less ADC distortion (SCALING.md r7 measures the recall lift at
+# full probe); the two-stage ``rerank_with`` float re-rank composes with
+# both encodings.
 # ---------------------------------------------------------------------------
 
 
