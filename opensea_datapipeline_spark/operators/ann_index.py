@@ -173,27 +173,64 @@ def build_ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     materialize: bool = False,
+    train_rows: int | None = None,
 ) -> IvfIndex:
     """Train the KMeans coarse quantizer ONCE and assign every vector to
     its inverted list. The expensive step — this is what round 5's
-    ``ann_ivf`` paid on every call."""
+    ``ann_ivf`` paid on every call.
+
+    ``train_rows`` (r7): train the quantizer on a DETERMINISTIC ordered
+    sample of this many rows and assign the full corpus with one Arrow
+    matmul against the frozen centroids — the web-scale shape (KMeans
+    iterations over the whole corpus ARE the build wall: 30 of 31 s at
+    the 100× scaling leg; a quantizer only needs a representative
+    sample, same argument as PQ codebook training). None (default)
+    trains on everything — the r6 behavior, bit-compatible."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    ml_df = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    clean = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    model = KMeans(k=n_lists, seed=seed).fit(ml_df)
-    assignments = model.transform(ml_df).select(
-        "id", "vec", F.col("prediction").alias("list_id")
+    ml_df = clean.select(
+        "id",
+        "vec",
+        array_to_vector(F.col("vec").cast("array<double>")).alias("features"),
     )
     spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id INT, centroid ARRAY<DOUBLE>",
-    )
+    if train_rows is None:
+        model = KMeans(k=n_lists, seed=seed).fit(ml_df)
+        assignments = model.transform(ml_df).select(
+            "id", "vec", F.col("prediction").alias("list_id")
+        )
+        centroids = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "list_id INT, centroid ARRAY<DOUBLE>",
+        )
+    else:
+        # the global limit leaves ONE partition — re-spread it or the
+        # KMeans iterations run serial (measured 26 s single-partition
+        # vs 11 s re-spread at the 100× leg)
+        train = (
+            ml_df.orderBy("id")
+            .limit(int(train_rows))
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        model = KMeans(k=n_lists, seed=seed).fit(train)
+        centroids = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "list_id INT, centroid ARRAY<DOUBLE>",
+        )
+        # same squared-euclidean argmin rule KMeansModel.transform
+        # applies, one Arrow matmul over the corpus instead of a JVM
+        # model broadcast — and identical to how appends assign later
+        assignments = _assign_to_centroids(clean, centroids)
     if materialize:
         assignments = assignments.localCheckpoint(eager=True)
     return IvfIndex(centroids, assignments, n_lists, seed)
@@ -1048,10 +1085,13 @@ def build_ivfpq_index(
     sample_size: int = 4096,
     materialize: bool = False,
     residual: bool = False,
+    train_rows: int | None = None,
 ) -> IvfPqIndex:
     """One KMeans fit (coarse lists) + one sampled Lloyd (codebooks) +
     one Arrow encode pass; the codes table carries (id, list_id, codes)
-    so a probe scans only its probed lists' rows.
+    so a probe scans only its probed lists' rows. ``train_rows`` flows
+    to the coarse quantizer (sampled KMeans training, see
+    `build_ivf_index`).
 
     ``residual=True``: train the coarse quantizer over unit-normalized
     vectors and the codebooks over the SAMPLE'S RESIDUALS (v̂ − its
@@ -1062,7 +1102,8 @@ def build_ivfpq_index(
 
     if not residual:
         ivf = build_ivf_index(
-            embeddings, id_col, vec_col, n_lists=n_lists, seed=seed
+            embeddings, id_col, vec_col, n_lists=n_lists, seed=seed,
+            train_rows=train_rows,
         )
         pq = build_pq_index(
             embeddings, id_col, vec_col, m=m, k=k, seed=seed,
@@ -1088,7 +1129,10 @@ def build_ivfpq_index(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
     )
-    ivf = build_ivf_index(normed, "id", "vec", n_lists=n_lists, seed=seed)
+    ivf = build_ivf_index(
+        normed, "id", "vec", n_lists=n_lists, seed=seed,
+        train_rows=train_rows,
+    )
     crows = sorted(ivf.centroids.collect(), key=lambda r: r.list_id)
     cids = np.array([r.list_id for r in crows], dtype=np.int64)
     C = np.vstack([r.centroid for r in crows]).astype(np.float64)

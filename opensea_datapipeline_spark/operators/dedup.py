@@ -337,6 +337,7 @@ def semdedup_pairs(
     index=None,
     max_cluster_rows: int = 100_000,
     n_assign: int = 1,
+    train_rows: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas, Tirumala,
     Rimanic, Ballas, Deny, Morcos, "SemDeDup: Data-efficient learning at
@@ -371,6 +372,9 @@ def semdedup_pairs(
     Pairs emit once with ``id_a < id_b`` (ids sorted per cluster, upper
     triangle). ``cos_sim`` is BLAS-summed — recall/threshold semantics,
     not a hash-matchable value (same grading rule as every ANN path).
+    ``train_rows`` flows to the coarse quantizer (sampled KMeans
+    training, see `ann_index.build_ivf_index` — the build wall is
+    KMeans-dominated at scale).
     """
     import numpy as np
 
@@ -382,7 +386,8 @@ def semdedup_pairs(
     idx = index
     if idx is None:
         idx = build_ivf_index(
-            _l2_normalized(base), "id", "vec", n_lists=n_clusters, seed=seed
+            _l2_normalized(base), "id", "vec", n_lists=n_clusters,
+            seed=seed, train_rows=train_rows,
         )
     id_t = _sql_type(base, "id")
     schema = f"id_a {id_t}, id_b {id_t}, cos_sim DOUBLE"

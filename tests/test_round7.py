@@ -148,6 +148,41 @@ def test_pq_and_ivfpq_probe_string_ids(spark):
     assert res2.count() == 5 * 5
 
 
+def test_ivf_sampled_training_build(spark):
+    # train_rows: quantizer trained on a deterministic sample, corpus
+    # assigned by the Arrow matmul — full coverage, argmin-consistent
+    # assignments, planted twins still surface
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    corpus = _twin_corpus(spark)
+    idx = ai.build_ivf_index(
+        corpus, "vec_id", "embedding", n_lists=8, train_rows=100
+    )
+    assert idx.assignments.count() == 350
+    reassigned = ai._assign_to_centroids(
+        idx.assignments.select("id", "vec"), idx.centroids
+    )
+    assert (
+        idx.assignments.select("id", "list_id")
+        .exceptAll(reassigned.select("id", "list_id"))
+        .count()
+        == 0
+    )
+    res = ai.ivf_probe(idx, corpus.filter(F.col("vec_id") < 50), k=5, n_probe=3)
+    hits = res.filter(F.col("neighbor_id") == F.col("query_id") + 10_000).count()
+    assert hits >= 45
+
+    sem = {
+        (r.id_a, r.id_b)
+        for r in __import__(
+            "opensea_datapipeline_spark.operators.dedup", fromlist=["dedup"]
+        ).semdedup_pairs(
+            corpus, n_clusters=8, threshold=0.9, train_rows=100
+        ).collect()
+    }
+    assert sum(1 for a, b in sem if b == a + 10_000) >= 45
+
+
 def test_pq_and_ivfpq_probe_empty_query_batch(spark):
     from opensea_datapipeline_spark.operators import ann_index as ai
 
