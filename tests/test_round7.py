@@ -416,6 +416,29 @@ def test_index_staleness_lifecycle_counters(spark, tmp_path):
     assert s3["n_appends"] == 3 and s3["n_appended"] == 100
 
 
+def test_pq_and_ivfpq_append_bump_staleness_counters(spark, tmp_path):
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    emb = _emb(spark)
+    pq = ai.build_pq_index(emb, "vec_id", "embedding", m=8, k=16)
+    pq_path = str(tmp_path / "pq")
+    ai.write_pq_index(pq, pq_path)
+    ai.append_pq_index_at(spark, pq_path, _emb(spark, lo=200, hi=260))
+    s = ai.index_staleness(spark, pq_path)
+    assert s["kind"] == "pq" and s["n_appends"] == 1
+    assert s["n_base"] == 200 and s["n_appended"] == 60
+
+    ivfpq = ai.build_ivfpq_index(emb, "vec_id", "embedding", n_lists=4, m=8, k=16)
+    iv_path = str(tmp_path / "ivfpq")
+    ai.write_ivfpq_index(ivfpq, iv_path)
+    ai.append_ivfpq_index_at(spark, iv_path, _emb(spark, lo=200, hi=300))
+    s2 = ai.index_staleness(spark, iv_path)
+    assert s2["kind"] == "ivfpq" and s2["n_appends"] == 1
+    assert s2["n_base"] == 200 and s2["n_appended"] == 100
+    assert s2["delta_fraction"] == pytest.approx(100 / 300, abs=1e-6)
+    assert s2["rebuild_recommended"] is True
+
+
 def test_lsh_staleness_never_recommends_rebuild(spark, tmp_path):
     from opensea_datapipeline_spark.operators import ann_index as ai
 
