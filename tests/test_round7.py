@@ -501,6 +501,65 @@ def test_cli_residual_build_and_stale_report(spark, tmp_path, capsys):
     assert report["rebuild_recommended"] is False
 
 
+def test_streaming_ingest_appends_persisted_ivfpq_index(spark, tmp_path):
+    # the r6 streaming-ingest shape extended to the composed index:
+    # micro-batches append into the persisted residual IVF-PQ via
+    # foreachBatch (frozen centroids + codebooks -> encoding a batch is
+    # a pure per-row function, so the streamed index equals an in-memory
+    # append over the concatenated delta), and the staleness counters
+    # count one append per micro-batch.
+    import os
+
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    emb = _emb(spark)
+    seed_part = emb.filter(F.col("vec_id") < 80)
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 140)).write.parquet(
+        stream_dir + "/b0"
+    )
+    emb.filter(F.col("vec_id") >= 140).write.parquet(stream_dir + "/b1")
+
+    path = str(tmp_path / "ivfpq_index")
+    idx0 = ai.build_ivfpq_index(
+        seed_part, "vec_id", "embedding", n_lists=4, m=8, k=16,
+        residual=True, sample_size=80,
+    )
+    ai.write_ivfpq_index(idx0, path)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _id: ai.append_ivfpq_index_at(
+                spark, path, batch_df, "vec_id", "embedding"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    loaded = ai.read_ivfpq_index(spark, path)
+    assert loaded.residual is True
+    assert loaded.codes.count() == emb.count()
+    stale = ai.index_staleness(spark, path)
+    assert stale["n_appends"] == 2 and stale["n_appended"] == 120
+
+    in_mem = ai.append_ivfpq_index(
+        idx0, emb.filter(F.col("vec_id") >= 80), "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    assert _result_set(
+        ai.ivfpq_probe(loaded, queries, k=5, n_probe=2)
+    ) == _result_set(ai.ivfpq_probe(in_mem, queries, k=5, n_probe=2))
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: cluster-then-within-cluster exact pairs (Abbas et al. 2023).
 # ---------------------------------------------------------------------------
