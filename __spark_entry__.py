@@ -29,16 +29,19 @@ from opensea_datapipeline_spark.queries import ORACLE, QUERIES  # noqa: E402
 SF0001_DIR = "/root/testdata/sf0.001"
 
 
-def _previously_graded() -> set[str]:
-    """Query names whose latest CORRECTNESS_r*.json row needs no regrade.
+def _previously_graded() -> tuple[set[str], dict[str, int]]:
+    """(names needing no regrade, name -> round of its latest grading).
 
     The driver grades a bounded prefix of ``queries()`` per round, so we
     surface first (a) queries never graded, (b) queries whose last grading
     errored, and (c) queries graded ``no_oracle`` that NOW have an oracle
     (upgraded rows-only paths must be re-graded against it). Already-green
-    ones are protected by tests/test_oracle_parity.py regardless of order.
+    ones are protected by tests/test_oracle_parity.py regardless of order,
+    but the bounded prefix still rotates through them oldest-round-first so
+    every registered query gets a fresh driver row every ~2.5 rounds.
     """
     latest: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     # sort by the numeric round, not lexicographically: _r100 would sort
     # before _r99 as a string and let a stale row win; files without a
     # numeric round tag sort first (treated as oldest)
@@ -53,32 +56,43 @@ def _previously_graded() -> set[str]:
     for path in paths:
         try:
             with open(path) as f:
-                latest.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        latest.update(rows)
+        rnd = _round_num(path)
+        for name in rows:
+            last_round[name] = rnd
     ok: set[str] = set()
     for name, row in latest.items():
         err = (row or {}).get("err")
         if err is None or (err == "no_oracle" and name not in ORACLE):
             ok.add(name)
-    return ok
+    return ok, last_round
 
 
 # Regraded ahead of everything: queries whose latest green row no longer
-# reflects the query. r5 surfaced streaming_daily_stats after the NTZ fix
-# (green r5 row recorded — retired from this list). r6: embedding_near_dup's
-# r5 row was green but VACUOUS (0 rows both engines); the query now plants
-# deterministic in-plan twins and must be regraded on its non-trivial form.
-_REGRADE_FIRST = ("embedding_near_dup",)
+# reflects the query. r5: streaming_daily_stats (NTZ fix) — green r5 row,
+# retired. r6: embedding_near_dup (de-vacuized with planted twins) — green
+# r7 row, retired. r8: nation_trade_volume (de-vacuized NATION_5/NATION_13
+# form, queries.py q_nation_trade_volume — last driver row is r02's grading
+# of the old impossible-literal form) and psi_value_drift (bucket clamp
+# `greatest(0, least(...))` postdates its last driver grading).
+_REGRADE_FIRST = ("nation_trade_volume", "psi_value_drift")
 
 
 def _ordered(mapping: dict) -> dict:
-    graded = _previously_graded()
+    graded, last_round = _previously_graded()
     names = sorted(
         QUERIES,
         key=lambda n: (
             n not in _REGRADE_FIRST,
             n in graded,
+            # among already-graded queries, stalest driver row first so the
+            # bounded grading prefix rotates through the whole registry
+            # (~2.5 rounds at a 50-query prefix) instead of re-grading the
+            # same registry-order prefix every round
+            last_round.get(n, -1),
             list(QUERIES).index(n),
         ),
     )
