@@ -9,8 +9,8 @@ Conventions:
   meta STRUCT<...>)``. The binary payload is opaque to the engine; all
   engine-side ops are metadata extraction, chunking/frame-sampling, and
   batched feature extraction over Arrow.
-- ``decode_media`` is a REAL decoder: a pure-Python PNG/GIF/BMP header
-  parser with a PIL fallback behind an import-try (no stub). The
+- ``decode_media`` is a REAL decoder: a pure-Python PNG/GIF/BMP/JPEG/WebP
+  header parser with a PIL fallback behind an import-try (no stub). The
   Spark-side plumbing — schema, partitioning, ``mapInPandas`` batch
   shape — is tested with ``byte_histogram_features`` as the
   deterministic featurizer.
@@ -127,18 +127,22 @@ def synthesize_image_payloads(
     df: DataFrame, id_col: str = "doc_id", out_id: str = "asset_id"
 ) -> DataFrame:
     """Deterministic stand-in for a binaryFile scan of an image corpus:
-    per row, a structurally valid PNG / GIF / BMP *header* (format cycles
-    on ``id % 3``; dims derive from the id) built entirely JVM-side via
-    ``format_string`` + ``unhex``. Exercises the real byte layout each
-    decoder parses — magic, big-endian PNG IHDR, little-endian GIF/BMP
-    dimension fields — so `decode_media` is tested against actual bytes,
-    not a mock."""
+    per row, a structurally valid PNG / GIF / BMP / JPEG / WebP *header*
+    (format cycles on ``id % 5``; dims derive from the id) built entirely
+    JVM-side via ``format_string`` + ``unhex``. Exercises the real byte
+    layout each decoder parses — magic, big-endian PNG IHDR / JPEG SOF0,
+    little-endian GIF/BMP/VP8 dimension fields, JPEG marker-segment
+    walking past a JFIF APP0 — so `decode_media` is tested against actual
+    bytes, not a mock."""
     w = (F.col(id_col) % 640 + 16).cast("int")
     h = (F.col(id_col) % 480 + 16).cast("int")
-    fmt = F.col(id_col) % 3
+    fmt = F.col(id_col) % 5
 
     def le16(c):  # 2-byte little-endian hex
         return F.format_string("%02x%02x", c % 256, (c / 256).cast("int"))
+
+    def be16(c):  # 2-byte big-endian hex
+        return F.format_string("%04x", c)
 
     def be32(c):  # 4-byte big-endian hex
         return F.format_string("%08x", c)
@@ -158,8 +162,25 @@ def synthesize_image_payloads(
         F.lit("424d" + "00" * 12 + "28000000"), le32(w), le32(h),
         F.lit("0100" "1800"),  # 1 plane, 24 bpp
     )
+    jpeg = F.concat(
+        # SOI + full JFIF APP0 (len 0x10), so the parser must actually
+        # walk the marker stream, then SOF0 (len 0x11): precision 8,
+        # HEIGHT-then-WIDTH big-endian, 3 components (YCbCr -> RGB)
+        F.lit("ffd8" "ffe0" "0010" "4a46494600" "0101" "00"
+              "0001" "0001" "0000" "ffc0" "0011" "08"),
+        be16(h), be16(w),
+        F.lit("03" "011100" "021101" "031101"),
+    )
+    webp = F.concat(
+        # RIFF(22) WEBP + lossy VP8 chunk(10): 3-byte frame tag
+        # (keyframe), 9d012a sync, then 14-bit little-endian dims
+        F.lit("52494646" "16000000" "57454250" "56503820" "0a000000"
+              "000000" "9d012a"),
+        le16(w), le16(h),
+    )
     hex_payload = (
-        F.when(fmt == 0, png).when(fmt == 1, gif).otherwise(bmp)
+        F.when(fmt == 0, png).when(fmt == 1, gif).when(fmt == 2, bmp)
+        .when(fmt == 3, jpeg).otherwise(webp)
     )
     return df.select(
         F.col(id_col).alias(out_id), F.unhex(hex_payload).alias("media")
@@ -172,7 +193,8 @@ _BMP_MODES = {1: "1", 8: "P", 24: "RGB", 32: "RGBA"}
 
 def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     """Pure-Python image header parse: (width, height, mode) for PNG, GIF,
-    and BMP payloads, None for anything unrecognized. Reads only the fixed
+    BMP, JPEG (SOF0-SOF15 marker scan), and WebP (VP8/VP8L/VP8X) payloads,
+    None for anything unrecognized. Reads only the fixed
     header region — no decoder library, no full-image decode — which is
     exactly what dimension/metadata extraction needs at corpus scale
     (the reference's image ingestion pulls Image.size the same way,
@@ -180,19 +202,55 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     """
     import struct
 
-    if payload is None or len(payload) < 26:
+    # 25 = minimal VP8L WebP; every branch below bounds-checks its own
+    # wider reads (a real PNG/BMP is always >= 26 bytes anyway)
+    if payload is None or len(payload) < 25:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
-        mode = _PNG_MODES.get(payload[25], "RGB")
+        mode = _PNG_MODES.get(payload[25], "RGB") if len(payload) > 25 else "RGB"
         return w, h, mode
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return w, h, "P"
-    if payload[:2] == b"BM":
+    if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0] if len(payload) >= 30 else 24
         return w, abs(h), _BMP_MODES.get(bpp, "RGB")
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk the marker stream to the first SOF frame header
+        # (C0-CF minus DHT C4 / JPG C8 / DAC CC), which carries
+        # [precision][height:2][width:2][n_components]. Real corpora —
+        # including the reference's own raw images, which it AVIF->PNG
+        # converts (batch_generate_all_embeddings.py:67-69) — are mostly
+        # JPEG, so the no-PIL fallback must cover it.
+        pos = 2
+        while pos + 9 < len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length field
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                ncomp = payload[pos + 9]
+                return w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, "RGB")
+            pos += 2 + struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        fourcc = payload[12:16]
+        if fourcc == b"VP8 " and len(payload) >= 30 and payload[23:26] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", payload[26:30])
+            return w & 0x3FFF, h & 0x3FFF, "RGB"
+        if fourcc == b"VP8L" and payload[20] == 0x2F:
+            bits = struct.unpack("<I", payload[21:25])[0]
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "RGBA"
+        if fourcc == b"VP8X" and len(payload) >= 30:
+            wm1 = int.from_bytes(payload[24:27], "little")
+            hm1 = int.from_bytes(payload[27:30], "little")
+            return wm1 + 1, hm1 + 1, ("RGBA" if payload[20] & 0x10 else "RGB")
+        return None
     return None
 
 

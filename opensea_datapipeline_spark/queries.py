@@ -1998,15 +1998,16 @@ def q_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id AS asset_id,
   CAST((doc_id % 640) + 16 AS BIGINT) AS width,
   CAST((doc_id % 480) + 16 AS BIGINT) AS height,
-  CASE doc_id % 3 WHEN 1 THEN 'P' ELSE 'RGB' END AS mode
+  CASE doc_id % 5 WHEN 1 THEN 'P' ELSE 'RGB' END AS mode
 FROM documents
 """,
 )
 def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F9 media decode, end-to-end: build structurally valid PNG/GIF/BMP
-    # headers JVM-side, parse them back with the pure-Python header decoder
-    # (mapInPandas). The oracle recomputes dims from the generating formula,
-    # so any byte-layout or parser error breaks the hash match.
+    # F9 media decode, end-to-end: build structurally valid PNG/GIF/BMP/
+    # JPEG/WebP headers JVM-side, parse them back with the pure-Python
+    # header decoder (mapInPandas; no PIL in this env, so the fallback IS
+    # the graded path). The oracle recomputes dims from the generating
+    # formula, so any byte-layout or parser error breaks the hash match.
     payloads = mm.synthesize_image_payloads(
         _t(spark, sf_dir, "documents"), "doc_id"
     )
@@ -4115,15 +4116,15 @@ def q_group_p90_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "media_knn_pipeline",
-    # Full replay in SQL: the synthesized PNG/GIF/BMP header bytes are a
-    # pure function of doc_id (same format_string formulas), the feature
-    # stage is the 8-bucket byte histogram as raw float64 count/total,
-    # and the cosine top-3 reuses the hash-green knn oracle shape.
+    # Full replay in SQL: the synthesized PNG/GIF/BMP/JPEG/WebP header
+    # bytes are a pure function of doc_id (same format_string formulas),
+    # the feature stage is the 8-bucket byte histogram as raw float64
+    # count/total, and the cosine top-3 reuses the hash-green knn shape.
     """
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
 hexes AS (
   SELECT doc_id,
-    CASE doc_id % 3
+    CASE doc_id % 5
       WHEN 0 THEN '89504e470d0a1a0a' || '0000000d' || '49484452'
         || printf('%08x', (doc_id % 640) + 16)
         || printf('%08x', (doc_id % 480) + 16) || '0802'
@@ -4133,12 +4134,23 @@ hexes AS (
         || printf('%02x%02x', ((doc_id % 480) + 16) % 256,
                   ((doc_id % 480) + 16) // 256)
         || repeat('00', 16)
-      ELSE '424d' || repeat('00', 12) || '28000000'
+      WHEN 2 THEN '424d' || repeat('00', 12) || '28000000'
         || printf('%02x%02x', ((doc_id % 640) + 16) % 256,
                   ((doc_id % 640) + 16) // 256) || '0000'
         || printf('%02x%02x', ((doc_id % 480) + 16) % 256,
                   ((doc_id % 480) + 16) // 256) || '0000'
         || '0100' || '1800'
+      WHEN 3 THEN 'ffd8' || 'ffe0' || '0010' || '4a46494600' || '0101'
+        || '00' || '0001' || '0001' || '0000' || 'ffc0' || '0011' || '08'
+        || printf('%04x', (doc_id % 480) + 16)
+        || printf('%04x', (doc_id % 640) + 16)
+        || '03' || '011100' || '021101' || '031101'
+      ELSE '52494646' || '16000000' || '57454250' || '56503820'
+        || '0a000000' || '000000' || '9d012a'
+        || printf('%02x%02x', ((doc_id % 640) + 16) % 256,
+                  ((doc_id % 640) + 16) // 256)
+        || printf('%02x%02x', ((doc_id % 480) + 16) % 256,
+                  ((doc_id % 480) + 16) // 256)
     END AS hx
   FROM d
 ), h AS (
