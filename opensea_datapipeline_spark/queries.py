@@ -3352,6 +3352,131 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_curation_near_dup",
+    # Full SQL replay of the near-dup curation chain: quality filter →
+    # exact dedup → minhash(8)/band(2) LSH candidates → word-set Jaccard
+    # ≥ 0.8 verify → transitive-closure components (recursive CTE) →
+    # canonical doc per group → greedy per-lang 400-token budget.
+    """
+WITH RECURSIVE
+w AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, len(words) AS n_words, words FROM w
+), quality AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND length(text) >= 100
+), dedup1 AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM quality
+), d AS (
+  SELECT doc_id, lang, n_words, list_distinct(words) AS ws
+  FROM dedup1 WHERE rn = 1
+), shing AS (
+  SELECT doc_id, unnest(ws) AS shingle FROM d
+), sigs AS (
+  SELECT doc_id,
+    min(md5('0_' || shingle)) AS sig_0, min(md5('1_' || shingle)) AS sig_1,
+    min(md5('2_' || shingle)) AS sig_2, min(md5('3_' || shingle)) AS sig_3,
+    min(md5('4_' || shingle)) AS sig_4, min(md5('5_' || shingle)) AS sig_5,
+    min(md5('6_' || shingle)) AS sig_6, min(md5('7_' || shingle)) AS sig_7
+  FROM shing GROUP BY doc_id
+), bands AS (
+  SELECT doc_id AS id, 0 AS band, concat_ws('|', sig_0, sig_1) AS band_key FROM sigs
+  UNION ALL SELECT doc_id, 1, concat_ws('|', sig_2, sig_3) FROM sigs
+  UNION ALL SELECT doc_id, 2, concat_ws('|', sig_4, sig_5) FROM sigs
+  UNION ALL SELECT doc_id, 3, concat_ws('|', sig_6, sig_7) FROM sigs
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id < b.id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN d da ON da.doc_id = c.id_a
+  JOIN d db ON db.doc_id = c.id_b
+  WHERE len(list_intersect(da.ws, db.ws))
+      / CAST(len(list_distinct(da.ws || db.ws)) AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+), groups AS (
+  SELECT id, min(label) AS group_id FROM reach GROUP BY id
+), canon AS (
+  SELECT d.* FROM d JOIN groups g ON g.id = d.doc_id
+  WHERE g.group_id = d.doc_id
+), budgeted AS (
+  SELECT *, sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM canon
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+  CAST(sum(n_words) AS BIGINT) AS total_tokens
+FROM budgeted WHERE cum - n_words < 400 GROUP BY 1
+""",
+)
+def q_corpus_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r7 #5: the curation chain a real trainer runs — after exact
+    # dedup, near-dup via minhash-LSH (word-ORDER variants share a word
+    # set, so they slip past the content hash and land at Jaccard 1.0),
+    # resolved to components, one canonical doc kept per group, then a
+    # greedy per-lang token budget (keep docs, lowest id first, while the
+    # tokens consumed before each doc stay under budget). Every stage is
+    # the registered scale operator: LSH banding (equi-join, never N²),
+    # shape-adaptive connected components, window cumsum.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_words"),
+    )
+    quality = scored.filter(
+        (F.col("n_words") >= 20) & (F.length("text") >= 100)
+    )
+    deduped = dd.dedup_by_key(
+        quality.withColumn(
+            "content_hash",
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
+        ),
+        ["content_hash"], "doc_id",
+    )
+    pairs = dd.minhash_lsh_pairs(
+        deduped, "text", "doc_id",
+        num_hashes=8, band_size=2, jaccard_threshold=0.8,
+    ).select("id_a", "id_b")
+    groups = dd.connected_components_auto(
+        deduped.select("doc_id"), pairs, id_col="doc_id", assume_distinct=True
+    )
+    canon = deduped.join(
+        groups.filter(F.col("id") == F.col("group_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    cum = F.sum("n_words").over(
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = canon.withColumn("cum", cum).filter(
+        F.col("cum") - F.col("n_words") < 400
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+    )
+
+
+@_register(
     "approx_distinct_users",
     # HLL++ estimates are engine-specific; the exact per-group distinct
     # count and the sketch's advertised error bound are not. The sketch
