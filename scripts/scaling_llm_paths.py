@@ -272,6 +272,160 @@ def semdedup_leg(spark, emb_base, dim, scales):
     print(json.dumps({"semdedup": report}, indent=2))
 
 
+def structured_corpus(spark, n_vectors, dim, n_groups):
+    """Deterministic CLUSTERED corpus (r8): per-group sinusoid center at
+    a golden-angle frequency, members spread along a per-group 1-D
+    manifold (t in [-1, 1] by member index), plus small per-vector
+    noise. Unlike the rotated-replica noise corpus (top-10 sims
+    ~0.4-0.5, worst case for any ANN), this has the neighbor structure
+    real embedding tables have: similarity decays SMOOTHLY with |dt|,
+    so exact top-10 is well-defined (a pure center+jitter blob makes
+    all 400 members near-ties at cos~0.92 — no quantizer can resolve
+    ties, and the sweep reads as noise; measured before this shape).
+    KMeans at n_lists > n_groups splits each manifold into segments, so
+    boundary queries genuinely need n_probe > 1 — the effect the sweep
+    is sizing. All JVM-side (sequence + transform), no driver data."""
+    g = (F.col("vec_id") % n_groups).cast("double")
+    per = n_vectors / n_groups
+    t = (F.floor(F.col("vec_id") / n_groups).cast("double") / F.lit(per - 1.0)
+         - 0.5) * 2.0
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    vec = F.transform(
+        dims,
+        lambda d: (
+            F.sin((g + 1.0) * (d.cast("double") + 1.0) * 2.39996 + g * 1.3)
+            + 1.5 * t * F.sin(
+                (g + 1.0) * (d.cast("double") + 1.0) * 1.93 + g * 0.7 + 2.1
+            )
+            + 0.15 * F.sin(
+                F.col("vec_id").cast("double") * 0.7717
+                + d.cast("double") * 1.111
+            )
+        ),
+    )
+    return (
+        spark.range(n_vectors)
+        .select(F.col("id").alias("vec_id"))
+        .select("vec_id", vec.cast("array<float>").alias("embedding"))
+        .repartition(32)
+    )
+
+
+def serving_sweep(spark, dim):
+    """r8 (VERDICT #4): n_probe x rerank -> recall curve on a structured
+    corpus, so an operator has actual sizing guidance — the noise-corpus
+    recalls (0.17-0.33) say nothing about where the knee is on real
+    data. 20k vectors in 50 clusters (400/cluster, the density of the
+    r7 full-probe A/B fixture), raw IVF-PQ at the serving defaults
+    (n_lists ~ sqrt(N), m=8, k=16), 100 spread queries, recall@10 vs
+    exact. Walls are single-run (recall is the load-bearing number;
+    box walls spread 2-6x, SCALING.md method note)."""
+    n_vec, n_groups = 20_000, 50
+    emb = structured_corpus(spark, n_vec, dim, n_groups).localCheckpoint(
+        eager=True
+    )
+    n_lists = max(16, int(math.sqrt(n_vec)))
+    queries = emb.filter(F.col("vec_id") % (n_vec // 100) == 0)
+    exact = sim.knn_topk_exact(
+        emb, "vec_id", "embedding", k=10, queries=queries
+    ).localCheckpoint(eager=True)
+    report = {
+        "n_vectors": n_vec, "n_groups": n_groups, "n_lists": n_lists,
+        "n_queries": 100, "k": 10, "indexes": [],
+    }
+    for m, kk in ((8, 16), (16, 256)):
+        t0 = time.perf_counter()
+        idx = ann.build_ivfpq_index(
+            emb, "vec_id", "embedding", n_lists=n_lists, m=m, k=kk,
+            materialize=True,
+        )
+        entry = {
+            "m": m, "k_codes": kk,
+            "code_bits": m * math.log2(kk),
+            "build_sec": round(time.perf_counter() - t0, 2),
+            "sweep": [],
+        }
+        for n_probe in (1, 2, 4, 8):
+            for overfetch in (0, 4, 16):
+                t0 = time.perf_counter()
+                got = ann.ivfpq_probe(
+                    idx, queries, k=10, n_probe=n_probe,
+                    rerank_with=emb if overfetch else None,
+                    overfetch=max(overfetch, 1),
+                ).localCheckpoint(eager=True)
+                wall = round(time.perf_counter() - t0, 2)
+                row = {
+                    "n_probe": n_probe,
+                    "overfetch": overfetch,
+                    "recall": round(ann_recall(got, exact), 3),
+                    "probe_sec": wall,
+                }
+                entry["sweep"].append(row)
+                print(json.dumps({"m": m, "k": kk, **row}), file=sys.stderr)
+        report["indexes"].append(entry)
+    print(json.dumps({"serving_sweep": report}, indent=2))
+
+
+def semdedup_amortized(spark, emb_base, dim, mult=100):
+    """r8 (VERDICT #6): SemDeDup with the KMeans build amortized into a
+    persisted index. The r7 legs rebuilt the quantizer in-run (build-
+    dominated: ~30 of 31 s at 100x); the web-scale shape trains the
+    coarse quantizer ONCE on a sample, persists it, and every dedup
+    sweep after that is assignment + per-cluster Gram only. Records
+    in-run wall vs (one-off build wall + pairs-only wall) + planted
+    recall for both — recall must be unchanged (same centroids rule,
+    sampled training)."""
+    import tempfile
+
+    from opensea_datapipeline_spark.operators.ann_index import (
+        _l2_normalized, build_ivf_index, read_ivf_index, write_ivf_index,
+    )
+
+    emb = scaled_embeddings(emb_base, mult, dim).localCheckpoint(eager=True)
+    n_vec = emb.count()
+    k = max(16, int(math.sqrt(n_vec)))
+    n_base = emb.filter(F.col("vec_id") < REP_OFFSET).count()
+    report = {"n_vectors": n_vec, "n_clusters": k, "scale": f"{mult}x"}
+
+    def planted_recall(pairs):
+        hits = pairs.filter(
+            F.col("id_b") == F.col("id_a") + REP_OFFSET
+        ).count()
+        return round(hits / n_base, 3)
+
+    # path 1: in-run build (the r7 shape, full-corpus KMeans)
+    t0 = time.perf_counter()
+    pairs = dd.semdedup_pairs(
+        emb, "vec_id", "embedding", n_clusters=k, threshold=0.9
+    ).localCheckpoint(eager=True)
+    report["inrun_wall_sec"] = round(time.perf_counter() - t0, 2)
+    report["inrun_pairs"] = pairs.count()
+    report["inrun_recall"] = planted_recall(pairs)
+
+    # path 2: sampled-training build, persisted, then pairs-only
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    train_rows = max(10_000, 50 * k)
+    t0 = time.perf_counter()
+    idx = build_ivf_index(
+        _l2_normalized(base), "id", "vec", n_lists=k,
+        train_rows=train_rows, materialize=True,
+    )
+    idx_dir = tempfile.mkdtemp(prefix=f"r8_semdedup_ivf_{mult}x_")
+    write_ivf_index(idx, idx_dir)
+    report["amortized_build_sec"] = round(time.perf_counter() - t0, 2)
+    report["train_rows"] = train_rows
+
+    loaded = read_ivf_index(spark, idx_dir)
+    t0 = time.perf_counter()
+    pairs2 = dd.semdedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, index=loaded
+    ).localCheckpoint(eager=True)
+    report["amortized_pairs_wall_sec"] = round(time.perf_counter() - t0, 2)
+    report["amortized_pairs"] = pairs2.count()
+    report["amortized_recall"] = planted_recall(pairs2)
+    print(json.dumps({"semdedup_amortized": report}, indent=2))
+
+
 def main():
     scales = [1, 10, 100]
     skip_docs = "--skip-docs" in sys.argv
@@ -290,6 +444,12 @@ def main():
         return
     if "--semdedup" in sys.argv:
         semdedup_leg(spark, emb_base, dim, [m for m in scales if m > 1])
+        return
+    if "--serving-sweep" in sys.argv:
+        serving_sweep(spark, dim)
+        return
+    if "--semdedup-amortized" in sys.argv:
+        semdedup_amortized(spark, emb_base, dim, max(scales))
         return
     report = {"sf_dir": SF_DIR, "scales": {}}
 
