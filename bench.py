@@ -93,6 +93,10 @@ HEADLINE = [
     "ann_persisted_probe",      # serving path: probe-only vs persisted IVF-PQ
                                 # (build memoized per process; min-of-5
                                 # amortizes it out exactly as production does)
+    "order_priority_check",     # TPC-H Q4 shape: correlated EXISTS as semi join (r8)
+    "product_profit",           # TPC-H Q9 shape: 5-way join, broadcast dims (r8)
+    "customer_distribution",    # TPC-H Q13 shape: outer-join count histogram (r8)
+    "discounted_revenue",       # TPC-H Q19 shape: disjunctive predicate pushdown (r8)
 ]
 
 

@@ -3237,6 +3237,467 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "order_priority_check",
+    """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape (order priority checking), adapted to this schema:
+    # no commit/receipt dates, so the EXISTS predicate is "some lineitem
+    # shipped >30 days after the order date". The correlated EXISTS is a
+    # LEFT SEMI join whose equi conjunct (orderkey) drives a shuffled
+    # hash semi-join; the date window prunes the orders scan first.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@_register(
+    "min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ranked AS (
+  SELECT ps.l_partkey, s.s_name, s.s_acctbal, n.n_name,
+    row_number() OVER (PARTITION BY ps.l_partkey
+                       ORDER BY s.s_acctbal DESC, ps.l_suppkey) AS rn
+  FROM ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_name, rk.s_name AS supplier_name,
+  round(rk.s_acctbal, 6) AS s_acctbal, rk.n_name AS nation
+FROM ranked rk JOIN part p ON rk.l_partkey = p.p_partkey
+WHERE rk.rn = 1 AND p.p_size = 30 AND p.p_type = 'LARGE'
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape (best supplier per part in a region), adapted: no
+    # partsupp table, so the part-supplier relation is the DISTINCT
+    # (l_partkey, l_suppkey) projection of lineitem and "best" is max
+    # s_acctbal (supplycost stand-in). The correlated min-subquery is
+    # decorrelated into a per-part row_number window with a key
+    # tie-break; supplier/nation/region broadcast, one shuffle on
+    # partkey for the window.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 30) & (F.col("p_type") == "LARGE")
+    )
+    from pyspark.sql import Window
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ranked = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_partkey")
+                .orderBy(F.desc("s_acctbal"), "l_suppkey")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.join(p, ranked.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name",
+        F.col("s_name").alias("supplier_name"),
+        F.round("s_acctbal", 6).alias("s_acctbal"),
+        F.col("n_name").alias("nation"),
+    )
+
+
+@_register(
+    "market_share",
+    """
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8)) AS volume,
+    sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT o_year,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+        / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM base GROUP BY 1
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape (national market share): NATION_5's share of PROMO
+    # part revenue sold into EUROPE-region customers, per order year.
+    # Part/supplier/nation/region broadcast; lineitem⨝orders is the one
+    # big shuffle. Both sums staged as DECIMAL so the share division is
+    # bit-identical cross-engine, then rounded to 6dp.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), "n_regionkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,8)"
+    )
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(22,8)")
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                         F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@_register(
+    "product_profit",
+    """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8)))
+       AS DOUBLE) AS profit,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape (product-type profit): revenue on 'red' parts by
+    # supplier nation × order year (no partsupp, so profit = revenue
+    # without the supplycost term). The p_name LIKE filter lands on the
+    # broadcast part side before the fact join.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(22,8)")).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
+    "customer_distribution",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+  CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1
+""",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    # join so zero-order customers survive with c_count 0, count of the
+    # NON-NULL order key per customer, then the histogram of counts.
+    # Two shuffles (custkey, then c_count) — the second one's input is
+    # one row per customer, already collapsed.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@_register(
+    "promo_revenue",
+    """
+SELECT round(
+    100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,8))
+        ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+    / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(22,8))) AS DOUBLE), 6) AS promo_pct,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape (promotion effect): PROMO share of one ship-month's
+    # revenue as a single percentage row. Decimal-staged conditional sum
+    # over a broadcast part join; the month filter reaches the lineitem
+    # scan as PushedFilters.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,8)"
+    )
+    zero = F.lit(0).cast("decimal(22,8)")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@_register(
+    "top_supplier_revenue",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8)))
+      AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    # keep the supplier(s) at the max. Revenue stays DECIMAL through the
+    # max-equality comparison so the tie test is exact cross-engine (a
+    # double sum would make "equals max" float-order-dependent); the max
+    # is a 1-row broadcast joined back — no second scan of lineitem.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(22,8)")).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "parts_supplier_stats",
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+  CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    # count per (brand, type, size) bucket with an excluded-supplier
+    # NOT IN (negative acctbal standing in for the complaints filter;
+    # no partsupp, so the relation is lineitem's distinct pairs). The
+    # exclusion is a broadcast LEFT ANTI join — never a per-row
+    # subquery — and the part filters ride the broadcast side.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "discounted_revenue",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(22,8))) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_matched
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape (disjunctive predicate revenue): three OR'd
+    # (brand, size, quantity) branches. The scale move is deriving the
+    # IMPLIED superset predicates — brand IN (...) on the broadcast part
+    # side and quantity BETWEEN 1 AND 30 on the fact scan — so both
+    # scans prune before the join evaluates the exact disjunction.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    )
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(22,8)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+@_register(
+    "dormant_high_value_customers",
+    """
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+), threshold AS (
+  SELECT round(sum(c_acctbal), 6) / count(*) AS avg_bal
+  FROM eligible WHERE c_acctbal > 0
+)
+SELECT CAST(e.c_nationkey AS BIGINT) AS nationkey,
+  CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(CAST(e.c_acctbal AS DECIMAL(22,8))) AS DOUBLE) AS totacctbal
+FROM eligible e, threshold t
+WHERE e.c_acctbal > t.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = e.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape (global sales opportunity), adapted: nation-key
+    # set stands in for phone country codes, and — since every customer
+    # in this data has SOME order — "never ordered" becomes "no order
+    # since 2000-01-01" (dormant). Scalar threshold = deterministic mean
+    # (round(sum,6)/count, the cross-engine-stable form) broadcast as a
+    # 1-row cross join; the NOT EXISTS is a LEFT ANTI join against the
+    # date-pruned orders scan.
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum("c_acctbal"), 6) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(22,8)"))
+            .cast("double").alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM corpus preparation: chunking, packing, curation pipeline
 # ---------------------------------------------------------------------------
