@@ -77,8 +77,15 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # r7 row, retired. r8: nation_trade_volume (de-vacuized NATION_5/NATION_13
 # form, queries.py q_nation_trade_volume — last driver row is r02's grading
 # of the old impossible-literal form) and psi_value_drift (bucket clamp
-# `greatest(0, least(...))` postdates its last driver grading).
-_REGRADE_FIRST = ("nation_trade_volume", "psi_value_drift")
+# `greatest(0, least(...))` postdates its last driver grading). Also r8:
+# media_dimensions / media_knn_pipeline switched to the 5-format synthesizer
+# cycle (PNG/GIF/BMP/JPEG/WebP) — their r02/r03 rows grade the 3-format form.
+_REGRADE_FIRST = (
+    "nation_trade_volume",
+    "psi_value_drift",
+    "media_dimensions",
+    "media_knn_pipeline",
+)
 
 
 def _ordered(mapping: dict) -> dict:

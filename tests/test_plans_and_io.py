@@ -645,3 +645,52 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in plan.lower(), (
         "fact scan did not receive a dynamic partition filter:\n" + plan[:1500]
     )
+
+
+def test_order_priority_check_semi_join_pushdown(spark, sf_dir):
+    # Q4 shape: the correlated EXISTS must land as a LEFT SEMI hash join
+    # on the orderkey equi conjunct (date comparison as residual), with
+    # the quarter window pushed to the orders scan — never a nested loop.
+    plan = _plan(QUERIES["order_priority_check"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-07-01" in plan
+
+
+def test_discounted_revenue_implied_predicates_reach_scans(spark, sf_dir):
+    # Q19 shape: the implied superset predicates must reach BOTH parquet
+    # scans — brand IN-set on part, quantity range on lineitem — so the
+    # disjunction is evaluated on pre-pruned inputs.
+    plan = _plan(QUERIES["discounted_revenue"](spark, sf_dir))
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#3" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_broadcasts_dim_chain(spark, sf_dir):
+    # Q2 shape: supplier/nation/region/part all broadcast; the only
+    # shuffle is the per-part window over lineitem's distinct pairs.
+    plan = _plan(QUERIES["min_cost_supplier"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dormant_customers_anti_join_and_date_prune(spark, sf_dir):
+    # Q22 shape: NOT EXISTS lands as LEFT ANTI against the date-pruned
+    # orders scan; the scalar threshold rides a 1-row broadcast (the one
+    # legitimate BroadcastNestedLoop in the suite — bounded side).
+    plan = _plan(QUERIES["dormant_high_value_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parts_supplier_stats_anti_join_not_subquery(spark, sf_dir):
+    # Q16 shape: the NOT IN exclusion must be a broadcast anti join.
+    plan = _plan(QUERIES["parts_supplier_stats"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -718,3 +718,58 @@ def test_staleness_drifted_appends_decay_recall(spark, tmp_path):
         f"expected a clear decay: appended={appended_recall}, "
         f"rebuilt={rebuilt_recall}"
     )
+
+
+def test_rerank_depth_is_the_recall_lever_on_structured_corpus(spark):
+    # r8 SCALING finding pinned: on a corpus with smooth local neighbor
+    # structure (per-cluster 1-D manifold), ADC at 32-bit codes cannot
+    # rank within-cluster fine structure — float rerank depth (overfetch)
+    # is what buys recall, and deeper rerank strictly helps.
+    from opensea_datapipeline_spark.operators import ann_index as ai
+    from opensea_datapipeline_spark.operators.similarity import knn_topk_exact
+
+    n_vec, n_groups, dim = 2000, 10, 32
+    g = (F.col("vec_id") % n_groups).cast("double")
+    t = (F.floor(F.col("vec_id") / n_groups).cast("double")
+         / F.lit(n_vec / n_groups - 1.0) - 0.5) * 2.0
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    vec = F.transform(
+        dims,
+        lambda d: (
+            F.sin((g + 1.0) * (d.cast("double") + 1.0) * 2.39996 + g * 1.3)
+            + 1.5 * t * F.sin(
+                (g + 1.0) * (d.cast("double") + 1.0) * 1.93 + g * 0.7 + 2.1)
+            + 0.15 * F.sin(
+                F.col("vec_id").cast("double") * 0.7717
+                + d.cast("double") * 1.111)
+        ),
+    )
+    emb = (
+        spark.range(n_vec).select(F.col("id").alias("vec_id"))
+        .select("vec_id", vec.cast("array<float>").alias("embedding"))
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_topk_exact(
+            emb, "vec_id", "embedding", k=10, queries=queries
+        ).collect()
+    }
+    idx = ai.build_ivfpq_index(
+        emb, "vec_id", "embedding", n_lists=16, m=8, k=16
+    )
+
+    def recall(overfetch):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ai.ivfpq_probe(
+                idx, queries, k=10, n_probe=2,
+                rerank_with=emb if overfetch else None,
+                overfetch=max(overfetch, 1),
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r4, r16 = recall(0), recall(4), recall(16)
+    assert r16 > r4 > r0
+    assert r16 >= 0.8
