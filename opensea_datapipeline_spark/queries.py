@@ -3698,6 +3698,192 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_v FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_c
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_v
+    AND e.ts <= v.t_v + INTERVAL 12 HOUR
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_p
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+    AND e.ts <= c.t_c + INTERVAL 48 HOUR
+  GROUP BY 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_users,
+  CASE WHEN (SELECT count(*) FROM v) > 0
+    THEN round((SELECT count(*) FROM c)
+               / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) END
+    AS click_rate,
+  CASE WHEN (SELECT count(*) FROM c) > 0
+    THEN round((SELECT count(*) FROM p)
+               / CAST((SELECT count(*) FROM c) AS DOUBLE), 6) END
+    AS purchase_rate
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered-funnel analysis (view → click within 12h → purchase within
+    # 48h of the click), the product-analytics staple: each stage is a
+    # per-user min-timestamp aggregate JOINED to the prior stage with the
+    # ordering constraint as a join filter — fully decorrelated, no
+    # per-user sequence scan, three equi-shuffles on user_id that AQE
+    # coalesces. Stage tables shrink monotonically, so the later joins
+    # broadcast at scale.
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_v")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_v"))
+            & (F.col("ts") <= F.col("t_v") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_c"))
+            & (F.col("ts") <= F.col("t_c") + F.expr("INTERVAL 48 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t_p"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_users"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_users"))
+    return nv.crossJoin(nc).crossJoin(np_).select(
+        "n_view_users", "n_click_users", "n_purchase_users",
+        F.when(
+            F.col("n_view_users") > 0,
+            F.round(F.col("n_click_users")
+                    / F.col("n_view_users").cast("double"), 6),
+        ).alias("click_rate"),
+        F.when(
+            F.col("n_click_users") > 0,
+            F.round(F.col("n_purchase_users")
+                    / F.col("n_click_users").cast("double"), 6),
+        ).alias("purchase_rate"),
+    )
+
+
+@_register(
+    "cohort_retention",
+    """
+WITH pur AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+  WHERE event_type = 'purchase'
+), fp AS (
+  SELECT user_id, min(d) AS cohort_date FROM pur GROUP BY 1
+), ret AS (
+  SELECT DISTINCT p.user_id
+  FROM pur p JOIN fp f ON p.user_id = f.user_id
+  WHERE p.d > f.cohort_date AND p.d <= f.cohort_date + 7
+)
+SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(count(r.user_id) AS BIGINT) AS retained_7d
+FROM fp f LEFT JOIN ret r ON f.user_id = r.user_id
+GROUP BY 1
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-purchase cohorts with 7-day repeat-purchase retention. The
+    # correlated "purchased again within the window" becomes a self-join
+    # of the (user, day) purchase projection against the per-user first
+    # day — equi on user_id with the date window as residual — and the
+    # retention flag is a LEFT join + count(non-null). Two equi-shuffles
+    # on user_id (reused partitioning), one on cohort_date.
+    pur = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.to_date("ts").alias("d"))
+    fp = pur.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    ret = (
+        pur.join(fp, "user_id")
+        .filter(
+            (F.col("d") > F.col("cohort_date"))
+            & (F.col("d") <= F.date_add("cohort_date", 7))
+        )
+        .select("user_id").distinct()
+        .withColumn("retained", F.lit(1))
+    )
+    return (
+        fp.join(ret, "user_id", "left")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("retained").alias("retained_7d"),
+        )
+    )
+
+
+@_register(
+    "rolling_active_users",
+    """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), dau AS (
+  SELECT d, count(*) AS dau FROM du GROUP BY 1
+), wau AS (
+  SELECT days.d, count(DISTINCT du.user_id) AS wau
+  FROM days JOIN du ON du.d > days.d - 7 AND du.d <= days.d
+  GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+  CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+  round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU / 7-day rolling WAU / stickiness. The scale move: instead of a
+    # days×activity range join (nested loop), each (day, user) activity
+    # row EXPLODES into the ≤7 trailing window days it contributes to
+    # (sequence + explode — linear fan-out, pure equi-shuffle on day),
+    # then countDistinct per day; a semi-join against observed days drops
+    # window days beyond the data range. Distinct-per-day input keeps the
+    # fan-out at 7 × |distinct (day, user)|, not 7 × |events|.
+    du = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", 6))
+        ).alias("d"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM corpus preparation: chunking, packing, curation pipeline
 # ---------------------------------------------------------------------------
