@@ -304,6 +304,69 @@ def simhash_near_dup_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-≤1 near-match pairs via SymSpell-style
+    deletion-neighborhood blocking (Garbe's symmetric delete algorithm —
+    public method): every string emits itself plus each single-character
+    deletion as variant keys; any two strings within Levenshtein
+    distance 1 (substitution, insertion, or deletion) provably share at
+    least one variant, so an equi-join on the variant key is a LOSSLESS
+    candidate generator — never an all-pairs cross join. Candidates at
+    distance 2 that collide on a variant are removed by the exact
+    ``levenshtein`` verify.
+
+    Variant generation is pure JVM (sequence → transform → substring
+    concat → explode): per row the fan-out is len+1 variants, and bucket
+    sizes are bounded by alphabet-size × string-length for
+    non-adversarial key distributions — the same blocking-law as the
+    minhash/simhash paths. Only ``max_dist=1`` is supported (the
+    deletion-variant guarantee is distance-specific; deeper distances
+    need the full SymSpell recursive delete, which grows the index
+    combinatorially and is the wrong tool on a cluster — chain two
+    passes or use n-gram Jaccard instead).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_pairs supports max_dist=1 only; use "
+            "ngram_jaccard_pairs for looser matching"
+        )
+    s = F.col(text_col)
+    # "delete char at 0-based i" = substr(s,1,i) || substr(s,i+2,len)
+    deletions = F.transform(
+        F.sequence(F.lit(0), F.length(s) - 1),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i),
+            s.substr(i + F.lit(2), F.length(s)),
+        ),
+    )
+    variants = F.array_union(F.array(s), deletions)
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.explode(variants).alias("variant"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("a.txt").alias("txt_a"),
+            F.col("b.id").alias("id_b"), F.col("b.txt").alias("txt_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

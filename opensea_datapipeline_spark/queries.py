@@ -3699,6 +3699,48 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "fuzzy_name_match",
+    # Brute-force all-pairs Levenshtein oracle vs the engine's
+    # deletion-variant blocking — the hash match PROVES the blocking is
+    # lossless for distance <= 1 (same grading pattern as the simhash
+    # Hamming-block oracle).
+    """
+WITH c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300
+), p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), sym AS (
+  SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p
+), cnt AS (
+  SELECT id, count(*) AS n FROM sym GROUP BY 1
+)
+SELECT c.c_custkey, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_near_matches
+FROM c LEFT JOIN cnt ON c.c_custkey = cnt.id
+""",
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy string matching (data-cleaning staple): per customer, how
+    # many other customers sit within edit distance 1 of their name.
+    # The engine side blocks via SymSpell deletion variants (equi-join,
+    # never N² — `dedup.edit_distance_pairs`); the oracle brute-forces
+    # every pair, so a single lost candidate breaks the hash.
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 300
+    ).select("c_custkey", "c_name")
+    pairs = dd.edit_distance_pairs(c, "c_name", "c_custkey")
+    sym = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    cnt = sym.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return c.join(cnt, c.c_custkey == cnt.id, "left").select(
+        "c_custkey",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_near_matches"),
+    )
+
+
+@_register(
     "funnel_conversion",
     """
 WITH v AS (

@@ -700,3 +700,34 @@ def test_custom_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
         gn, gt = got[u]
         assert gn == n, u
         assert abs(gt - t) < 1e-6, (u, gt, t)
+
+
+def test_edit_distance_pairs_all_edit_kinds(spark):
+    # One case per edit kind (substitution / deletion / insertion), an
+    # exact duplicate at distance 0, and an isolate — the deletion-variant
+    # blocking must surface all of them and nothing else.
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "kittn"), (4, "kittens"),
+         (5, "mitten"), (6, "banana"), (7, "kitten")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in dd.edit_distance_pairs(df, "name", "id").collect()
+    }
+    assert got == {
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 5, 1), (1, 7, 0),
+        (2, 5, 1), (2, 7, 1), (3, 7, 1), (4, 7, 1), (5, 7, 1),
+    }
+
+
+def test_edit_distance_pairs_rejects_deeper_distance(spark):
+    import pytest
+
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="max_dist=1"):
+        dd.edit_distance_pairs(df, "name", "id", max_dist=2)
