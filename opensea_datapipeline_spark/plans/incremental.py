@@ -82,6 +82,43 @@ def daily_uniques_sketch(events: DataFrame, user_col: str = "user_id") -> DataFr
     ).agg(F.hll_sketch_agg(user_col).alias("users_sketch"))
 
 
+def rolling_uniques_from_sketches(
+    daily: DataFrame,
+    window_days: int = 7,
+    date_col: str = "event_date",
+    sketch_col: str = "users_sketch",
+) -> DataFrame:
+    """Rolling distinct users from PERSISTED per-day HLL sketches — the
+    100 TB form of rolling WAU: the raw fact table is scanned once (at
+    sketch build / incremental merge time); every trailing-window
+    distinct after that merges #window_days tiny sketches per day
+    instead of re-scanning events. Each day's sketch EXPLODES into the
+    ≤window_days later window-end days it contributes to (same linear
+    contributing-days trick as the exact path, but over one row per DAY,
+    not per (day, user)), then one ``hll_union_agg`` per window day.
+    A semi-join against observed days drops window ends beyond the data.
+    """
+    d = F.to_date(date_col)
+    days = daily.select(d.alias("wd")).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(d, F.date_add(d, window_days - 1))
+        ).alias("wd"),
+        sketch_col,
+    )
+    return (
+        contrib.join(days, "wd", "left_semi")
+        .groupBy("wd")
+        .agg(F.hll_union_agg(sketch_col).alias("window_sketch"))
+        .select(
+            F.date_format("wd", "yyyy-MM-dd").alias(date_col),
+            F.hll_sketch_estimate("window_sketch").cast("long").alias(
+                "approx_window_users"
+            ),
+        )
+    )
+
+
 def merge_daily_uniques(existing: DataFrame, new_batch: DataFrame) -> DataFrame:
     """Merge per-day sketches from a new batch into the existing table and
     surface the estimated distinct count. Same-day sketches union

@@ -3735,6 +3735,64 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "rolling_wau_sketch",
+    # HLL estimates are engine-specific (SURVEY §7.3 trap 7): the exact
+    # window distinct and the sketch's error-bound boolean are graded;
+    # the sketch is deterministic so the boolean is stable.
+    """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), wau AS (
+  SELECT days.d, count(DISTINCT du.user_id) AS wau_exact
+  FROM days JOIN du ON du.d > days.d - 7 AND du.d <= days.d
+  GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  CAST(wau_exact AS BIGINT) AS wau_exact, TRUE AS approx_ok
+FROM wau
+""",
+)
+def q_rolling_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB form of rolling WAU: per-day HLL sketches (built once,
+    # incrementally mergeable — `plans.incremental`) merged over each
+    # trailing 7-day window, so window distincts never re-scan the fact
+    # table. Graded: exact WAU stays oracle-checked; the sketch estimate
+    # must land within 5% + 1 of it (HLL at default lgConfigK=12 is
+    # ~1.6% rsd; the bound is 3x that).
+    from .plans import incremental as inc
+
+    e = _t(spark, sf_dir, "events")
+    est = inc.rolling_uniques_from_sketches(
+        inc.daily_uniques_sketch(e), window_days=7
+    ).select(
+        F.col("event_date").alias("day"),
+        "approx_window_users",
+    )
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("d"),
+        "user_id",
+    )
+    exact = (
+        contrib.join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau_exact")
+    )
+    return exact.join(est, "day").select(
+        "day",
+        F.col("wau_exact").cast("long").alias("wau_exact"),
+        (
+            F.abs(F.col("approx_window_users") - F.col("wau_exact"))
+            <= 0.05 * F.col("wau_exact") + 1
+        ).alias("approx_ok"),
+    )
+
+
+@_register(
     "fuzzy_name_match",
     # Brute-force all-pairs Levenshtein oracle vs the engine's
     # deletion-variant blocking — the hash match PROVES the blocking is
