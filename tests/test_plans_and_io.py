@@ -694,3 +694,41 @@ def test_parts_supplier_stats_anti_join_not_subquery(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_wau_from_incrementally_merged_sketches(spark, sf_dir):
+    # The incremental claim end-to-end: per-day sketches built from TWO
+    # disjoint batches and hll-union-merged must produce the same rolling
+    # window estimates as sketches built from the full table in one pass
+    # (HLL union is associative), and land within 5%+1 of exact WAU.
+    from opensea_datapipeline_spark.plans import incremental as inc
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    full = inc.rolling_uniques_from_sketches(inc.daily_uniques_sketch(e))
+    b1 = inc.daily_uniques_sketch(e.filter(F.col("event_id") % 2 == 0))
+    b2 = inc.daily_uniques_sketch(e.filter(F.col("event_id") % 2 == 1))
+    merged_daily = b1.unionByName(b2).groupBy("event_date").agg(
+        F.hll_union_agg("users_sketch").alias("users_sketch")
+    )
+    merged = inc.rolling_uniques_from_sketches(merged_daily)
+    got_full = {r.event_date: r.approx_window_users for r in full.collect()}
+    got_merged = {r.event_date: r.approx_window_users for r in merged.collect()}
+    assert got_full == got_merged
+
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    exact = {
+        r.day: r.wau
+        for r in du.select(
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("d"),
+            "user_id",
+        )
+        .join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau")
+        .collect()
+    }
+    for day, est in got_full.items():
+        assert abs(est - exact[day]) <= 0.05 * exact[day] + 1
