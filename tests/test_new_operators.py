@@ -731,3 +731,18 @@ def test_edit_distance_pairs_rejects_deeper_distance(spark):
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     with pytest.raises(ValueError, match="max_dist=1"):
         dd.edit_distance_pairs(df, "name", "id", max_dist=2)
+
+
+def test_edit_distance_pairs_empty_and_null_strings(spark):
+    # Edge inputs: empty<->1-char at distance 1 (share the "" deletion
+    # variant), two empties at distance 0, null rows silently dropped.
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, ""), (4, None)], "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in dd.edit_distance_pairs(df, "name", "id").collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 0), (2, 3, 1)}
