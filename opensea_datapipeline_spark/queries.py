@@ -3735,6 +3735,72 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "streaming_funnel_stages",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_v FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_c
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_v
+    AND e.ts <= v.t_v + INTERVAL 12 HOUR
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_p
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+    AND e.ts <= c.t_c + INTERVAL 48 HOUR
+  GROUP BY 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_users
+""",
+)
+def q_streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The funnel as a STREAMING state machine (per-user 3-stamp
+    # GroupState, O(distinct users) state): 3 event-time-ordered
+    # micro-batches fold through `streaming.funnel`; final stage counts
+    # must equal the batch funnel oracle exactly. Source is written
+    # range-partitioned on ts (one file per trigger) — the arrival
+    # contract an event-time-partitioned ingest provides.
+    import tempfile
+
+    from .sources.readers import load_table
+    from .streaming.funnel import run_streaming_funnel
+
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    # one slice per trigger, written SEQUENTIALLY so file modification
+    # times force the stream to process them in event-time order (a
+    # parallel multi-file write can land part-00002 first and the file
+    # source orders by mtime — observed as a missed-stage flake)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    slices = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for s in slices:
+        s.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "append"
+        ).parquet(src)
+    stages = run_streaming_funnel(
+        spark, src, tempfile.mkdtemp(prefix="funnel_ckpt_"),
+        table_name="t_funnel_graded",
+    )
+    return stages.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n_view_users"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n_click_users"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n_purchase_users"),
+    )
+
+
+@_register(
     "rolling_wau_sketch",
     # HLL estimates are engine-specific (SURVEY §7.3 trap 7): the exact
     # window distinct and the sketch's error-bound boolean are graded;

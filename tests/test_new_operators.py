@@ -746,3 +746,31 @@ def test_edit_distance_pairs_empty_and_null_strings(spark):
         for r in dd.edit_distance_pairs(df, "name", "id").collect()
     }
     assert got == {(1, 2, 1), (1, 3, 0), (2, 3, 1)}
+
+
+def test_streaming_funnel_stages_cross_batch(spark, tmp_path):
+    # A funnel completing ACROSS micro-batches: view in batch 1, click in
+    # batch 2 (inside 12h), purchase in batch 3 (inside 48h) -> stage 3;
+    # a user whose click lands OUTSIDE 12h stalls at stage 1; a click
+    # with no prior view never advances past stage 0.
+    import datetime as dt
+
+    from opensea_datapipeline_spark.streaming.funnel import run_streaming_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    batches = [
+        [(t0, 1, "view"), (t0, 2, "view"), (t0, 3, "click")],
+        [(t0 + 2 * h, 1, "click"), (t0 + 20 * h, 2, "click")],
+        [(t0 + 30 * h, 1, "purchase"), (t0 + 30 * h, 3, "purchase")],
+    ]
+    src = str(tmp_path / "src")
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    out = run_streaming_funnel(
+        spark, src, str(tmp_path / "ckpt"), table_name="t_funnel_cb"
+    )
+    got = {r.user_id: r.stage for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 0}
