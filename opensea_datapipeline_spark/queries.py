@@ -3735,6 +3735,43 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "event_transitions",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+  CAST(count(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user event-type transition matrix (first-order Markov counts) —
+    # the path-analysis primitive behind "what do users do after X".
+    # One lead window per user (event_id tiebreak for timestamp ties,
+    # SURVEY §7.3 determinism rule), one count shuffle on the 5×5
+    # transition key space.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
     "streaming_funnel_stages",
     """
 WITH v AS (
