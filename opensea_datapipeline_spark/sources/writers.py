@@ -12,6 +12,7 @@ import os
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -135,6 +136,66 @@ def write_range_partitioned(
     (
         df.repartitionByRange(num_files, range_col)
         .sortWithinPartitions(range_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout for MULTI-column pruning: bucket
+    each cluster column to ``bits`` bits on its [min, max] span (one agg
+    pass), interleave the bucket bits into a single Morton code, then
+    range-partition + sort on that code before writing. Files then cover
+    compact hyper-rectangles of the clustered space, so parquet footer
+    min/max stats are selective on EVERY clustered column — the layout
+    Delta/Iceberg call Z-ORDER BY, built from pure Spark primitives
+    (`write_range_partitioned` is the optimal 1-column special case).
+
+    Bucketing is linear on the span, matching the common implementation;
+    heavily skewed columns should be pre-transformed (log, rank) by the
+    caller — the code stays codegen-only either way (shift/and/or
+    expressions, no UDF, no global sort: repartitionByRange samples)."""
+    import functools as _ft
+
+    mins = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_buckets = (1 << bits) - 1
+    bucket_cols = []
+    for c in cols:
+        mn, mx = float(mins[f"mn_{c}"]), float(mins[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        bucket_cols.append(
+            F.least(
+                F.lit(n_buckets),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span) * F.lit(n_buckets)
+                ).cast("long"),
+            )
+        )
+    parts = [
+        F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)),
+            i * len(cols) + j,
+        )
+        for i in range(bits)
+        for j, b in enumerate(bucket_cols)
+    ]
+    z = _ft.reduce(lambda a, b: a.bitwiseOR(b), parts)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode(mode)
         .parquet(path)
     )

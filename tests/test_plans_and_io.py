@@ -732,3 +732,44 @@ def test_rolling_wau_from_incrementally_merged_sketches(spark, sf_dir):
     }
     for day, est in got_full.items():
         assert abs(est - exact[day]) <= 0.05 * exact[day] + 1
+
+
+def test_zorder_layout_clusters_both_dims(spark, sf_dir, tmp_path):
+    # Z-order on (user_id, value) must confine a selective predicate on
+    # EITHER column to a minority of files (footer stats then skip the
+    # rest), where a 1-column range layout only clusters its own column.
+    from opensea_datapipeline_spark.sources.writers import (
+        write_range_partitioned,
+        write_zorder_layout,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_layout(e, zdir, ["user_id", "value"], bits=6, num_files=16)
+    write_range_partitioned(e, rdir, "value", num_files=16)
+
+    def files_hit(path, cond):
+        return (
+            spark.read.parquet(path).filter(cond)
+            .select(F.input_file_name()).distinct().count()
+        )
+
+    lo, hi = e.agg(F.min("user_id"), F.max("user_id")).first()
+    span = (hi - lo) or 1
+    user_cond = F.col("user_id") <= lo + span * 0.1
+    value_cond = F.col("value") <= 5.0
+
+    total = spark.read.parquet(zdir).select(F.input_file_name()).distinct().count()
+    assert total >= 8
+    # z-order: both dims confined to a minority of files
+    assert files_hit(zdir, user_cond) <= total // 2
+    assert files_hit(zdir, value_cond) <= total // 2
+    # 1-col range layout: its own column clusters tightly, the other
+    # column's rows spread across (nearly) every file
+    assert files_hit(rdir, value_cond) <= 4
+    assert files_hit(rdir, user_cond) >= 12
+    # layouts are row-equivalent
+    assert spark.read.parquet(zdir).count() == e.count()
