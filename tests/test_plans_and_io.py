@@ -773,3 +773,14 @@ def test_zorder_layout_clusters_both_dims(spark, sf_dir, tmp_path):
     assert files_hit(rdir, user_cond) >= 12
     # layouts are row-equivalent
     assert spark.read.parquet(zdir).count() == e.count()
+
+
+def test_fuzzy_name_match_variant_join_never_nested_loop(spark, sf_dir):
+    # SymSpell blocking's whole point: candidates come from an equi-join
+    # on the variant key (sort-merge/hash at fact scale), never an
+    # all-pairs nested loop.
+    plan = _plan(QUERIES["fuzzy_name_match"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
