@@ -198,3 +198,42 @@ def test_shard_assignment_properties(spark, ids, n_shards):
     assert {(r.doc_id, r.shard) for r in out} == {
         (r.doc_id, r.shard) for r in out2
     }
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        min_size=2, max_size=12,
+    )
+)
+@SETTINGS
+def test_edit_distance_pairs_matches_brute_force(spark, names):
+    # The SymSpell deletion-variant blocking must be LOSSLESS for
+    # Levenshtein distance <= 1 on arbitrary strings — tiny alphabet and
+    # short lengths force heavy variant-key collisions (the distance-2
+    # false candidates the exact verify must reject).
+    from opensea_datapipeline_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    data = list(enumerate(names))
+    df = spark.createDataFrame(data, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_pairs(df, "name", "id").collect()
+    }
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
