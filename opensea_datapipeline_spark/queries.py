@@ -3735,6 +3735,59 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "event_state_intervals",
+    """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id)
+      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+), g AS (
+  SELECT *, sum(chg) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS island
+  FROM s
+)
+SELECT user_id, event_type, CAST(island AS BIGINT) AS island,
+  CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+  CAST(epoch_us(max(ts)) AS BIGINT) AS last_seen_us,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY 1, 2, 3
+""",
+)
+def q_event_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands / SCD2 historization: collapse each user's
+    # CONSECUTIVE same-event_type run into one effective-dated interval
+    # row (change flag via lag, island id via running sum of changes —
+    # the standard decomposition; event_id tiebreak for timestamp ties).
+    # This is how a change stream becomes a type-2 dimension: one
+    # partition-local window pass + one group-by, no self-join.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    g = e.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+    ).withColumn(
+        "island",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return g.groupBy(
+        "user_id", "event_type", F.col("island").cast("long").alias("island")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        F.max(F.unix_micros("ts")).alias("last_seen_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
     "event_transitions",
     """
 WITH s AS (
