@@ -3735,6 +3735,60 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "mad_anomalies",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value
+  FROM events GROUP BY 1
+), med AS (
+  SELECT quantile_cont(daily_value, 0.5) AS m FROM daily
+), mad AS (
+  SELECT quantile_cont(abs(daily_value - med.m), 0.5) AS dev
+  FROM daily, med
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
+  round((daily_value - m) / (1.4826 * dev), 6) AS robust_z
+FROM daily, med, mad
+WHERE abs(daily_value - m) > 1.5 * 1.4826 * dev
+""",
+)
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust anomaly detection: median absolute deviation instead of
+    # mean/stddev, so a heavy outlier cannot inflate its own acceptance
+    # band (the classic failure of plain z-scores). Two exact-median
+    # passes (percentile interpolation identical cross-engine), scalars
+    # broadcast back as 1-row joins; threshold 1.5 robust-z so small SFs
+    # produce rows.
+    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = e.groupBy("d").agg(
+        F.round(F.sum("value"), 6).alias("daily_value")
+    )
+    med = daily.agg(
+        F.expr("percentile(daily_value, 0.5)").alias("m")
+    )
+    mad = daily.crossJoin(F.broadcast(med)).agg(
+        F.expr("percentile(abs(daily_value - m), 0.5)").alias("dev")
+    )
+    return (
+        daily.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .filter(
+            F.abs(F.col("daily_value") - F.col("m"))
+            > 1.5 * 1.4826 * F.col("dev")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "daily_value",
+            F.round(
+                (F.col("daily_value") - F.col("m"))
+                / (1.4826 * F.col("dev")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+
+
+@_register(
     "event_state_intervals",
     """
 WITH s AS (
