@@ -3735,6 +3735,68 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "weighted_sample_docs",
+    """
+WITH w AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_words,
+    CAST(CAST('0x' || substr(md5('ws-v1_' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) AS DOUBLE) AS ui
+  FROM documents
+), k AS (
+  SELECT doc_id, n_words,
+    round(ln((ui + 1) / 1152921504606846977.0)
+          / greatest(1, n_words), 6) AS sample_key
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, sample_key FROM k
+QUALIFY row_number() OVER (ORDER BY sample_key DESC, doc_id) <= 50
+""",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res,
+    # public method): each doc draws key = u^(1/w) and the top-k keys
+    # are the sample — here ranked by the monotone-equivalent ln(u)/w so
+    # no engine evaluates pow (not IEEE-exactness-specified; ln + the
+    # 6dp key rounding + doc_id tiebreak keep the selection stable
+    # cross-engine). u derives from md5 — deterministic, repartition-
+    # stable, replayable by the oracle — and w = word count, so longer
+    # docs are proportionally likelier: the quality/length-weighted
+    # subsample every curation pipeline draws. One projection + one
+    # top-k; no shuffle beyond the final k rows.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    )
+    ui = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws-v1_"), F.col("doc_id").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("double")
+    key = F.round(
+        F.log((ui + 1) / F.lit(1152921504606846977.0))
+        / F.greatest(F.lit(1), n_words).cast("double"),
+        6,
+    )
+    w = Window.orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            key.alias("sample_key"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 50)
+        .drop("_rn")
+    )
+
+
+@_register(
     "mad_anomalies",
     """
 WITH daily AS (
