@@ -3763,10 +3763,10 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-engine). u derives from md5 — deterministic, repartition-
     # stable, replayable by the oracle — and w = word count, so longer
     # docs are proportionally likelier: the quality/length-weighted
-    # subsample every curation pipeline draws. One projection + one
-    # top-k; no shuffle beyond the final k rows.
-    from pyspark.sql import Window
-
+    # subsample every curation pipeline draws. The top-k is
+    # orderBy+limit, which Catalyst plans as TakeOrderedAndProject —
+    # per-partition k-heaps then a k-row merge, never a global
+    # row_number window funneling the corpus through one task.
     docs = _t(spark, sf_dir, "documents")
     n_words = F.size(
         F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
@@ -3783,16 +3783,14 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.lit(1), n_words).cast("double"),
         6,
     )
-    w = Window.orderBy(F.desc("sample_key"), "doc_id")
     return (
         docs.select(
             "doc_id",
             n_words.cast("long").alias("n_words"),
             key.alias("sample_key"),
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 50)
-        .drop("_rn")
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(50)
     )
 
 
