@@ -3735,6 +3735,118 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "llm_corpus_pipeline",
+    # Full SQL replay of the end-to-end curation chain; every stage's
+    # fragment is the same one its individually-graded query uses.
+    """
+WITH w AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, words, len(words) AS n_words FROM w
+), quality AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND length(text) >= 100
+), dedup1 AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM quality
+), d AS (
+  SELECT doc_id, lang, n_words, words FROM dedup1 WHERE rn = 1
+), train AS (
+  SELECT * FROM d WHERE doc_id < 400 OR doc_id >= 450
+), ew AS (
+  SELECT words AS w FROM scored WHERE doc_id >= 400 AND doc_id < 450
+), eg AS (
+  SELECT DISTINCT unnest(list_distinct(
+    [array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w) - 4, 0) + 1)]
+  )) AS gram FROM ew
+), tg AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(words[i:i+4], ' ')
+     for i in range(1, greatest(len(words) - 4, 0) + 1)]
+  )) AS gram FROM train
+), contaminated AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.gram = eg.gram
+), clean AS (
+  SELECT t.doc_id, t.n_words FROM train t
+  LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL
+), packed AS (
+  SELECT doc_id, n_words,
+    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32)
+      * 1099511627776
+    + CAST(floor(COALESCE(sum(n_words) OVER (
+        PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 32
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        / 512.0) AS BIGINT) AS bin_id
+  FROM clean
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM quality) AS n_quality,
+  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_deduped,
+  (SELECT CAST(count(*) AS BIGINT) FROM contaminated) AS n_contaminated,
+  (SELECT CAST(count(*) AS BIGINT) FROM clean) AS kept_docs,
+  (SELECT CAST(sum(n_words) AS BIGINT) FROM clean) AS total_tokens,
+  (SELECT CAST(count(DISTINCT bin_id) AS BIGINT) FROM packed) AS n_bins
+""",
+)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The flagship LLM-corpus chain END-TO-END, each stage the registered
+    # scale operator: quality filter → exact dedup (keep-first) →
+    # benchmark decontamination (5-gram overlap vs the eval slice,
+    # gram-equi-join, never doc×doc) → sequence packing (md5-sharded
+    # prefix-sum bins). Single-row audit: stage survivor counts + packed
+    # bin count — the numbers a curation run reports to its training job.
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    )
+    scored = docs.select("doc_id", "lang", "text", n_words.alias("n_words"))
+    quality = scored.filter(
+        (F.col("n_words") >= 20) & (F.length("text") >= 100)
+    )
+    deduped = dd.dedup_by_key(
+        quality.withColumn(
+            "content_hash",
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
+        ),
+        ["content_hash"], "doc_id",
+    )
+    train = deduped.filter(
+        (F.col("doc_id") < 400) | (F.col("doc_id") >= 450)
+    )
+    eval_set = docs.filter(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 450)
+    )
+    flagged = tx.contamination_flags(train, eval_set, n=5)
+    clean = train.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", "n_words")
+    packed = tx.pack_documents(
+        clean.withColumnRenamed("n_words", "n_tokens"),
+        "doc_id", "n_tokens", target_tokens=512,
+    )
+    parts = [
+        quality.agg(F.count(F.lit(1)).alias("n_quality")),
+        deduped.agg(F.count(F.lit(1)).alias("n_deduped")),
+        flagged.agg(F.count(F.lit(1)).alias("n_contaminated")),
+        clean.agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+        ),
+        packed.agg(F.countDistinct("bin_id").alias("n_bins")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out
+
+
+@_register(
     "weighted_sample_docs",
     """
 WITH w AS (
