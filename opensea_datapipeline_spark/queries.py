@@ -3801,6 +3801,8 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram-equi-join, never doc×doc) → sequence packing (md5-sharded
     # prefix-sum bins). Single-row audit: stage survivor counts + packed
     # bin count — the numbers a curation run reports to its training job.
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     n_words = F.size(
         F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
@@ -3809,41 +3811,50 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = scored.filter(
         (F.col("n_words") >= 20) & (F.length("text") >= 100)
     )
-    deduped = dd.dedup_by_key(
-        quality.withColumn(
-            "content_hash",
-            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
+    # stage flags on ONE frame instead of re-deriving the lineage per
+    # audit column — the naive 5-branch form re-scans documents five
+    # times; this aggregates every stage count in ONE pass over the
+    # staged frame (+ one more for the packing branch)
+    ranked = quality.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(
+                F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+            ).orderBy("doc_id")
         ),
-        ["content_hash"], "doc_id",
-    )
-    train = deduped.filter(
-        (F.col("doc_id") < 400) | (F.col("doc_id") >= 450)
+    ).withColumn(
+        "in_train",
+        (F.col("rn") == 1)
+        & ((F.col("doc_id") < 400) | (F.col("doc_id") >= 450)),
     )
     eval_set = docs.filter(
         (F.col("doc_id") >= 400) & (F.col("doc_id") < 450)
     )
-    flagged = tx.contamination_flags(train, eval_set, n=5)
-    clean = train.join(
-        flagged.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", "n_words")
+    flagged = tx.contamination_flags(
+        ranked.filter("in_train"), eval_set, n=5
+    ).select("doc_id", F.lit(1).alias("is_contam"))
+    staged = ranked.join(flagged, "doc_id", "left")
+    kept = F.col("in_train") & F.col("is_contam").isNull()
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n_quality"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_deduped"),
+        F.sum(F.col("is_contam").isNotNull().cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.sum(kept.cast("long")).alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_words"))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
     packed = tx.pack_documents(
-        clean.withColumnRenamed("n_words", "n_tokens"),
+        staged.filter(kept).select(
+            "doc_id", F.col("n_words").alias("n_tokens")
+        ),
         "doc_id", "n_tokens", target_tokens=512,
     )
-    parts = [
-        quality.agg(F.count(F.lit(1)).alias("n_quality")),
-        deduped.agg(F.count(F.lit(1)).alias("n_deduped")),
-        flagged.agg(F.count(F.lit(1)).alias("n_contaminated")),
-        clean.agg(
-            F.count(F.lit(1)).alias("kept_docs"),
-            F.sum("n_words").cast("long").alias("total_tokens"),
-        ),
-        packed.agg(F.countDistinct("bin_id").alias("n_bins")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.crossJoin(p)
-    return out
+    return audit.crossJoin(
+        packed.agg(F.countDistinct("bin_id").alias("n_bins"))
+    )
 
 
 @_register(
