@@ -2,24 +2,25 @@
 an unmitigated shuffle join (SURVEY §4 / the 100 TB skew story — the one
 scale dimension SCALING.md had no measured leg for).
 
-Fixture: a 5M-row fact where ONE key owns `hot_frac` of all rows (the
+Fixture: a fact table where ONE key owns `hot_frac` of all rows (the
 power-law hot-entity shape: one viral collection / one bot wallet),
-joined to a 10k-row per-key dim, aggregated per key. Three plans:
+shuffle-joined to a 10k-row per-key dim. Five measurements:
 
-  aqe_smj    plain sort-merge join, AQE skew-join ON (session default) —
-             AQE splits the hot partition at runtime
-  aqe_off    same join with skewJoin disabled in-session — the
-             unmitigated baseline where one reducer owns hot_frac of
-             the work
-  salted     `joins.salted_join` (hot rows pre-spread over n_salts
-             buckets, dim replicated n_salts times) with skewJoin off —
-             the plan-level tool for when AQE can't split
+  aqe_off           unmitigated SMJ (skewJoin off) — one reducer owns
+                    hot_frac of the work
+  salted            `joins.salted_join` with skewJoin off — the
+                    plan-level tool for when AQE can't split
+  aqe_smj           AQE skew split on a global-agg consumer (split CAN
+                    engage; `aqe_skew_split_engaged` proves it did)
+  grouped_unforced  join → groupBy(join key): partitioning REUSE blocks
+                    the split (engaged=false, wall ≈ unmitigated)
+  grouped_forced    same + forceOptimizeSkewedJoin — extra shuffle,
+                    split re-engages
 
-Wall = min-of-2 per plan (box noise: SCALING.md method note). Also
-reports the max/median shuffle-partition row counts of the join key to
-show WHY the unmitigated plan is slow.
+Wall = min-of-2 per plan after a warm-up join (box noise + phase-order
+bias: SCALING.md method note); grouped legs are single-run.
 
-Run: python scripts/scaling_skew.py [--rows 5000000] [--hot-frac 0.5]
+Run: python scripts/scaling_skew.py [--rows=20000000] [--hot-frac=0.5]
 """
 import json
 import os

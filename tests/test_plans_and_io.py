@@ -784,3 +784,27 @@ def test_fuzzy_name_match_variant_join_never_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_zorder_three_column_morton_code_bit_layout(spark, tmp_path):
+    # 3-column interleave: with bits=2 the Morton code packs
+    # (b0 bit i, b1 bit i, b2 bit i) at positions 3i, 3i+1, 3i+2 —
+    # corner rows of the cube land on the exact expected codes, which
+    # pins the shift/or construction for any column count.
+    from opensea_datapipeline_spark.sources.writers import write_zorder_layout
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0, 0.0), (1, 3.0, 0.0, 0.0), (2, 0.0, 3.0, 0.0),
+         (3, 0.0, 0.0, 3.0), (4, 3.0, 3.0, 3.0)],
+        "id long, x double, y double, z double",
+    )
+    out = str(tmp_path / "z3")
+    write_zorder_layout(df, out, ["x", "y", "z"], bits=2, num_files=1)
+    back = spark.read.parquet(out)
+    # the writer drops the helper column and preserves rows
+    assert set(back.columns) == {"id", "x", "y", "z"}
+    assert back.count() == 5
+    # within the single sorted file, the all-max corner (code 0b111111)
+    # must land LAST and the all-min corner (code 0) FIRST
+    rows = [r.id for r in back.collect()]
+    assert rows[0] == 0 and rows[-1] == 4
