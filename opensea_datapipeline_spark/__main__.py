@@ -8,6 +8,8 @@
         --kind lsh|ivf|pq|ivfpq --path <dir> [--embeddings|--queries ...]
     python -m opensea_datapipeline_spark monitor --stream <glob> \
         --reference <parquet> --monitor-out <dir> --checkpoint <dir>
+    python -m opensea_datapipeline_spark layout range|zorder|shards \
+        --in <parquet> --out <dir> --cols <c1[,c2...]> [--num-files N]
 
 Local mode by default; under spark-submit the session factory defers to
 the submitted master.
@@ -57,6 +59,20 @@ def main(argv: list[str] | None = None) -> int:
     p_i.add_argument("--rebuild-threshold", type=float, default=0.2,
                      help="stale: appended fraction that triggers a "
                           "rebuild recommendation")
+
+    p_l = sub.add_parser(
+        "layout", help="rewrite a parquet table into a pruning-friendly layout"
+    )
+    p_l.add_argument("kind", choices=["range", "zorder", "shards"])
+    p_l.add_argument("--in", dest="in_path", required=True,
+                     help="input parquet path")
+    p_l.add_argument("--out", required=True, help="output parquet path")
+    p_l.add_argument("--cols", required=True,
+                     help="comma-separated cluster/shard column(s); range "
+                          "takes one, zorder two+, shards one id column")
+    p_l.add_argument("--num-files", type=int, default=32)
+    p_l.add_argument("--bits", type=int, default=8,
+                     help="zorder: bits per column in the Morton code")
 
     p_m = sub.add_parser(
         "monitor", help="streaming PSI drift gate against a reference"
@@ -114,6 +130,49 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query: {args.name}", file=sys.stderr)
                 return 2
             QUERIES[args.name](spark, args.sf_dir).show(args.n, truncate=False)
+            return 0
+
+        if args.cmd == "layout":
+            from pyspark.sql import functions as F
+
+            from .sources import writers as wr
+
+            cols = [c for c in args.cols.split(",") if c]
+            df = spark.read.parquet(args.in_path)
+            if args.kind == "range":
+                if len(cols) != 1:
+                    print("range layout takes exactly one column",
+                          file=sys.stderr)
+                    return 2
+                wr.write_range_partitioned(
+                    df, args.out, cols[0], num_files=args.num_files
+                )
+            elif args.kind == "zorder":
+                if len(cols) < 2:
+                    print("zorder needs two or more columns "
+                          "(one column -> use range)", file=sys.stderr)
+                    return 2
+                wr.write_zorder_layout(
+                    df, args.out, cols, bits=args.bits,
+                    num_files=args.num_files,
+                )
+            else:
+                if len(cols) != 1:
+                    print("shards takes exactly one id column",
+                          file=sys.stderr)
+                    return 2
+                wr.write_training_shards(
+                    df, args.out, cols[0], n_shards=args.num_files
+                )
+            n_files = (
+                spark.read.parquet(args.out)
+                .select(F.input_file_name()).distinct().count()
+            )
+            print(json.dumps({
+                "kind": args.kind, "out": args.out, "cols": cols,
+                "rows": spark.read.parquet(args.out).count(),
+                "files": n_files,
+            }))
             return 0
 
         if args.cmd == "index":
