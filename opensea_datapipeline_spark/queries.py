@@ -3735,6 +3735,98 @@ def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "retention_matrix",
+    """
+WITH pur AS (
+  SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+  FROM events WHERE event_type = 'purchase'
+), fp AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM pur GROUP BY 1
+)
+SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('week', f.cohort_wk, p.wk) AS BIGINT) AS week_offset,
+  CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
+FROM fp f JOIN pur p ON f.user_id = p.user_id
+GROUP BY 1, 2
+""",
+)
+def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full retention triangle (cohort week × weeks-since-first):
+    # distinct purchasers per (cohort, age) cell — the generalization of
+    # cohort_retention's single 7-day window. Both date_trunc('week')s
+    # are ISO-Monday in Spark and DuckDB. One shuffle for the per-user
+    # first week, one equi-join back on user_id, one count-distinct agg.
+    pur = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.date_trunc("week", F.to_date("ts")).alias("wk"))
+    fp = pur.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        pur.join(fp, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort_wk")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@_register(
+    "containment_dedup_counts",
+    """
+WITH d AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+  FROM documents WHERE doc_id < 150
+), pairs AS (
+  SELECT a.doc_id
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws)) = len(a.ws)
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM pairs GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_containers
+FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+""",
+)
+def q_containment_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTAINMENT dedup analysis (asymmetric Jaccard): per doc, how many
+    # OTHER docs' word sets fully contain it — a doc contained elsewhere
+    # is an excerpt/quote candidate that symmetric-Jaccard dedup misses
+    # when sizes differ (high containment does NOT bound Jaccard when
+    # |b| >> |a|, so symmetric LSH banding legitimately misses these).
+    # Exact bounded form is the graded contract (the same small-N-oracle
+    # rule as embedding_near_dup); the documented scale path blocks on
+    # the SMALLER set's shingles (every shingle of a must appear in b,
+    # so any single shingle of a is a lossless block key for full
+    # containment — prefix filtering, the standard set-similarity-join
+    # technique), keeping the asymmetric semantics without N².
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("ws"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("wa", "wb")) == F.size("wa")
+        )
+        .select(F.col("id_a").alias("doc_id"))
+    )
+    cnt = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return d.join(cnt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_containers"),
+    )
+
+
+@_register(
     "llm_corpus_pipeline",
     # Full SQL replay of the end-to-end curation chain; every stage's
     # fragment is the same one its individually-graded query uses.
