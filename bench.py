@@ -99,6 +99,10 @@ HEADLINE = [
     "discounted_revenue",       # TPC-H Q19 shape: disjunctive predicate pushdown (r8)
     "funnel_conversion",        # ordered-stage funnel, decorrelated min-ts joins (r8)
     "rolling_active_users",     # DAU/WAU via explode-to-window-days (r8)
+    "forecast_revenue",         # TPC-H Q6 shape: canonical full-pushdown scan (r8)
+    "important_stock",          # TPC-H Q11 shape: scalar-subquery threshold (r8)
+    "excess_suppliers",         # TPC-H Q20 shape: window share-of-part filter (r8)
+    "llm_corpus_pipeline",      # end-to-end curation chain (r8)
 ]
 
 

@@ -5684,3 +5684,192 @@ def q_grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_gs_v
         GROUP BY GROUPING SETS ((event_type), (event_date))
     """)
+
+
+@_register(
+    "forecast_revenue",
+    """
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),
+                  6) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape (forecasting revenue change): single-scan filter +
+    # ungrouped aggregate. The whole query should collapse to a parquet
+    # scan with ALL THREE predicates in PushedFilters, a 2-column
+    # ReadSchema (+ shipdate), one partial agg per partition, and a
+    # single-row exchange — the canonical "pushdown or bust" plan.
+    # Revenue staged as DECIMAL so the sum is bit-identical cross-engine.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return li.agg(
+        F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+        F.count("*").cast("long").alias("n_lineitems"),
+    )
+
+
+@_register(
+    "important_stock",
+    """
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(v) AS DOUBLE) AS total, count(*) AS n FROM val)
+SELECT v.partkey,
+  CAST(round(CAST(v.v AS DOUBLE), 2) AS DOUBLE) AS part_value
+FROM val v, tot t
+WHERE CAST(v.v AS DOUBLE) * 2 * t.n > t.total * 3
+""",
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (important stock identification), adapted to this
+    # schema (no partsupp): per-part traded value from EUROPE-region
+    # suppliers, keeping parts whose value exceeds 1.5x the mean part
+    # value. The threshold is a SCALAR SUBQUERY over the same aggregate
+    # — in Spark a 1-row broadcast-nested-loop (crossJoin of a 1-row
+    # frame), NOT a re-shuffle; the per-part agg is computed once and
+    # reused for both sides. Threshold compare `2*n*v > 3*total` is
+    # left-assoc double over exact DECIMAL sums, so both engines see
+    # bit-identical operands (no avg(), whose result type differs
+    # cross-engine).
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    v = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(v).alias("v"))
+    )
+    tot = val.agg(
+        F.sum("v").cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v").cast("double") * 2 * F.col("n") > F.col("total") * 3)
+        .select("partkey", F.round(F.col("v").cast("double"), 2).alias("part_value"))
+    )
+
+
+@_register(
+    "late_priority_mix",
+    """
+SELECT l_returnflag,
+  CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+       AS BIGINT) AS high_line_count,
+  CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+       AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+)
+def q_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (shipping modes / order priority), adapted to this
+    # schema (no shipmode or receiptdate): lineitems shipped >60 days
+    # after their 1996 order, counted by returnflag into high- vs
+    # low-priority buckets via conditional aggregation. The orderdate
+    # window prunes the orders scan BEFORE the join; the late-shipment
+    # predicate is join-level (references both sides) and runs inside
+    # the join, not after it. Counts are exact — no float seam.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).cast("long").alias("high_line_count"),
+            F.count(F.when(~high, 1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "excess_suppliers",
+    """
+WITH ship AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk, sum(l.l_quantity) AS q
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear'
+  WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+  GROUP BY 1, 2)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+  CAST(d.cnt AS BIGINT) AS n_dominant_parts
+FROM (
+  SELECT sk, count(*) AS cnt
+  FROM (SELECT sk, q, sum(q) OVER (PARTITION BY pk) AS tq FROM ship)
+  WHERE q * 20 > tq * 7 GROUP BY sk) d
+JOIN supplier s ON d.sk = s.s_suppkey
+""",
+)
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape (potential part promotion), adapted to this schema
+    # (no partsupp availqty): suppliers who shipped >35% of a 'gear'
+    # part's total 1996 quantity, with how many parts they dominate.
+    # part is a broadcast dim filtered by the LIKE before the join; the
+    # (part, supplier) agg shuffles once on the compound key and the
+    # per-part total comes from a window over the SAME rows (one extra
+    # exchange on pk, no self-join re-scan of lineitem). `q*20 > tq*7`
+    # keeps the 35% threshold in exact integer-valued-double arithmetic.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear"))
+    s = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    ship = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    w = Window.partitionBy("pk")
+    dominant = (
+        ship.withColumn("tq", F.sum("q").over(w))
+        .filter(F.col("q") * 20 > F.col("tq") * 7)
+        .groupBy("sk")
+        .agg(F.count("*").cast("long").alias("n_dominant_parts"))
+    )
+    return dominant.join(
+        F.broadcast(s), dominant.sk == s.s_suppkey
+    ).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier_name"),
+        "n_dominant_parts",
+    )

@@ -808,3 +808,44 @@ def test_zorder_three_column_morton_code_bit_layout(spark, tmp_path):
     # must land LAST and the all-min corner (code 0) FIRST
     rows = [r.id for r in back.collect()]
     assert rows[0] == 0 and rows[-1] == 4
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    # Q6 is the canonical pushdown check: all three filters must reach
+    # the parquet scan, and the plan must have no join/shuffle beyond
+    # the single-row final-aggregate exchange.
+    plan = _plan(QUERIES["forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_important_stock_threshold_is_broadcast_not_reshuffle(spark, sf_dir):
+    # The scalar threshold (2*n*v > 3*total) must come from a 1-row
+    # broadcast nested-loop over the SAME per-part aggregate — no second
+    # lineitem scan, dims broadcast, exactly one shuffled agg on partkey.
+    plan = _plan(QUERIES["important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Scan parquet /root/testdata") <= 5  # li + 3 dims reused once for tot
+    assert "SortMergeJoin" not in plan
+
+
+def test_late_priority_mix_date_prune_before_join(spark, sf_dir):
+    # The 1996 orderdate window must prune the orders scan (PushedFilters),
+    # and the late-shipment predicate must be INSIDE the join condition,
+    # not a post-join filter.
+    plan = _plan(QUERIES["late_priority_mix"](spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan and "CrossJoin" not in plan
+
+
+def test_excess_suppliers_single_fact_scan_window_total(spark, sf_dir):
+    # The per-part total must come from a window over the (pk, sk) agg,
+    # not a self-join that re-scans lineitem: exactly one lineitem scan,
+    # part + supplier broadcast.
+    plan = _plan(QUERIES["excess_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
