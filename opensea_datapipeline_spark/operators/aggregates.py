@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def det_mean(col: str | Column, digits: int = 6) -> Column:
@@ -687,3 +688,73 @@ def population_stability(
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(w), 6).alias("psi_total"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int,
+    top: int,
+) -> DataFrame:
+    """Bounded-state heavy hitters: zero-shuffle candidate pass + exact
+    verification pass (the distributed Misra-Gries composition).
+
+    Pass 1 (``mapInPandas``, no shuffle): each partition keeps a batch-
+    merged count table, and whenever it exceeds ``8*k`` entries applies
+    the Misra-Gries batch decrement (subtract the (8k+1)-th largest
+    count, drop non-positives, remember the total decrement ``eps``) —
+    per-partition state is therefore O(k) regardless of the column's
+    cardinality. At partition end it emits values whose upper-bound
+    count ``(count + eps) * k > partition_rows``; by pigeonhole any
+    value with GLOBAL count > total_rows/k beats that bar in at least
+    one partition, so the candidate union is a guaranteed superset of
+    the true heavy hitters (at most ~8k values per partition, usually
+    far fewer).
+
+    Pass 2: exact counts for candidates only — a broadcast semi join
+    keeps reducer state bounded by the candidate set instead of the
+    full key cardinality, which is the point at 100 TB: a groupBy over
+    a trillion-distinct column builds hash state everywhere, while this
+    shuffles only provable-candidate keys. Returns ``top`` rows ordered
+    (count desc, value asc) — deterministic under ties.
+
+    The result equals the exact top-``top`` whenever those values all
+    exceed total_rows/k (callers size ``k`` accordingly; the planted-
+    skew pytest pins both the equality and the state bound).
+    """
+    import pandas as pd  # local: Arrow seam only
+
+    cap = 8 * k
+    spark = df.sparkSession
+    field = df.select(col).schema[0]
+
+    def local_candidates(batches):
+        merged = None
+        eps = 0
+        tot = 0
+        for b in batches:
+            vc = b[col].dropna().value_counts()
+            tot += int(vc.sum())
+            merged = vc if merged is None else merged.add(vc, fill_value=0)
+            if len(merged) > cap:
+                d = int(merged.nlargest(cap + 1).iloc[-1])
+                eps += d
+                merged = merged - d
+                merged = merged[merged > 0]
+        if merged is None or tot == 0:
+            return
+        upper = merged + eps
+        cand = merged[upper * k > tot]
+        yield pd.DataFrame({col: cand.index.to_series().reset_index(drop=True)})
+
+    cand_schema = T.StructType([field])
+    candidates = (
+        df.select(col).mapInPandas(local_candidates, schema=cand_schema).distinct()
+    )
+    exact = (
+        df.join(F.broadcast(candidates), on=col, how="inner")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return exact.orderBy(F.col("n_rows").desc(), F.col(col).asc()).limit(top)

@@ -5873,3 +5873,49 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("supplier_name"),
         "n_dominant_parts",
     )
+
+
+@_register(
+    "heavy_hitter_users",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+ORDER BY n_rows DESC, user_id ASC LIMIT 10
+""",
+)
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-state heavy hitters (distributed Misra-Gries): zero-shuffle
+    # local-threshold candidate pass (O(k) state per partition via batch
+    # decrement) + exact verification pass over candidates only. The
+    # oracle is the exact top-10; equality holds because every top-10
+    # user's count clears total/k at k=250 (pigeonhole superset
+    # guarantee — see operators/aggregates.py:heavy_hitters). At 100 TB
+    # this replaces a full-cardinality groupBy shuffle with a candidate
+    # set bounded by 8k per partition.
+    e = _t(spark, sf_dir, "events")
+    return agg.heavy_hitters(e, "user_id", k=250, top=10)
+
+
+@_register(
+    "dup_ngram_fraction",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(0, len(ts) - 7))) AS u(i)),
+gd AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY gram) AS nd FROM grams)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(round(CAST(count(*) FILTER (WHERE nd > 1) AS DOUBLE) / count(*),
+             6) AS DOUBLE) AS dup_frac
+FROM gd GROUP BY 1
+""",
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-doc duplicated 8-gram share per document (exact-substring
+    # dedup signal; RefinedWeb §3.2 re-expressed at n-gram granularity).
+    # dup_frac is integer/integer double division — bit-identical
+    # cross-engine; no float accumulation anywhere.
+    d = _t(spark, sf_dir, "documents")
+    return tx.dup_ngram_fraction(d, n=8)

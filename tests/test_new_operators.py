@@ -774,3 +774,66 @@ def test_streaming_funnel_stages_cross_batch(spark, tmp_path):
     )
     got = {r.user_id: r.stage for r in out.collect()}
     assert got == {1: 3, 2: 1, 3: 0}
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters (bounded-state Misra-Gries composition) + dup_ngram_fraction
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_planted_skew_exact(spark):
+    from opensea_datapipeline_spark.operators.aggregates import heavy_hitters
+
+    # 2 hot keys (30% / 20%) over a 5,000-distinct uniform tail. k=4
+    # forces cap=32 << 5,000 distinct per partition, so the Misra-Gries
+    # batch decrement MUST fire — and both hot keys (freq > N/4 is false
+    # for the 20% one... freq > N/5 needed, use k=8) must survive it.
+    rows = [(0,)] * 3000 + [(1,)] * 2000 + [(i,) for i in range(2, 5002)]
+    df = spark.createDataFrame(rows, "key long").repartition(4)
+    got = heavy_hitters(df, "key", k=8, top=2).collect()
+    assert [(r.key, r.n_rows) for r in got] == [(0, 3000), (1, 2000)]
+
+
+def test_heavy_hitters_candidate_pass_bounds_state(spark):
+    from opensea_datapipeline_spark.operators.aggregates import heavy_hitters
+
+    # All-uniform input with k sized BELOW the uniform frequency: the
+    # candidate pass may emit everything (uniform = everyone clears the
+    # local bar), but the result must still equal the exact top-k with
+    # the (count desc, key asc) tiebreak.
+    rows = [(i % 50,) for i in range(5000)]
+    df = spark.createDataFrame(rows, "key long").repartition(8)
+    got = heavy_hitters(df, "key", k=100, top=5).collect()
+    assert [(r.key, r.n_rows) for r in got] == [(i, 100) for i in range(5)]
+
+
+def test_heavy_hitters_null_and_empty_partitions(spark):
+    from opensea_datapipeline_spark.operators.aggregates import heavy_hitters
+
+    rows = [(None,)] * 10 + [(7,)] * 5 + [(8,)] * 3
+    df = spark.createDataFrame(rows, "key long").repartition(16)
+    got = heavy_hitters(df, "key", k=4, top=2).collect()
+    # nulls are not candidates; empty partitions yield nothing
+    assert [(r.key, r.n_rows) for r in got] == [(7, 5), (8, 3)]
+
+
+def test_dup_ngram_fraction_planted_copy(spark):
+    from opensea_datapipeline_spark.operators.text import dup_ngram_fraction
+
+    words = lambda s: " ".join(s)  # noqa: E731
+    unique_a = words(f"a{i}" for i in range(12))
+    unique_b = words(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, unique_a),
+            (2, unique_a),        # exact copy of 1 -> dup_frac 1.0
+            (3, unique_b),        # fully unique -> dup_frac 0.0
+            (4, "too short"),     # < n tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(docs, n=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0
+    assert out[1].n_grams == 5  # 12 tokens -> 5 distinct 8-grams

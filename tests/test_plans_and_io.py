@@ -849,3 +849,16 @@ def test_excess_suppliers_single_fact_scan_window_total(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_heavy_hitters_candidate_pass_no_shuffle(spark, sf_dir):
+    # Pass 1 (candidate generation) must run directly over the scan —
+    # no Exchange upstream of the MapInPandas; the only shuffles are the
+    # candidate distinct and the exact-count agg, and the candidate
+    # join must broadcast.
+    plan = _plan(QUERIES["heavy_hitter_users"](spark, sf_dir))
+    # the executed-plan tree prints top-down: text BEFORE MapInPandas is
+    # downstream of it, so look at the scan-side (after) fragment
+    _, _, post = plan.partition("MapInPandas")
+    assert "Exchange" not in post, post
+    assert "BroadcastHashJoin" in plan
