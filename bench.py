@@ -103,6 +103,9 @@ HEADLINE = [
     "important_stock",          # TPC-H Q11 shape: scalar-subquery threshold (r8)
     "excess_suppliers",         # TPC-H Q20 shape: window share-of-part filter (r8)
     "llm_corpus_pipeline",      # end-to-end curation chain (r8)
+    "heavy_hitter_users",       # bounded-state Misra-Gries + exact verify (r8)
+    "dup_ngram_fraction",       # cross-doc duplicated 8-gram share (r8)
+    "token_entropy",            # per-doc Shannon entropy, one exchange (r8)
 ]
 
 

@@ -5919,3 +5919,51 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-engine; no float accumulation anywhere.
     d = _t(spark, sf_dir, "documents")
     return tx.dup_ngram_fraction(d, n=8)
+
+
+@_register(
+    "token_entropy",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+tt AS (
+  SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tc)
+SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+             6) AS DOUBLE) AS token_entropy
+FROM tt GROUP BY 1
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy of each doc's token distribution — the
+    # information-density quality signal (low entropy = repetitive /
+    # boilerplate text; complements gopher_quality_flags' ratio rules).
+    # ONE shuffle total, of the COMPACT docs (not the exploded tokens):
+    # repartition(doc_id) before explode — hash(doc_id) satisfies
+    # ClusteredDistribution for the (doc_id, tok) agg AND the doc_id
+    # window, so neither re-exchanges (plan test pins it). p*ln(p)
+    # terms are exact-integer-ratio doubles; the +/-1 ulp libm seam is
+    # absorbed by round-6 over O(ln V)-magnitude sums.
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tc = (
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        tc.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+        )
+    )

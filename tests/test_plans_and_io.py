@@ -862,3 +862,12 @@ def test_heavy_hitters_candidate_pass_no_shuffle(spark, sf_dir):
     _, _, post = plan.partition("MapInPandas")
     assert "Exchange" not in post, post
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_entropy_single_exchange(spark, sf_dir):
+    # The docs are repartitioned by doc_id BEFORE the token explode, so
+    # hash(doc_id) serves the (doc_id, tok) aggregate and the doc_id
+    # window without re-exchanging: exactly ONE hash exchange, of the
+    # compact documents, never the exploded tokens.
+    plan = _plan(QUERIES["token_entropy"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
