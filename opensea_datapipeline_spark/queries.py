@@ -5967,3 +5967,106 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
         )
     )
+
+
+@_register(
+    "session_window_stats",
+    """
+WITH s AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+  CAST(epoch_us(min(ts)) AS BIGINT) AS w_start_us,
+  CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS w_end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS total_value
+FROM t GROUP BY user_id, sid
+""",
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's NATIVE session_window API (the declarative twin of the
+    # manual gaps-and-islands in `sessionization`): one groupBy over
+    # (user_id, session_window(ts, gap)) compiles to a dedicated
+    # SessionWindow merge — no lag/running-sum window pair. The merge
+    # boundary is CLOSED (measured, pinned by pytest): events exactly
+    # one gap apart share a session, so the oracle's island break is
+    # `> 1800` — the same convention as the manual `sessionization`.
+    # window.end is last-event ts + gap by definition.
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("w_start_us"),
+            F.unix_micros("session_window.end").alias("w_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_register(
+    "kl_source_drift",
+    """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+en AS (
+  SELECT source, tok, c,
+    sum(c) OVER (PARTITION BY source) AS n_s,
+    sum(c) OVER (PARTITION BY tok) AS cc,
+    sum(c) OVER () AS n
+  FROM sc)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+  CAST(round(sum((CAST(c AS DOUBLE) / n_s)
+                 * ln((CAST(c AS DOUBLE) / n_s)
+                      / (CAST(cc AS DOUBLE) / n))), 6) AS DOUBLE) AS kl_div
+FROM en GROUP BY 1
+""",
+)
+def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source KL divergence of the token distribution vs the whole
+    # corpus — the "is this source drifting / off-domain" curation
+    # signal. No smoothing needed: p_source > 0 only for present
+    # tokens, and every present token has corpus probability > 0. The
+    # (source, tok) count table is the small intermediate (sources x
+    # vocab); its three marginals come from windows over it, never by
+    # re-scanning documents. At corpus scale swap the global-total
+    # window for a 1-row broadcast (important_stock pattern) so no
+    # single-partition window forms over a trillion-token vocab.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_s = F.sum("c").over(Window.partitionBy("source"))
+    cc = F.sum("c").over(Window.partitionBy("tok"))
+    n = F.sum("c").over(Window.partitionBy())
+    p_s = F.col("c").cast("double") / F.col("n_s")
+    p_c = F.col("cc").cast("double") / F.col("n")
+    return (
+        sc.withColumn("n_s", n_s)
+        .withColumn("cc", cc)
+        .withColumn("n", n)
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_div"),
+        )
+    )

@@ -837,3 +837,29 @@ def test_dup_ngram_fraction_planted_copy(spark):
     assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
     assert out[3].dup_frac == 0.0
     assert out[1].n_grams == 5  # 12 tokens -> 5 distinct 8-grams
+
+
+def test_session_window_closed_boundary(spark):
+    # Native session_window merges on a CLOSED boundary: events exactly
+    # one gap apart share a session (measured — this pins the oracle's
+    # `> 1800` island break, same convention as manual sessionization),
+    # while one microsecond past the gap splits.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def n_sessions(delta_us):
+        df = spark.createDataFrame(
+            [(1, t0), (1, t0 + dt.timedelta(microseconds=delta_us))],
+            "user_id long, ts timestamp",
+        )
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .count()
+            .count()
+        )
+
+    assert n_sessions(1800 * 1_000_000) == 1
+    assert n_sessions(1800 * 1_000_000 + 1) == 2
