@@ -139,3 +139,41 @@ def spearman_corr(
         F.avg("_ry").over(Window.partitionBy(y_col)).alias("rank_y"),
     )
     return ranked.agg(F.round(F.corr("rank_x", "rank_y"), digits).alias("spearman"))
+
+
+def chisq_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, entirely in built-ins: one (a, b) count aggregate, row /
+    column marginals from windows over that small contingency table
+    (never re-scanning the fact table), then sum((o-e)^2/e) and
+    dof=(A-1)(B-1) in a single final reduce. Expected counts are
+    integer-product doubles (exact below 2^53), so the only float work
+    is the final division/sum — deterministic cross-engine under
+    round-6.
+
+    The chi2_crit_* interpretation is left to the caller (no scipy in
+    the engine); the statistic + dof are the portable outputs.
+    """
+    from pyspark.sql import Window
+
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    n_a = F.sum("o").over(Window.partitionBy(col_a))
+    n_b = F.sum("o").over(Window.partitionBy(col_b))
+    n = F.sum("o").over(Window.partitionBy())
+    e = (F.col("n_a") * F.col("n_b")).cast("double") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        obs.withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
+        .withColumn("n", n)
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            (
+                (F.count_distinct(F.col(col_a)) - 1)
+                * (F.count_distinct(F.col(col_b)) - 1)
+            ).cast("long").alias("dof"),
+            F.max("n").cast("long").alias("n_obs"),
+        )
+    )

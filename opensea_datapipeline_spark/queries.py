@@ -6070,3 +6070,37 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_div"),
         )
     )
+
+
+@_register(
+    "chisq_type_weekday",
+    """
+WITH obs AS (
+  SELECT event_type AS a, isodow(ts) - 1 AS b, count(*) AS o
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT a, b, o,
+    sum(o) OVER (PARTITION BY a) AS n_a,
+    sum(o) OVER (PARTITION BY b) AS n_b,
+    sum(o) OVER () AS n
+  FROM obs)
+SELECT
+  CAST(round(sum((o - CAST(n_a * n_b AS DOUBLE) / n)
+                 * (o - CAST(n_a * n_b AS DOUBLE) / n)
+                 / (CAST(n_a * n_b AS DOUBLE) / n)), 6) AS DOUBLE) AS chi2,
+  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+  CAST(max(n) AS BIGINT) AS n_obs
+FROM m
+""",
+)
+def q_chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson chi-square independence test: is event_type distribution
+    # uniform across ISO weekdays? (the F5 ANOVA's categorical-x-
+    # categorical sibling; mlstats.chisq_independence). Weekday via
+    # F.weekday (0=Mon) == DuckDB isodow-1 — the ISO trap the datetime
+    # family already pins. Marginals are windows over the 5x7
+    # contingency table, not re-scans.
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.weekday("ts").alias("weekday")
+    )
+    return ms.chisq_independence(e, "event_type", "weekday")

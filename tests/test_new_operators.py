@@ -863,3 +863,20 @@ def test_session_window_closed_boundary(spark):
 
     assert n_sessions(1800 * 1_000_000) == 1
     assert n_sessions(1800 * 1_000_000 + 1) == 2
+
+
+def test_chisq_independence_known_2x2(spark):
+    # Hand-checked 2x2: rows (10, 20 / 20, 10). N=60, all expected=15,
+    # chi2 = 4 * (5^2/15) = 6.666667, dof = 1.
+    from opensea_datapipeline_spark.operators.mlstats import (
+        chisq_independence,
+    )
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chisq_independence(df, "a", "b").collect()[0]
+    assert got.dof == 1 and got.n_obs == 60
+    assert abs(got.chi2 - 6.666667) < 1e-6
