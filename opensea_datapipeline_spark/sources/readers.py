@@ -168,3 +168,29 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from ..schemas import TESTDATA_TABLES
 
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same lazy contract as the parquet readers. ORC ships
+    in Spark's core (native vectorized reader), supports the same
+    predicate pushdown / column pruning / partition discovery as
+    parquet, and is the interchange format Hive-centric lakes hand us;
+    a user migrating such a lake should not have to convert first."""
+    return spark.read.orc(path)
+
+
+def load_text_lines(
+    spark: SparkSession, path: str, *, with_file: bool = True
+) -> DataFrame:
+    """Raw text-corpus ingestion: one row per line with the source file
+    path (the shape LLM ingest starts from — WET/JSONL-adjacent dumps
+    before any schema exists). Line order inside a file is NOT a row
+    attribute in a distributed scan; anything order-dependent must key
+    on (file, line content) downstream or use a format that carries
+    offsets."""
+    df = spark.read.text(path)
+    if with_file:
+        df = df.select(
+            F.input_file_name().alias("file"), F.col("value").alias("line")
+        )
+    return df

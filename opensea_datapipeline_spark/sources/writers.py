@@ -289,3 +289,18 @@ def compact_parquet(
         .parquet(dst_path)
     )
     return n_files
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink (zstd) — mirror of the parquet sinks for Hive-centric
+    consumers; partitioning behaves identically (Hive-style dirs,
+    Catalyst partition pruning on read-back)."""
+    w = df.write.mode(mode).option("compression", "zstd")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

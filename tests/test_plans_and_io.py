@@ -871,3 +871,38 @@ def test_token_entropy_single_exchange(spark, sf_dir):
     # compact documents, never the exploded tokens.
     plan = _plan(QUERIES["token_entropy"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_orc_roundtrip_partitioned_and_pushdown(spark, sf_dir, tmp_path):
+    # ORC sink/scan parity with the parquet path: partitioned layout on
+    # disk, partition pruning + predicate pushdown on read-back, values
+    # identical to the source.
+    from opensea_datapipeline_spark.sources.readers import load_orc
+    from opensea_datapipeline_spark.sources.writers import write_orc
+
+    out = str(tmp_path / "events_orc")
+    events = load_table(spark, sf_dir, "events")
+    write_orc(events, out, partition_by=["event_type"])
+    assert glob.glob(f"{out}/event_type=*"), "hive-style dirs expected"
+    back = load_orc(spark, out).filter(
+        (F.col("event_type") == "click") & (F.col("value") > 100)
+    )
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    assert "PushedFilters" in plan and "value" in plan.split("PushedFilters")[1][:200]
+    want = events.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 100)
+    ).count()
+    assert back.count() == want
+
+
+def test_text_lines_reader(spark, tmp_path):
+    from opensea_datapipeline_spark.sources.readers import load_text_lines
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("alpha\nbeta\n")
+    b.write_text("gamma\n")
+    df = load_text_lines(spark, str(tmp_path))
+    rows = [(os.path.basename(r.file), r.line) for r in df.collect()]
+    assert sorted(rows) == [("a.txt", "alpha"), ("a.txt", "beta"), ("b.txt", "gamma")]
