@@ -6104,3 +6104,84 @@ def q_chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.weekday("ts").alias("weekday")
     )
     return ms.chisq_independence(e, "event_type", "weekday")
+
+
+@_register(
+    "association_rules",
+    """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n_users FROM b),
+tc AS (SELECT event_type, count(*) AS c FROM b GROUP BY 1),
+pc AS (
+  SELECT x.event_type AS antecedent, y.event_type AS consequent,
+         count(*) AS c_ab
+  FROM b x JOIN b y ON x.user_id = y.user_id
+  WHERE x.event_type <> y.event_type
+  GROUP BY 1, 2)
+SELECT antecedent, consequent,
+  CAST(round(CAST(c_ab AS DOUBLE) / n.n_users, 6) AS DOUBLE) AS support,
+  CAST(round(CAST(c_ab AS DOUBLE) / ta.c, 6) AS DOUBLE) AS confidence,
+  CAST(round((CAST(c_ab AS DOUBLE) / n.n_users)
+             / ((CAST(ta.c AS DOUBLE) / n.n_users)
+                * (CAST(tb.c AS DOUBLE) / n.n_users)), 6) AS DOUBLE) AS lift
+FROM pc
+JOIN tc ta ON pc.antecedent = ta.event_type
+JOIN tc tb ON pc.consequent = tb.event_type
+CROSS JOIN n
+""",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket association rules over per-user event-type baskets:
+    # support / confidence / lift for every ordered type pair. The
+    # basket frame fans out four ways (self-join x2, type totals, user
+    # count), so it is PERSISTED — one fact scan total, pinned by plan
+    # test (unpersisted, Catalyst re-scans events per consumer: measured
+    # 5 scans / 0 reused exchanges). repartition(user_id) before the
+    # distinct means hash(user_id) serves the distinct AND survives the
+    # cache into the self-join — the cached partitioning is the join
+    # distribution, no re-exchange. All ratios are exact-integer
+    # doubles under round-6.
+    e = _t(spark, sf_dir, "events")
+    b = (
+        e.repartition("user_id")
+        .select("user_id", "event_type")
+        .distinct()
+        .persist()
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    pc = (
+        x.join(y, "user_id")
+        .filter(F.col("x.event_type") != F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("antecedent"),
+            F.col("y.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    tc = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = b.agg(F.count_distinct("user_id").alias("n_users"))
+    ta = tc.select(F.col("event_type").alias("antecedent"), F.col("c").alias("c_a"))
+    tb = tc.select(F.col("event_type").alias("consequent"), F.col("c").alias("c_b"))
+    c_ab = F.col("c_ab").cast("double")
+    supp = c_ab / F.col("n_users")
+    return (
+        pc.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(supp, 6).alias("support"),
+            F.round(c_ab / F.col("c_a"), 6).alias("confidence"),
+            F.round(
+                supp
+                / (
+                    (F.col("c_a").cast("double") / F.col("n_users"))
+                    * (F.col("c_b").cast("double") / F.col("n_users"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
