@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered queries")
 
+    p_e = sub.add_parser(
+        "explain", help="scale audit of a query's physical plan (JSON)"
+    )
+    p_e.add_argument("name")
+    p_e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     p_i = sub.add_parser(
         "index", help="ANN index lifecycle: build / append / probe"
     )
@@ -130,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query: {args.name}", file=sys.stderr)
                 return 2
             QUERIES[args.name](spark, args.sf_dir).show(args.n, truncate=False)
+            return 0
+
+        if args.cmd == "explain":
+            if args.name not in QUERIES:
+                print(f"unknown query: {args.name}", file=sys.stderr)
+                return 2
+            from .plans.inspect import plan_summary
+
+            print(json.dumps(
+                plan_summary(QUERIES[args.name](spark, args.sf_dir)),
+                indent=2,
+            ))
             return 0
 
         if args.cmd == "layout":

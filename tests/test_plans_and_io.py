@@ -919,3 +919,24 @@ def test_association_rules_basket_cached_fanout(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     got = {(r.antecedent, r.consequent): r.lift for r in df.collect()}
     assert len(got) == 20  # 5 types, ordered pairs
+
+
+def test_plan_summary_scale_audit(spark, sf_dir):
+    # The one-call audit must report the properties the guardrails pin:
+    # Q6 = one scan, pushed filters, no joins/shuffles/python; the
+    # 3-way join reports its broadcasts; the pandas seam is visible.
+    from opensea_datapipeline_spark.plans.inspect import plan_summary
+
+    q6 = plan_summary(QUERIES["forecast_revenue"](spark, sf_dir))
+    assert q6["parquet_or_orc_scans"] == 1
+    assert q6["exchanges"] == 0 and not q6["join_strategies"]
+    assert any("l_discount" in f for f in q6["pushed_filters"])
+    assert q6["python_stages"] == 0
+
+    q3 = plan_summary(QUERIES["segment_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q3["join_strategies"]
+    assert not q3["has_cartesian"]
+
+    hh = plan_summary(QUERIES["heavy_hitter_users"](spark, sf_dir))
+    assert hh["python_stages"] >= 1
+    assert hh["row_at_a_time_python"] == 0  # Arrow only, never per-row
