@@ -6185,3 +6185,69 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@_register(
+    "ewma_daily",
+    """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(value) / count(value) AS mean_value
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+i AS (
+  SELECT event_type, day, mean_value,
+         datediff('day', min(day) OVER (PARTITION BY event_type), day) AS t
+  FROM d),
+s AS (
+  SELECT event_type, day, mean_value,
+    sum(mean_value * pow(0.7, -t)) OVER w AS num,
+    sum(pow(0.7, -t)) OVER w AS den
+  FROM i WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(round(mean_value, 6) AS DOUBLE) AS mean_value,
+  CAST(round(num / den, 6) AS DOUBLE) AS ewma
+FROM s
+""",
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponentially weighted moving average (alpha=0.3, pandas
+    # adjust=True semantics) of the daily mean value per event type —
+    # the exponential-smoothing member of the window family (W3/W4 are
+    # flat-window). Closed form as a RATIO OF RUNNING SUMS:
+    # ewma_t = sum(x_i r^-i) / sum(r^-i) with r=1-alpha — the r^t
+    # prefactors cancel, so no per-row recursion (which SQL windows
+    # can't express) and ONE ordered window pass. Overflow note: r^-i
+    # grows 1.43^i and overflows double near i≈2000, but the decayed
+    # contribution of anything older than ~100 days is < 1e-15 — at
+    # long horizons restart the sums per ~yearly segment and carry the
+    # prior segment's ewma as the seed (this corpus spans 30 days, so
+    # the single-segment form is exact here; pandas-parity pytest).
+    # Running sums are ORDER-DETERMINISTIC (sequential per frame) so
+    # both engines accumulate identically; pow's ulp seam washes out
+    # under round-6.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.sum("value") / F.count("value")).alias("mean_value"))
+    wmin = Window.partitionBy("event_type")
+    word = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.datediff("day", F.min("day").over(wmin))
+    r_inv = F.pow(F.lit(0.7), -F.col("t"))
+    return (
+        d.withColumn("t", t)
+        .withColumn("num", F.sum(F.col("mean_value") * r_inv).over(word))
+        .withColumn("den", F.sum(r_inv).over(word))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
+        )
+    )

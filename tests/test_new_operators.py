@@ -880,3 +880,25 @@ def test_chisq_independence_known_2x2(spark):
     got = chisq_independence(df, "a", "b").collect()[0]
     assert got.dof == 1 and got.n_obs == 60
     assert abs(got.chi2 - 6.666667) < 1e-6
+
+
+def test_ewma_matches_pandas_adjust_true(spark, sf_dir):
+    # The ratio-of-running-sums closed form must equal pandas
+    # ewm(alpha=0.3, adjust=True) on the same per-type daily means —
+    # including across a gap day (decay is in DAYS via datediff, so a
+    # missing day still decays; pandas gets the same via reindexing).
+    import pandas as pd
+
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    out = QUERIES["ewma_daily"](spark, sf_dir).toPandas()
+    for etype, grp in out.groupby("event_type"):
+        g = grp.sort_values("day").set_index(pd.to_datetime(grp["day"].sort_values().values))
+        # reindex to a full daily range so day-gaps decay in pandas too
+        full = g["mean_value"].reindex(
+            pd.date_range(g.index.min(), g.index.max(), freq="D")
+        )
+        want = full.ewm(alpha=0.3, adjust=True, ignore_na=True).mean()
+        got = g["ewma"]
+        for day, v in got.items():
+            assert abs(v - want.loc[day]) < 1e-5, (etype, day, v, want.loc[day])
