@@ -6251,3 +6251,183 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
         )
     )
+
+
+@_register(
+    "bigram_logprob_scores",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(0, len(ts) - 1))) AS u(i)),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS c FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS vocab FROM c1)
+SELECT bg.doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(round(sum(ln((CAST(c12.c AS DOUBLE) + 1)
+                    / (CAST(c1.c AS DOUBLE) + v.vocab))) / count(*),
+             6) AS DOUBLE) AS avg_logprob
+FROM bg
+JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+JOIN c1 ON bg.w1 = c1.w1
+CROSS JOIN v
+GROUP BY 1
+""",
+)
+def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical LM quality scoring WITHOUT an external model (the
+    # KenLM-perplexity-filter shape, self-trained): add-1-smoothed
+    # corpus bigram log-probs, averaged per doc — low scores flag
+    # gibberish / off-distribution text. The corpus bigram table is the
+    # small intermediate; docs join to it on the bigram key (one
+    # equi-shuffle of doc bigrams), the unigram marginal comes from the
+    # BIGRAM table (never a second corpus pass), vocab is a 1-row
+    # broadcast. ln of exact-integer ratios under round-6 — the same
+    # libm seam budget as token_entropy/kl_source_drift.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    idx = F.sequence(F.lit(1), F.size("ts") - 1)
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select("doc_id", F.explode(idx).alias("i"), "ts")
+        .select(
+            "doc_id",
+            F.element_at("ts", F.col("i")).alias("w1"),
+            F.element_at("ts", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = F.sum("c12").over(Window.partitionBy("w1"))
+    model = c12.withColumn("c1", c1)
+    vocab = model.agg(F.count_distinct("w1").alias("vocab"))
+    logp = F.log(
+        (F.col("c12").cast("double") + 1)
+        / (F.col("c1").cast("double") + F.col("vocab"))
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@_register(
+    "cusum_changepoint",
+    """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(value) / count(value) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT event_type, day, x,
+         avg(x) OVER (PARTITION BY event_type) AS mu
+  FROM d),
+c AS (
+  SELECT event_type, day,
+         sum(x - mu) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM m),
+r AS (
+  SELECT event_type, day, cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(abs(cusum), 6) DESC, day ASC) AS rn
+  FROM c)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+  CAST(round(cusum, 6) AS DOUBLE) AS cusum_peak
+FROM r WHERE rn = 1
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint detection per event type: the day where the
+    # running sum of deviations from the series mean peaks in absolute
+    # value — the classic single-changepoint estimator (argmax |S_t|).
+    # One shuffle to daily means; the mean, the ordered running sum and
+    # the argmax are three windows over the SAME hash(event_type)
+    # distribution — no further exchanges. Running sum is
+    # order-deterministic; the argmax ranks on round(|cusum|, 6) so a
+    # sub-ulp cross-engine difference in the series mean can never flip
+    # which day wins (day asc breaks exact ties).
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.sum("value") / F.count("value")).alias("x"))
+    wp = Window.partitionBy("event_type")
+    word = wp.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wrank = wp.orderBy(
+        F.round(F.abs(F.col("cusum")), 6).desc(), F.col("day").asc()
+    )
+    return (
+        d.withColumn("mu", F.avg("x").over(wp))
+        .withColumn("cusum", F.sum(F.col("x") - F.col("mu")).over(word))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round("cusum", 6).alias("cusum_peak"),
+        )
+    )
+
+
+@_register(
+    "benford_deviation",
+    """
+WITH v AS (
+  SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR),
+                        '[1-9]') AS digit
+  FROM orders WHERE o_totalprice > 0),
+c AS (SELECT digit, count(*) AS n FROM v GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+  CAST(round(CAST(n AS DOUBLE) / tot, 6) AS DOUBLE) AS observed,
+  CAST(round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6) AS DOUBLE)
+    AS benford_p,
+  CAST(round(CAST(n AS DOUBLE) / tot
+             - log10(1 + 1.0 / CAST(digit AS BIGINT)), 6) AS DOUBLE)
+    AS deviation
+FROM c CROSS JOIN t
+""",
+)
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit test on order totals — the forensic
+    # data-quality screen (fabricated or unit-mangled money values
+    # break the log distribution). The first significant digit comes
+    # from a regexp on the FIXED-SCALE DECIMAL string, not from
+    # floor(log10(v)) — log10 of an exact power of ten can land a hair
+    # below the integer and misclassify the digit; the string path has
+    # no libm in the classification, only in the reported Benford
+    # probabilities. One scan, one 9-row aggregate, 1-row broadcast
+    # total.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,6)").cast("string"),
+        "[1-9]", 0,
+    )
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    bp = F.log10(1 + 1.0 / F.col("digit").cast("long"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, 6).alias("observed"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(obs - bp, 6).alias("deviation"),
+        )
+    )
