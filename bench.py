@@ -106,6 +106,10 @@ HEADLINE = [
     "heavy_hitter_users",       # bounded-state Misra-Gries + exact verify (r8)
     "dup_ngram_fraction",       # cross-doc duplicated 8-gram share (r8)
     "token_entropy",            # per-doc Shannon entropy, one exchange (r8)
+    "bigram_logprob_scores",    # self-trained bigram-LM quality filter (r8)
+    "association_rules",        # market-basket lift, cached basket fan-out (r8)
+    "session_window_stats",     # native SessionWindow merge (r8)
+    "ewma_daily",               # exponential smoothing, ratio-of-running-sums (r8)
 ]
 
 
