@@ -6431,3 +6431,76 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs - bp, 6).alias("deviation"),
         )
     )
+
+
+@_register(
+    "locf_gap_fill",
+    """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         sum(value) / count(value) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type = 'purchase' AND user_id < 30
+  GROUP BY 1, 2),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+cal AS (
+  SELECT t.user_id, CAST(u.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM d) t
+  CROSS JOIN span,
+       unnest(generate_series(span.lo, span.hi, INTERVAL 1 DAY)) AS u(day)),
+j AS (
+  SELECT cal.user_id, cal.day, d.x FROM cal
+  LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  CAST(x IS NULL AS BIGINT) AS was_gap,
+  CAST(round(last_value(x IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE) AS filled
+FROM j
+""",
+)
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar-spine gap fill with last-observation-carried-forward:
+    # the time-series imputation shape (dense calendar x dims LEFT JOIN
+    # sparse facts, then last(ignorenulls) over an ordered frame). The
+    # spine is per-user purchase days — users do NOT purchase daily, so
+    # the fill path really executes (291 gaps at sf0.001 / 2,896 at
+    # sf0.01; the event_type spine is gapless on this corpus and would
+    # grade a vacuous LOCF). The calendar is generated IN-PLAN
+    # (sequence over the broadcast global min/max — no driver-side date
+    # loop); leading nulls (before a user's first purchase) stay null
+    # in both engines. user_id < 30 keeps the graded output bounded.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+        & (F.col("user_id") < 30)
+    )
+    d = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg((F.sum("value") / F.count("value")).alias("x"))
+    span = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = (
+        d.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = cal.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").isNull().cast("long").alias("was_gap"),
+        F.round(F.last("x", ignorenulls=True).over(w), 6).alias("filled"),
+    )
