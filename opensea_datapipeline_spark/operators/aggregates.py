@@ -697,31 +697,37 @@ def heavy_hitters(
     k: int,
     top: int,
 ) -> DataFrame:
-    """Bounded-state heavy hitters: zero-shuffle candidate pass + exact
-    verification pass (the distributed Misra-Gries composition).
+    """Bounded-state heavy hitters, EXACT by construction: zero-shuffle
+    Misra-Gries candidate pass + exact verification pass, with a proved
+    error bound that triggers an exact-groupBy fallback whenever the
+    sketch cannot certify the answer (low-skew inputs).
 
     Pass 1 (``mapInPandas``, no shuffle): each partition keeps a batch-
     merged count table, and whenever it exceeds ``8*k`` entries applies
     the Misra-Gries batch decrement (subtract the (8k+1)-th largest
-    count, drop non-positives, remember the total decrement ``eps``) —
-    per-partition state is therefore O(k) regardless of the column's
-    cardinality. At partition end it emits values whose upper-bound
-    count ``(count + eps) * k > partition_rows``; by pigeonhole any
-    value with GLOBAL count > total_rows/k beats that bar in at least
-    one partition, so the candidate union is a guaranteed superset of
-    the true heavy hitters (at most ~8k values per partition, usually
-    far fewer).
+    count, drop non-positives, accumulate the total decrement ``eps``) —
+    per-partition state is O(k) regardless of the column's cardinality.
+    At partition end it emits EVERY retained entry (≤ 8k values — no
+    frequency bar, so low-skew inputs cannot silently empty the
+    candidate set) plus one NULL-keyed summary row carrying ``eps``.
+    Misra-Gries invariant: any value NOT retained by a partition has
+    local count ≤ eps_p there, so a value retained nowhere has global
+    count ≤ B = Σ_p eps_p.
 
     Pass 2: exact counts for candidates only — a broadcast semi join
-    keeps reducer state bounded by the candidate set instead of the
-    full key cardinality, which is the point at 100 TB: a groupBy over
-    a trillion-distinct column builds hash state everywhere, while this
-    shuffles only provable-candidate keys. Returns ``top`` rows ordered
-    (count desc, value asc) — deterministic under ties.
+    (skipped above ~1M candidates; AQE decides then) keeps reducer
+    state bounded by the candidate set instead of the full key
+    cardinality, which is the point at 100 TB: a groupBy over a
+    trillion-distinct column builds hash state everywhere, while this
+    shuffles only retained-candidate keys.
 
-    The result equals the exact top-``top`` whenever those values all
-    exceed total_rows/k (callers size ``k`` accordingly; the planted-
-    skew pytest pins both the equality and the state bound).
+    Certification: if B == 0 the candidate set is exhaustive (no
+    partition ever overflowed) and the result is exact outright; else
+    the result is exact iff the ``top``-th verified count > B (no
+    non-candidate can reach it). When neither holds, fall back to the
+    exact full groupBy — correct on every input, sketch-fast on skewed
+    ones. Returns ``top`` rows ordered (count desc, value asc);
+    driver-side state is bounded (1 summary row + ``top`` rows).
     """
     import pandas as pd  # local: Arrow seam only
 
@@ -732,29 +738,68 @@ def heavy_hitters(
     def local_candidates(batches):
         merged = None
         eps = 0
-        tot = 0
         for b in batches:
             vc = b[col].dropna().value_counts()
-            tot += int(vc.sum())
             merged = vc if merged is None else merged.add(vc, fill_value=0)
             if len(merged) > cap:
                 d = int(merged.nlargest(cap + 1).iloc[-1])
                 eps += d
                 merged = merged - d
                 merged = merged[merged > 0]
-        if merged is None or tot == 0:
+        if merged is None:
             return
-        upper = merged + eps
-        cand = merged[upper * k > tot]
-        yield pd.DataFrame({col: cand.index.to_series().reset_index(drop=True)})
+        keys = merged.index.to_series().reset_index(drop=True)
+        out = pd.DataFrame({col: keys, "eps": 0})
+        summary = pd.DataFrame({col: [None], "eps": [eps]})
+        yield pd.concat([out, summary], ignore_index=True)
 
-    cand_schema = T.StructType([field])
-    candidates = (
-        df.select(col).mapInPandas(local_candidates, schema=cand_schema).distinct()
+    cand_schema = T.StructType(
+        [T.StructField(field.name, field.dataType, True),
+         T.StructField("eps", T.LongType(), False)]
     )
-    exact = (
-        df.join(F.broadcast(candidates), on=col, how="inner")
+    emitted = (
+        df.select(col).mapInPandas(local_candidates, schema=cand_schema).persist()
+    )
+    stats = emitted.agg(
+        F.sum("eps").alias("b"),
+        F.count(col).alias("n_cand"),
+    ).first()
+    bound = int(stats["b"] or 0)
+    n_cand = int(stats["n_cand"] or 0)
+
+    exact_all = (
+        df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col(col).asc())
+        .limit(top)
     )
-    return exact.orderBy(F.col("n_rows").desc(), F.col(col).asc()).limit(top)
+    if n_cand == 0:
+        # no retained keys: either no non-null data at all (bound 0 →
+        # provably empty) or a pathological all-ties decrement emptied
+        # every table (bound > 0 → cannot certify, go exact)
+        emitted.unpersist()
+        return exact_all.limit(0) if bound == 0 else exact_all
+
+    candidates = emitted.filter(F.col(col).isNotNull()).select(col).distinct()
+    if n_cand <= 1_000_000:
+        candidates = F.broadcast(candidates)
+    verified = (
+        df.join(candidates, on=col, how="inner")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col(col).asc())
+        .limit(top)
+        .collect()
+    )
+    emitted.unpersist()
+    certified = bound == 0 or (
+        len(verified) == top and verified[-1]["n_rows"] > bound
+    )
+    if certified:
+        out_schema = T.StructType(
+            [T.StructField(field.name, field.dataType, True),
+             T.StructField("n_rows", T.LongType(), False)]
+        )
+        return spark.createDataFrame(verified, schema=out_schema)
+    return exact_all

@@ -5885,13 +5885,15 @@ ORDER BY n_rows DESC, user_id ASC LIMIT 10
 )
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded-state heavy hitters (distributed Misra-Gries): zero-shuffle
-    # local-threshold candidate pass (O(k) state per partition via batch
-    # decrement) + exact verification pass over candidates only. The
-    # oracle is the exact top-10; equality holds because every top-10
-    # user's count clears total/k at k=250 (pigeonhole superset
-    # guarantee — see operators/aggregates.py:heavy_hitters). At 100 TB
-    # this replaces a full-cardinality groupBy shuffle with a candidate
-    # set bounded by 8k per partition.
+    # candidate pass (O(k) state per partition via batch decrement,
+    # emitting every retained entry) + exact verification over candidates
+    # + Σeps certification — if the 10th verified count does not clear
+    # the proved non-candidate bound, the operator falls back to the
+    # exact groupBy, so the result equals the exact top-10 on EVERY
+    # input and every scale (low-skew sf0.1 included), not just when
+    # the skew premise holds — see operators/aggregates.py:heavy_hitters.
+    # At 100 TB the certified path replaces a full-cardinality groupBy
+    # shuffle with a candidate set bounded by 8k per partition.
     e = _t(spark, sf_dir, "events")
     return agg.heavy_hitters(e, "user_id", k=250, top=10)
 

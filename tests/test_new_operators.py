@@ -817,6 +817,32 @@ def test_heavy_hitters_null_and_empty_partitions(spark):
     assert [(r.key, r.n_rows) for r in got] == [(7, 5), (8, 3)]
 
 
+def test_heavy_hitters_low_skew_exact_fallback(spark):
+    from opensea_datapipeline_spark.operators.aggregates import heavy_hitters
+
+    # ADVICE r8 (high): flat distribution where NO key clears total/k —
+    # the old frequency-bar filter emptied the candidate set and returned
+    # 0 rows. The certified design must return the exact top-5 anyway
+    # (either via exhaustive retained entries or the exact fallback).
+    rows = [(i,) for i in range(4000) for _ in range(1 + (i < 5))]
+    df = spark.createDataFrame(rows, "key long").repartition(8)
+    got = heavy_hitters(df, "key", k=250, top=5).collect()
+    assert [(r.key, r.n_rows) for r in got] == [(i, 2) for i in range(5)]
+
+
+def test_heavy_hitters_overflowed_uncertifiable_falls_back(spark):
+    from opensea_datapipeline_spark.operators.aggregates import heavy_hitters
+
+    # k small enough that cap=16 << 3,000 distinct per partition forces
+    # Misra-Gries decrements (B > 0) on a flat input where no verified
+    # count can clear B — the certification must reject the sketch and
+    # the exact-groupBy fallback must still produce the true top-3.
+    rows = [(i,) for i in range(3000)] + [(0,), (1,)]
+    df = spark.createDataFrame(rows, "key long").repartition(4)
+    got = heavy_hitters(df, "key", k=2, top=3).collect()
+    assert [(r.key, r.n_rows) for r in got] == [(0, 2), (1, 2), (2, 1)]
+
+
 def test_dup_ngram_fraction_planted_copy(spark):
     from opensea_datapipeline_spark.operators.text import dup_ngram_fraction
 
