@@ -6045,10 +6045,14 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal. No smoothing needed: p_source > 0 only for present
     # tokens, and every present token has corpus probability > 0. The
     # (source, tok) count table is the small intermediate (sources x
-    # vocab); its three marginals come from windows over it, never by
-    # re-scanning documents. At corpus scale swap the global-total
-    # window for a 1-row broadcast (important_stock pattern) so no
-    # single-partition window forms over a trillion-token vocab.
+    # vocab); marginals (r9, VERDICT r8 #3): the GLOBAL total is a
+    # 1-row broadcast cross join (benford/important_stock pattern) and
+    # the per-SOURCE totals a tiny broadcast join (both keys are
+    # low-cardinality — a window over either funnels the vocab-sized
+    # table through a handful of tasks at corpus scale); only the
+    # per-TOKEN marginal stays a window, partitioned by the
+    # vocab-cardinality token key, which distributes fine. Plan
+    # guardrail pins zero empty-partition window specs.
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
@@ -6057,15 +6061,26 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_s = F.sum("c").over(Window.partitionBy("source"))
+    # per-source totals WITHOUT explode: Σ size(split) ≡ Σ c per source
+    # (same tokenizer), a map-side-combine agg over documents collected
+    # to bounded driver state (#sources rows) — so the expensive
+    # exploded lineage runs exactly once and the totals come back as a
+    # broadcast local frame + a literal, not a second corpus scan
+    src_rows = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_s"))
+        .collect()
+    )
+    n = sum(r["n_s"] for r in src_rows)
+    src_tot = spark.createDataFrame(
+        [(r["source"], r["n_s"]) for r in src_rows], "source string, n_s long"
+    )
     cc = F.sum("c").over(Window.partitionBy("tok"))
-    n = F.sum("c").over(Window.partitionBy())
     p_s = F.col("c").cast("double") / F.col("n_s")
-    p_c = F.col("cc").cast("double") / F.col("n")
+    p_c = F.col("cc").cast("double") / F.lit(float(n))
     return (
-        sc.withColumn("n_s", n_s)
-        .withColumn("cc", cc)
-        .withColumn("n", n)
+        sc.withColumn("cc", cc)
+        .join(F.broadcast(src_tot), "source")
         .groupBy("source")
         .agg(
             F.max("n_s").cast("long").alias("n_tokens"),
@@ -6219,38 +6234,69 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flat-window). Closed form as a RATIO OF RUNNING SUMS:
     # ewma_t = sum(x_i r^-i) / sum(r^-i) with r=1-alpha — the r^t
     # prefactors cancel, so no per-row recursion (which SQL windows
-    # can't express) and ONE ordered window pass. Overflow note: r^-i
-    # grows 1.43^i and overflows double near i≈2000, but the decayed
-    # contribution of anything older than ~100 days is < 1e-15 — at
-    # long horizons restart the sums per ~yearly segment and carry the
-    # prior segment's ewma as the seed (this corpus spans 30 days, so
-    # the single-segment form is exact here; pandas-parity pytest).
-    # Running sums are ORDER-DETERMINISTIC (sequential per frame) so
-    # both engines accumulate identically; pow's ulp seam washes out
-    # under round-6.
+    # can't express). r9 (VERDICT r8 #2): r^-t grows 1.43^t and
+    # overflows double near t≈2046, so the sums now RESTART every
+    # L=512-day segment with the previous segment's totals carried as
+    # an algebraically exact seed: a previous-segment row at local
+    # offset tl contributes weight r^(L-tl) at the new segment's base,
+    # so ewma = (cum_seg + carry_prev) / (den_seg + carry_prev_den)
+    # with every intermediate bounded by r^-(L-1) ≈ 1e79 << DBL_MAX.
+    # Non-adjacent segments' carry (weight ≤ r^(L+1) ≈ 1e-80, den ≥ 1)
+    # is below double resolution — pandas' own recursion drops it
+    # identically — so only the adjacent carry is kept (lag over the
+    # per-segment totals, gated on seg adjacency). Unbounded-horizon
+    # pandas-parity pytest (3,650 days) pins no NaN/Inf and 6dp
+    # agreement. Running sums stay order-deterministic; pow's ulp seam
+    # washes out under round-6.
     from pyspark.sql import Window
 
+    L = 512
+    r = 0.7
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     d = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg((F.sum("value") / F.count("value")).alias("mean_value"))
     wmin = Window.partitionBy("event_type")
+    d2 = (
+        d.withColumn("t", F.datediff("day", F.min("day").over(wmin)))
+        .withColumn("seg", F.floor(F.col("t") / L))
+        .withColumn("tl", F.col("t") - F.col("seg") * L)
+    )
     word = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "seg")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = F.datediff("day", F.min("day").over(wmin))
-    r_inv = F.pow(F.lit(0.7), -F.col("t"))
+    w_den = F.pow(F.lit(r), -F.col("tl"))
+    w_num = F.col("mean_value") * w_den
+    # previous-segment totals, pre-scaled to this segment's base
+    # (weight r^(L-tl) ≤ r — no overflow); the per-segment table is
+    # tiny (horizon/512 rows per type), so the lag window is bounded
+    segs = d2.groupBy("event_type", "seg").agg(
+        F.sum(F.col("mean_value") * F.pow(F.lit(r), L - F.col("tl"))).alias("cn"),
+        F.sum(F.pow(F.lit(r), L - F.col("tl"))).alias("cd"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("seg")
+    adjacent = F.col("seg") - F.lag("seg").over(wlag) == 1
+    carry = segs.select(
+        "event_type",
+        "seg",
+        F.when(adjacent, F.lag("cn").over(wlag)).otherwise(F.lit(0.0)).alias("carry_n"),
+        F.when(adjacent, F.lag("cd").over(wlag)).otherwise(F.lit(0.0)).alias("carry_d"),
+    )
     return (
-        d.withColumn("t", t)
-        .withColumn("num", F.sum(F.col("mean_value") * r_inv).over(word))
-        .withColumn("den", F.sum(r_inv).over(word))
+        d2.withColumn("num", F.sum(w_num).over(word))
+        .withColumn("den", F.sum(w_den).over(word))
+        .join(F.broadcast(carry), ["event_type", "seg"])
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.round("mean_value", 6).alias("mean_value"),
-            F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
+            F.round(
+                (F.col("num") + F.col("carry_n"))
+                / (F.col("den") + F.col("carry_d")),
+                6,
+            ).alias("ewma"),
         )
     )
 
@@ -6537,14 +6583,20 @@ FROM agg
 def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mann-Whitney U (Wilcoxon rank-sum) test: are purchase values
     # stochastically larger than click values? Ranks are computed at
-    # VALUE granularity (group by value first), so the ordered window
-    # runs over distinct values, not rows — tie handling (average
-    # ranks) falls out of the same aggregation for free. All rank
-    # arithmetic is exact (integers and .5 halves are exact doubles;
-    # sums stay < 2^53), so the only libm is the final sqrt. At corpus
-    # scale the distinct-value window range-partitions by value with
-    # per-partition count offsets (the two-pass ranking trick); the
-    # graded form keeps the single frame.
+    # VALUE granularity (group by value first) with DISTRIBUTED
+    # two-pass ranking (the q_price_rank_dist_scalable trick): an
+    # unpartitioned Window.orderBy would funnel the whole distinct-value
+    # table (≈ rows for a continuous double) through ONE task. Instead:
+    # quantile-bucket the value domain (approxQuantile — bounded
+    # driver state, n_buckets-1 doubles; exactness never depends on the
+    # boundary placement, only balance does), aggregate per-bucket
+    # totals (collected: ≤ n_buckets rows), embed the cumulative
+    # offsets as a literal CASE, and rank WITHIN each bucket via a
+    # bucket-partitioned window. Equal values always land in one
+    # bucket (strict `<` boundaries), so avg-rank tie handling is
+    # preserved exactly. All rank arithmetic is exact (integers and .5
+    # halves; sums < 2^53); the only libm is the final sqrt. Plan
+    # guardrail pins zero SinglePartition windows.
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events").filter(
@@ -6555,14 +6607,39 @@ def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_p"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(s.stat.approxQuantile("value", qs, 0.01)))
+
+    def bucket_of(col):
+        b = F.lit(len(bounds))
+        for i in reversed(range(len(bounds))):
+            b = F.when(col < F.lit(bounds[i]), F.lit(i)).otherwise(b)
+        return b
+
     nv = F.col("n_p") + F.col("n_c")
-    avg_rank = (
-        F.sum(nv).over(w) - nv + 1 + (nv - 1) / 2.0
+    sb = s.withColumn("bucket", bucket_of(F.col("value")))
+    btot = {
+        r["bucket"]: r["tot"]
+        for r in sb.groupBy("bucket").agg(F.sum(nv).alias("tot")).collect()
+    }
+    run = 0
+    offsets = {}
+    for b in sorted(btot):
+        offsets[b] = run
+        run += btot[b]
+    off = F.lit(0)
+    for b, v in offsets.items():
+        off = F.when(F.col("bucket") == F.lit(b), F.lit(v)).otherwise(off)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    agg = s.withColumn("avg_rank", avg_rank).agg(
+    avg_rank = (
+        off + F.sum(nv).over(w) - nv + 1 + (nv - 1) / 2.0
+    )
+    agg = sb.withColumn("avg_rank", avg_rank).agg(
         F.sum(F.col("n_p") * F.col("avg_rank")).alias("r1"),
         F.sum("n_p").alias("n1"),
         F.sum("n_c").alias("n2"),

@@ -956,3 +956,50 @@ def test_mann_whitney_tie_handling(spark, tmp_path, monkeypatch):
     got = QUERIES["mann_whitney_value"](spark, str(d)).collect()[0]
     assert (got.n1, got.n2) == (3, 3)
     assert got.u1 == 1.0
+
+
+def test_ewma_long_horizon_no_overflow(spark, tmp_path):
+    # VERDICT r8 #2: the unsegmented r^-t closed form overflows double at
+    # t ~ 2,046 days (0.7^-2046 = Inf -> Inf/Inf = NaN). The segmented
+    # form must match pandas ewm(alpha=0.3, adjust=True) to 6dp over a
+    # 10-year daily series with day gaps, with zero NaN/Inf.
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    t0 = dt.datetime(2015, 1, 1)
+    rows = []
+    eid = 0
+    for t in range(3650):
+        if t % 97 == 13:
+            continue  # day gaps: decay must still advance in days
+        eid += 1
+        # deterministic pseudo-random value, no Date.now/random needed
+        v = 50.0 + 40.0 * math.sin(t * 0.7) + (t * 7919 % 101) / 10.0
+        rows.append((eid, t0 + dt.timedelta(days=t), 1, "purchase", v, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path / "long"
+    df.write.parquet(str(d / "events.parquet"))
+    out = (
+        QUERIES["ewma_daily"](spark, str(d))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(rows)
+    assert not out["ewma"].isna().any()
+    assert all(abs(v) != math.inf for v in out["ewma"])
+    s = out.set_index(pd.to_datetime(out["day"]))["mean_value"]
+    full = s.reindex(pd.date_range(s.index.min(), s.index.max(), freq="D"))
+    # ignore_na=False: weights use ABSOLUTE positions, so a reindexed
+    # NaN gap-day still decays — the day-based r^(t-ti) semantics
+    want = full.ewm(alpha=0.3, adjust=True, ignore_na=False).mean()
+    for day, got in out.set_index(pd.to_datetime(out["day"]))["ewma"].items():
+        assert abs(got - want.loc[day]) < 1e-6, (day, got, want.loc[day])

@@ -937,6 +937,80 @@ def test_plan_summary_scale_audit(spark, sf_dir):
     assert "BroadcastHashJoin" in q3["join_strategies"]
     assert not q3["has_cartesian"]
 
+    # heavy_hitter_users certifies its sketch result and returns the
+    # bounded verified rows as a local frame (r9: exactness guard) —
+    # the Arrow candidate pass already executed inside the call, so the
+    # returned plan is a LocalTableScan with zero re-reads of events
     hh = plan_summary(QUERIES["heavy_hitter_users"](spark, sf_dir))
-    assert hh["python_stages"] >= 1
+    assert hh["parquet_or_orc_scans"] == 0
     assert hh["row_at_a_time_python"] == 0  # Arrow only, never per-row
+
+
+def test_mann_whitney_no_single_partition_window(spark, sf_dir):
+    # VERDICT r8 #1: the rank-sum must use the distributed two-pass
+    # ranking (quantile buckets + per-bucket offsets), never an
+    # unpartitioned Window.orderBy — at corpus scale the distinct-value
+    # table is ~row-cardinality and a global ordered window funnels it
+    # through one task. Pins: no SinglePartition exchange anywhere in
+    # the executed plan, and every Window sits over a hash partitioning.
+    df = QUERIES["mann_whitney_value"](spark, sf_dir)
+    plan = _plan(df)
+    # every window spec is partitioned by the quantile bucket
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "bucket" in line, line
+    # the only SinglePartition exchange is the final 1-row scalar
+    # aggregate (partial agg upstream -> 1 row per task): it must feed a
+    # HashAggregate, never a Window or Sort over unbounded data
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "HashAggregate" in lines[i - 1], "\n".join(lines[i - 2 : i + 2])
+
+
+def test_kl_source_drift_no_global_window(spark, sf_dir):
+    # VERDICT r8 #3: the corpus total is a bounded driver collect +
+    # broadcast, never Window.partitionBy() over the vocab-sized table.
+    # The only window left is partitioned by the token key.
+    df = QUERIES["kl_source_drift"](spark, sf_dir)
+    plan = _plan(df)
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert specs, "token-marginal window disappeared"
+    for line in specs:
+        assert "windowspecdefinition(tok" in line, line
+
+
+def test_no_ungated_global_windows_in_source():
+    # Repo-wide pin (VERDICT r8 #3): every Window.partitionBy() with no
+    # columns must be one of the audited sites — bounded input (PSI
+    # buckets, chi-square contingency cells) or explicitly gated
+    # (_series_window global_ok, pack_documents allow_global). A new
+    # ungated global window anywhere is a scale bug until audited here.
+    import re
+    import pathlib
+
+    root = pathlib.Path("opensea_datapipeline_spark")
+    allowed = {
+        ("operators/windows.py", "_series_window"),          # gated: global_ok
+        ("operators/aggregates.py", "population_stability"),  # bounded: <=10 buckets
+        ("operators/mlstats.py", "chisq_independence"),       # bounded: a x b cells
+        ("operators/text.py", "pack_documents"),              # gated: allow_global
+    }
+    hits = []
+    for path in sorted(root.rglob("*.py")):
+        text = path.read_text()
+        func = None
+        for i, line in enumerate(text.splitlines(), 1):
+            m = re.match(r"def (\w+)", line)
+            if m:
+                func = m.group(1)
+            if "Window.partitionBy()" in line and not line.lstrip().startswith("#"):
+                if "can never reach" in line:
+                    continue  # docstring mention
+                hits.append((str(path.relative_to(root)), func, i))
+    for rel, func, line_no in hits:
+        assert (rel, func) in allowed, (
+            f"ungated global window at {rel}:{line_no} in {func}"
+        )
