@@ -6152,19 +6152,26 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Market-basket association rules over per-user event-type baskets:
     # support / confidence / lift for every ordered type pair. The
     # basket frame fans out four ways (self-join x2, type totals, user
-    # count), so it is PERSISTED — one fact scan total, pinned by plan
-    # test (unpersisted, Catalyst re-scans events per consumer: measured
-    # 5 scans / 0 reused exchanges). repartition(user_id) before the
-    # distinct means hash(user_id) serves the distinct AND survives the
-    # cache into the self-join — the cached partitioning is the join
-    # distribution, no re-exchange. All ratios are exact-integer
-    # doubles under round-6.
+    # count), so it is MATERIALIZED once — one fact scan total, pinned
+    # by plan test (unmaterialized, Catalyst re-scans events per
+    # consumer: measured 5 scans / 0 reused exchanges). r9 (ADVICE r8):
+    # localCheckpoint instead of persist — a persist inside a lazy
+    # query function can never be unpersisted by the caller, so every
+    # grading/bench invocation leaked another pinned cache copy into
+    # the long-lived session; checkpointed blocks are released by the
+    # ContextCleaner when the frame is GC'd. Lineage truncation is the
+    # point here (single-node local[*]); on a multi-executor cluster
+    # prefer reliable checkpointing or caller-scoped persist for
+    # fault-tolerance. repartition(user_id) before the distinct means
+    # hash(user_id) serves the distinct AND survives materialization
+    # into the self-join — no re-exchange. All ratios are
+    # exact-integer doubles under round-6.
     e = _t(spark, sf_dir, "events")
     b = (
         e.repartition("user_id")
         .select("user_id", "event_type")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     x = b.alias("x")
     y = b.alias("y")

@@ -168,18 +168,30 @@ def write_zorder_layout(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).first()
+    if mins is None or any(mins[f"mn_{c}"] is None for c in cols):
+        # empty input (or an all-null cluster column): no span to bucket
+        # on — write the frame as-is so the schema round-trips (r9,
+        # ADVICE r8: float(None) used to TypeError here)
+        df.write.mode(mode).parquet(path)
+        return
     n_buckets = (1 << bits) - 1
     bucket_cols = []
     for c in cols:
         mn, mx = float(mins[f"mn_{c}"]), float(mins[f"mx_{c}"])
         span = (mx - mn) or 1.0
         bucket_cols.append(
-            F.least(
-                F.lit(n_buckets),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
-                    / F.lit(span) * F.lit(n_buckets)
-                ).cast("long"),
+            # NULL cluster values bucket to 0 (the min corner) by
+            # explicit rule — F.least SKIPS nulls, so without the guard
+            # they silently landed at n_buckets, clustering all nulls
+            # into the max Morton corner (r9, ADVICE r8)
+            F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn))
+                        / F.lit(span) * F.lit(n_buckets)
+                    ).cast("long"),
+                )
             )
         )
     parts = [

@@ -910,13 +910,15 @@ def test_text_lines_reader(spark, tmp_path):
 
 def test_association_rules_basket_cached_fanout(spark, sf_dir):
     # The basket frame fans out 4 ways (self-join x2, type totals, user
-    # count); it must be served from cache — InMemoryTableScan on every
-    # consumer — so the events table is physically read once, on cache
-    # population. (Without persist: measured 5 independent parquet
-    # scans and zero reused exchanges.)
+    # count); it must be materialized once — localCheckpoint (r9:
+    # GC-releasable, unlike an orphaned persist that leaked a cache
+    # copy per invocation) — so the events parquet never appears in the
+    # consumer plan at all. (Without materialization: measured 5
+    # independent parquet scans and zero reused exchanges.)
     df = QUERIES["association_rules"](spark, sf_dir)
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan, plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
     got = {(r.antecedent, r.consequent): r.lift for r in df.collect()}
     assert len(got) == 20  # 5 types, ordered pairs
 
@@ -1014,3 +1016,37 @@ def test_no_ungated_global_windows_in_source():
         assert (rel, func) in allowed, (
             f"ungated global window at {rel}:{line_no} in {func}"
         )
+
+
+def test_zorder_empty_input_and_null_placement(spark, tmp_path):
+    # ADVICE r8: empty input used to TypeError on float(None); NULL
+    # cluster values used to silently land in the MAX Morton corner
+    # because F.least skips nulls. Empty frames round-trip schema-only;
+    # nulls now cluster with the min corner (bucket 0) by documented rule.
+    from opensea_datapipeline_spark.sources.writers import write_zorder_layout
+
+    empty = spark.createDataFrame([], "x long, y long")
+    out0 = str(tmp_path / "z_empty")
+    write_zorder_layout(empty, out0, ["x", "y"], bits=4, num_files=4)
+    back = spark.read.parquet(out0)
+    assert back.count() == 0 and set(back.columns) == {"x", "y"}
+
+    rows = [(None, 0)] + [(i, i) for i in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out1 = str(tmp_path / "z_null")
+    write_zorder_layout(df, out1, ["x", "y"], bits=4, num_files=4)
+    import glob as _g
+    import os as _os
+
+    files = sorted(_g.glob(out1 + "/part-*.parquet"))
+    # the null-x row must sit in the same file as the min-corner rows,
+    # not with the max corner
+    by_file = {
+        _os.path.basename(f): [
+            (r.x, r.y) for r in spark.read.parquet(f).collect()
+        ]
+        for f in files
+    }
+    null_file = next(n for n, rs in by_file.items() if (None, 0) in rs)
+    assert (0, 0) in by_file[null_file]
+    assert (63, 63) not in by_file[null_file]
