@@ -73,18 +73,22 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 
 # Regraded ahead of everything: queries whose latest green row no longer
 # reflects the query. r5: streaming_daily_stats (NTZ fix) — green r5 row,
-# retired. r6: embedding_near_dup (de-vacuized with planted twins) — green
-# r7 row, retired. r8: nation_trade_volume (de-vacuized NATION_5/NATION_13
-# form, queries.py q_nation_trade_volume — last driver row is r02's grading
-# of the old impossible-literal form) and psi_value_drift (bucket clamp
-# `greatest(0, least(...))` postdates its last driver grading). Also r8:
-# media_dimensions / media_knn_pipeline switched to the 5-format synthesizer
-# cycle (PNG/GIF/BMP/JPEG/WebP) — their r02/r03 rows grade the 3-format form.
+# retired. r6: embedding_near_dup — green r7 row, retired. r8:
+# nation_trade_volume / psi_value_drift / media_dimensions /
+# media_knn_pipeline — all regraded green r09, retired. r9 rewrites
+# (VERDICT r9 #2): mann_whitney_value (distributed bucketed ranking),
+# ewma_daily (512-day segmented accumulation), kl_source_drift (broadcast
+# totals), heavy_hitter_users (Sum-eps certification + exact fallback),
+# association_rules (localCheckpoint swap) — their latest driver rows all
+# grade the pre-rewrite implementations; local oracle-parity covers them
+# but the driver row must grade the shipped code. r10: heavy_hitter_users
+# also changed again (localCheckpoint pin + frames split).
 _REGRADE_FIRST = (
-    "nation_trade_volume",
-    "psi_value_drift",
-    "media_dimensions",
-    "media_knn_pipeline",
+    "mann_whitney_value",
+    "ewma_daily",
+    "kl_source_drift",
+    "heavy_hitter_users",
+    "association_rules",
 )
 
 

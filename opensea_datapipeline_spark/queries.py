@@ -6024,7 +6024,8 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kl_source_drift",
     """
 WITH tok AS (
-  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL),
 sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
 en AS (
   SELECT source, tok, c,
@@ -6053,9 +6054,18 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-TOKEN marginal stays a window, partitioned by the
     # vocab-cardinality token key, which distributes fine. Plan
     # guardrail pins zero empty-partition window specs.
+    # Non-null contract (ADVICE r9): BOTH the exploded path and the
+    # totals path filter `source IS NOT NULL AND text IS NOT NULL` —
+    # without it an all-NULL-text source makes SUM return None (driver
+    # TypeError on the total), and NULL-source rows would silently
+    # diverge from the oracle (inner-join keys never match NULL while
+    # PARTITION BY keeps a NULL group). The oracle carries the same
+    # WHERE, so the contract is explicit on both engines.
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
     sc = (
         d.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("source", "tok")
@@ -6614,6 +6624,13 @@ def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_p"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
     )
+    # The two-pass ranking needs THREE driver actions over `s`
+    # (approxQuantile, bucket-totals collect, then the final agg) — pin
+    # one execution with an eager localCheckpoint so events is scanned
+    # and aggregated ONCE, not re-scanned per action (ADVICE r9; the
+    # checkpointed frame is the compact distinct-value table, and its
+    # blocks are GC-released like the association-rules checkpoint).
+    s = s.localCheckpoint(eager=True)
     n_buckets = 32
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(s.stat.approxQuantile("value", qs, 0.01)))

@@ -168,15 +168,19 @@ def write_zorder_layout(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).first()
-    if mins is None or any(mins[f"mn_{c}"] is None for c in cols):
-        # empty input (or an all-null cluster column): no span to bucket
-        # on — write the frame as-is so the schema round-trips (r9,
-        # ADVICE r8: float(None) used to TypeError here)
-        df.write.mode(mode).parquet(path)
+    # an all-null cluster column has no span — drop IT from the Morton
+    # code (its values are constant, nothing to cluster) instead of
+    # disabling z-ordering for every other column (ADVICE r9: the old
+    # any() gate did exactly that); an EMPTY input has no live columns
+    # at all, and the fallback still honors the num_files layout
+    # contract (r9, ADVICE r8: float(None) used to TypeError here)
+    live = [] if mins is None else [c for c in cols if mins[f"mn_{c}"] is not None]
+    if not live:
+        df.repartition(num_files).write.mode(mode).parquet(path)
         return
     n_buckets = (1 << bits) - 1
     bucket_cols = []
-    for c in cols:
+    for c in live:
         mn, mx = float(mins[f"mn_{c}"]), float(mins[f"mx_{c}"])
         span = (mx - mn) or 1.0
         bucket_cols.append(
@@ -197,7 +201,7 @@ def write_zorder_layout(
     parts = [
         F.shiftleft(
             F.shiftright(b, i).bitwiseAND(F.lit(1)),
-            i * len(cols) + j,
+            i * len(live) + j,
         )
         for i in range(bits)
         for j, b in enumerate(bucket_cols)

@@ -853,15 +853,45 @@ def test_excess_suppliers_single_fact_scan_window_total(spark, sf_dir):
 
 def test_heavy_hitters_candidate_pass_no_shuffle(spark, sf_dir):
     # Pass 1 (candidate generation) must run directly over the scan —
-    # no Exchange upstream of the MapInPandas; the only shuffles are the
-    # candidate distinct and the exact-count agg, and the candidate
-    # join must broadcast.
-    plan = _plan(QUERIES["heavy_hitter_users"](spark, sf_dir))
-    # the executed-plan tree prints top-down: text BEFORE MapInPandas is
-    # downstream of it, so look at the scan-side (after) fragment
-    _, _, post = plan.partition("MapInPandas")
+    # no Exchange upstream of the MapInPandas — and the verification
+    # join must broadcast the candidate set. heavy_hitters() itself
+    # executes eagerly to certify (its returned frame is a local scan),
+    # so the pins go on the exposed lazy frames (VERDICT r9 #1).
+    from opensea_datapipeline_spark.operators.aggregates import (
+        _heavy_hitter_frames,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    emitted, _exact_all, verify = _heavy_hitter_frames(
+        e, "user_id", k=250, top=10
+    )
+    cand_plan = _plan(emitted)
+    assert "MapInPandas" in cand_plan, cand_plan
+    # the executed-plan tree prints top-down: text AFTER MapInPandas is
+    # upstream of it (the scan side) — no Exchange allowed there
+    _, _, post = cand_plan.partition("MapInPandas")
     assert "Exchange" not in post, post
-    assert "BroadcastHashJoin" in plan
+    candidates = (
+        emitted.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
+    )
+    vplan = _plan(verify(candidates, broadcast_ok=True))
+    assert "BroadcastHashJoin" in vplan, vplan
+
+
+def test_heavy_hitters_certified_path_on_skew(spark):
+    # Certification-path pin (VERDICT r9 #1): on a genuinely skewed
+    # input the Sum-eps certification must SUCCEED, so the operator
+    # returns the bounded verified rows as a local frame — never the
+    # exact-groupBy fallback (whose plan would show a HashAggregate over
+    # the source). The exact fallback is for low-skew inputs only.
+    from opensea_datapipeline_spark.operators.aggregates import heavy_hitters
+
+    rows = [(0,)] * 5000 + [(1,)] * 3000 + [(i,) for i in range(2, 2002)]
+    df = spark.createDataFrame(rows, "key long").repartition(4)
+    out = heavy_hitters(df, "key", k=16, top=2)
+    plan = _plan(out)
+    assert "HashAggregate" not in plan, plan  # local scan, not fallback
+    assert [(r.key, r.n_rows) for r in out.collect()] == [(0, 5000), (1, 3000)]
 
 
 def test_token_entropy_single_exchange(spark, sf_dir):
@@ -1050,3 +1080,41 @@ def test_zorder_empty_input_and_null_placement(spark, tmp_path):
     null_file = next(n for n, rs in by_file.items() if (None, 0) in rs)
     assert (0, 0) in by_file[null_file]
     assert (63, 63) not in by_file[null_file]
+
+
+def test_zorder_all_null_column_still_clusters_the_rest(spark, tmp_path):
+    # ADVICE r9: one all-null cluster column used to disable z-ordering
+    # for ALL columns (any() gate) and the fallback dropped the
+    # num_files repartition. Now the spanless column is dropped from
+    # the Morton code and the remaining column still clusters: with
+    # num_files=4 range partitions over y in [0, 256), min-y and max-y
+    # rows must land in different files.
+    import glob as _g
+
+    from opensea_datapipeline_spark.sources.writers import write_zorder_layout
+
+    rows = [(None, i) for i in range(256)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "z_all_null_col")
+    write_zorder_layout(df, out, ["x", "y"], bits=4, num_files=4)
+    files = sorted(_g.glob(out + "/part-*.parquet"))
+    assert len(files) > 1, "y-clustering disabled by the all-null x column"
+    spans = [
+        (m.y_min, m.y_max)
+        for m in [
+            spark.read.parquet(f).agg(
+                F.min("y").alias("y_min"), F.max("y").alias("y_max")
+            ).first()
+            for f in files
+        ]
+    ]
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo, spans  # disjoint y ranges = clustered layout
+
+    # when EVERY cluster column is all-null (no live span at all) the
+    # fallback must still honor the num_files layout contract
+    allnull = spark.createDataFrame([(None, None)] * 90, "x long, y long")
+    out0 = str(tmp_path / "z_all_null_nf")
+    write_zorder_layout(allnull, out0, ["x", "y"], bits=4, num_files=3)
+    assert len(_g.glob(out0 + "/part-*.parquet")) == 3
