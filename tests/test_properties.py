@@ -237,3 +237,37 @@ def test_edit_distance_pairs_matches_brute_force(spark, names):
         if lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.sampled_from("abcdefgh"), min_size=0, max_size=5),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_containment_blocked_matches_brute_force(spark, sets):
+    # The rarest-element prefix-filter blocking must be LOSSLESS for
+    # full containment on arbitrary set corpora — a tiny 8-element
+    # universe forces heavy key collisions (subset chains, duplicate
+    # sets, sets sharing their rarest element) plus the empty-set
+    # exclusion contract. Brute force: a ⊆ b over all ordered pairs,
+    # empty a excluded.
+    from opensea_datapipeline_spark.operators.dedup import (
+        containment_pairs_blocked,
+    )
+
+    data = [(i, sorted(s)) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(data, "id long, ws array<string>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs_blocked(df, "id", "ws").collect()
+    }
+    want = {
+        (i, j)
+        for i, a in enumerate(sets)
+        for j, b in enumerate(sets)
+        if i != j and len(a) > 0 and a <= b
+    }
+    assert got == want
