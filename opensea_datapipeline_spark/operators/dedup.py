@@ -200,37 +200,44 @@ def containment_pairs_blocked(
     df: DataFrame,
     id_col: str = "doc_id",
     set_col: str = "ws",
+    threshold: float = 1.0,
 ) -> DataFrame:
-    """Set-containment self-join (a ⊆ b, a ≠ b) WITHOUT the N² cross
-    join — the scale path for containment dedup (asymmetric Jaccard;
-    excerpt/quote detection that symmetric-Jaccard LSH legitimately
-    misses when |b| ≫ |a|).
+    """Set-containment self-join (|a∩b| ≥ threshold·|a|, a ≠ b) WITHOUT
+    the N² cross join — the scale path for containment dedup
+    (asymmetric Jaccard; excerpt/quote detection that symmetric-Jaccard
+    LSH legitimately misses when |b| ≫ |a|).
 
     Lossless prefix-filter blocking (the standard set-similarity-join
     technique, e.g. Chaudhuri/Ganti/Kaushik "A primitive operator for
-    similarity joins", ICDE 2006): full containment means EVERY element
-    of ``a`` appears in ``b``, so a's single globally-RAREST element is
-    a lossless block key — ``b`` must hold a posting for it, and no
-    qualifying pair can be missed. Candidate generation is then an
-    equi-join of each a's rarest-element key against the element
-    postings list; each doc's candidate count is bounded by the
-    doc-frequency of its rarest element (tiny for most real corpora),
-    never by N. Candidates are verified EXACTLY with
-    ``size(array_intersect(wa, wb)) == size(wa)``, so blocking affects
-    cost only, never the answer.
+    similarity joins", ICDE 2006): order a's elements by global doc
+    frequency ascending and take the k rarest as a's PREFIX, with
+    ``k = |a| - ceil(threshold·|a|) + 1``. A qualifying b must contain
+    ≥ ceil(threshold·|a|) of a's elements, so it cannot miss ALL k
+    prefix elements (pigeonhole) — any prefix element is a lossless
+    block key. ``threshold=1.0`` degenerates to k=1: b must hold a's
+    single rarest element (full containment a ⊆ b). Candidate
+    generation is an equi-join of prefix keys against the element
+    postings list — each doc's candidate count is bounded by the doc
+    frequencies of its k rarest elements, never by N. Candidates are
+    verified EXACTLY (``size(array_intersect) >= threshold·size(a)``,
+    the same float comparison the DuckDB oracle runs; k is derived from
+    the SAME ceil(threshold·n) expression, so float rounding can never
+    under-block relative to what verification accepts), so blocking
+    affects cost only, never the answer.
 
     Shuffle profile at 100 TB: one explode + groupBy for doc
-    frequencies, one equi-join on the element key for postings × rarest
-    (AQE skew-split handles a pathologically common rarest element),
-    two hash joins on the id to attach the verified sets. No stage is
-    quadratic in the corpus; driver state is zero.
+    frequencies, one doc-partitioned window for the prefix ranks, one
+    equi-join on the element key for postings × prefix (AQE skew-split
+    handles a pathologically common prefix element), two hash joins on
+    the id to attach the verified sets. No stage is quadratic in the
+    corpus; driver state is zero.
 
     Contract: empty sets are EXCLUDED from the a-side (an empty set is
     vacuously contained in everything — emitting those N·|∅| pairs is
     never what dedup wants); the graded query's tokenizer cannot
     produce one (split of a non-null string is non-empty).
 
-    Returns (id_a, id_b) with wa ⊆ wb. Exact-oracle sibling: the capped
+    Returns (id_a, id_b, containment). Exact-oracle sibling: the capped
     cross-join form in queries.q_containment_dedup_counts.
     """
     # defensively de-duplicate elements: the math below (doc
@@ -240,30 +247,45 @@ def containment_pairs_blocked(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col(set_col)).alias("_ws"),
     )
-    post = ids.select("_id", F.explode("_ws").alias("_w"))
+    post = ids.select(
+        "_id", F.size("_ws").alias("_n"), F.explode("_ws").alias("_w")
+    )
     freq = post.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
-    # rarest element per doc, deterministic tiebreak on the element value
-    rare = (
+    # k rarest elements per doc (deterministic tiebreak on the element
+    # value); rank via a doc-partitioned window — distributes by doc
+    k = F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+    rank_w = Window.partitionBy("_id").orderBy("_df", "_w")
+    prefix = (
         post.join(freq, "_w")
-        .groupBy("_id")
-        .agg(F.min_by("_w", F.struct(F.col("_df"), F.col("_w"))).alias("_key"))
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_id").alias("id_a"), "_w")
     )
     cand = (
-        rare.select(F.col("_id").alias("id_a"), "_key")
-        .join(
-            post.select(F.col("_id").alias("id_b"), F.col("_w").alias("_key")),
-            "_key",
+        prefix.join(
+            post.select(F.col("_id").alias("id_b"), "_w"), "_w"
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
     )
     wa = ids.select(F.col("_id").alias("id_a"), F.col("_ws").alias("_wa"))
     wb = ids.select(F.col("_id").alias("id_b"), F.col("_ws").alias("_wb"))
+    inter = F.size(F.array_intersect("_wa", "_wb"))
     return (
         cand.join(wa, "id_a")
         .join(wb, "id_b")
-        .filter(F.size(F.array_intersect("_wa", "_wb")) == F.size("_wa"))
-        .select("id_a", "id_b")
+        .filter(
+            inter.cast("double")
+            >= F.lit(float(threshold)) * F.size("_wa").cast("double")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.size("_wa").cast("double")).alias(
+                "containment"
+            ),
+        )
     )
 
 

@@ -893,3 +893,81 @@ def bigram_logprob_scores(
             F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+def nb_token_classifier_scores(
+    docs: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained naive-Bayes token classifier — the fastText-style
+    linear bag-of-words filter LLM curation pipelines run for language
+    ID and quality scoring (CCNet, LLaMA data prep), with the model
+    TRAINED IN-PLAN from a boolean ``label_col`` instead of loaded from
+    an external artifact (same self-trained stance as the bigram LM).
+
+    Model: per-token add-1-smoothed log-odds
+    ``w_t = ln((c_pos+1)/(N_pos+V)) - ln((c_neg+1)/(N_neg+V))`` from one
+    pass over the exploded corpus; class prior ``b = ln(n_pos/n_neg)``
+    over docs. Score per doc = Σ w_t (with multiplicity) + b; predicted
+    label = score > 0 (the exact NB decision rule).
+
+    Plan shape at 100 TB: ONE explode feeds both the token-count model
+    and the scoring join; global totals (N_pos, N_neg, V) and the prior
+    are 1-row broadcast cross joins (the benford/important_stock
+    pattern — never a global window over the vocab-sized model table);
+    docs join the model on the token key, the only data-sized shuffle
+    (same profile as bigram_logprob_scores, and the same
+    ``xxhash64``-the-key trick applies past ~1 TB). Σ of ~doc-length
+    libm ln terms sits far inside the round-6 cross-engine seam budget
+    (documented float-summation contract, like kl_source_drift).
+
+    Training and scoring share the corpus, so every scored token is in
+    the model by construction; scoring NEW docs against a persisted
+    model would need an OOV term (add-1 gives ``ln((1/(N_pos+V)) /
+    (1/(N_neg+V)))`` for unseen tokens — a one-line coalesce).
+    """
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(label_col).cast("boolean").alias("_y"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    tc = d.groupBy("_tok").agg(
+        F.count(F.when(F.col("_y"), 1)).alias("_cp"),
+        F.count(F.when(~F.col("_y"), 1)).alias("_cn"),
+    )
+    tot = tc.agg(
+        F.sum("_cp").alias("_np"),
+        F.sum("_cn").alias("_nn"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    prior = (
+        docs.filter(F.col(text_col).isNotNull())
+        .agg(
+            F.log(
+                F.count(F.when(F.col(label_col).cast("boolean"), 1))
+                .cast("double")
+                / F.count(F.when(~F.col(label_col).cast("boolean"), 1))
+            ).alias("_b")
+        )
+    )
+    w_t = F.log(
+        (F.col("_cp").cast("double") + 1) / (F.col("_np") + F.col("_v"))
+    ) - F.log(
+        (F.col("_cn").cast("double") + 1) / (F.col("_nn") + F.col("_v"))
+    )
+    return (
+        d.join(tc, "_tok")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(prior))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(w_t) + F.max("_b"), 6).alias("score"),
+            # decide on the ROUNDED score: the raw sum is inside the
+            # float-summation seam, so > on it could flip cross-engine
+            (F.round(F.sum(w_t) + F.max("_b"), 6) > 0).alias("pred"),
+        )
+    )

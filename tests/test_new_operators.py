@@ -1030,3 +1030,29 @@ def test_hashed_gram_variants_match(spark, sf_dir):
     assert rows(bigram_logprob_scores(d, hashed=True)) == rows(
         bigram_logprob_scores(d, hashed=False)
     )
+
+
+def test_nb_classifier_separates_planted_vocab(spark):
+    # On a separable corpus (disjoint class vocabularies) the in-plan
+    # naive-Bayes classifier must recover every label with the correct
+    # score sign — the structural grade that the log-odds model and the
+    # NB decision rule are wired right (the registered query's corpus
+    # is deliberately non-separable, so its grade only pins exactness).
+    from opensea_datapipeline_spark.operators.text import (
+        nb_token_classifier_scores,
+    )
+
+    rows = [
+        (i, "good clean prose text flows well here", True) for i in range(8)
+    ] + [
+        (i + 8, "spam junk noise garbage spam junk noise", False)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r.doc_id: (r.pred, r.score) for r in
+           nb_token_classifier_scores(df, "y").collect()}
+    assert len(out) == 14
+    for i in range(8):
+        assert out[i][0] is True and out[i][1] > 0, out[i]
+    for i in range(8, 14):
+        assert out[i][0] is False and out[i][1] < 0, out[i]

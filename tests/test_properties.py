@@ -271,3 +271,19 @@ def test_containment_blocked_matches_brute_force(spark, sets):
         if i != j and len(a) > 0 and a <= b
     }
     assert got == want
+
+    # thresholded form: same float comparison as the operator runs
+    for t in (0.5, 0.75, 0.9):
+        got_t = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs_blocked(
+                df, "id", "ws", threshold=t
+            ).collect()
+        }
+        want_t = {
+            (i, j)
+            for i, a in enumerate(sets)
+            for j, b in enumerate(sets)
+            if i != j and len(a) > 0 and len(a & b) >= t * len(a)
+        }
+        assert got_t == want_t, t
