@@ -115,6 +115,12 @@ HEADLINE = [
     "association_rules",        # market-basket lift, cached basket fan-out (r8)
     "session_window_stats",     # native SessionWindow merge (r8)
     "ewma_daily",               # exponential smoothing, ratio-of-running-sums (r8)
+    "nb_quality_classifier",    # in-plan naive-Bayes BOW filter (r10).
+                                # containment_* queries are NOT headliners by
+                                # the corpus_curation_near_dup precedent: the
+                                # template corpus is ~33% true containment
+                                # pairs at t=0.9 (8.3M pairs at sf0.1), so any
+                                # correct algorithm is output-bound there.
 ]
 
 

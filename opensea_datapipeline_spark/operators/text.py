@@ -914,60 +914,68 @@ def nb_token_classifier_scores(
     over docs. Score per doc = Σ w_t (with multiplicity) + b; predicted
     label = score > 0 (the exact NB decision rule).
 
-    Plan shape at 100 TB: ONE explode feeds both the token-count model
-    and the scoring join; global totals (N_pos, N_neg, V) and the prior
-    are 1-row broadcast cross joins (the benford/important_stock
-    pattern — never a global window over the vocab-sized model table);
-    docs join the model on the token key, the only data-sized shuffle
-    (same profile as bigram_logprob_scores, and the same
-    ``xxhash64``-the-key trick applies past ~1 TB). Σ of ~doc-length
-    libm ln terms sits far inside the round-6 cross-engine seam budget
-    (documented float-summation contract, like kl_source_drift).
+    Plan shape at 100 TB: the vocab-sized token-count model is built in
+    one exploded pass and PINNED with an eager localCheckpoint (the
+    right thing to materialize — vocab-sized, not corpus-sized), so the
+    global totals (N_pos, N_neg, V) come from the pinned table, not a
+    second corpus pass; totals and the prior are embedded as literals
+    (bounded driver state: 4 scalars — the benford/kl pattern, never a
+    global window over the model table). Scoring is the corpus' second
+    column-pruned scan joining the checkpointed model on the token key
+    — the only data-sized shuffle (same profile as
+    bigram_logprob_scores, and the same ``xxhash64``-the-key trick
+    applies past ~1 TB). Σ of ~doc-length libm ln terms sits far inside
+    the round-6 cross-engine seam budget (documented float-summation
+    contract, like kl_source_drift).
 
+    Contract: both classes must be non-empty (a one-class "training
+    set" has no odds to learn; the prior literal degenerates).
     Training and scoring share the corpus, so every scored token is in
     the model by construction; scoring NEW docs against a persisted
     model would need an OOV term (add-1 gives ``ln((1/(N_pos+V)) /
     (1/(N_neg+V)))`` for unseen tokens — a one-line coalesce).
     """
-    d = docs.filter(F.col(text_col).isNotNull()).select(
+    base = docs.filter(F.col(text_col).isNotNull())
+    d = base.select(
         F.col(id_col),
         F.col(label_col).cast("boolean").alias("_y"),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
     )
-    tc = d.groupBy("_tok").agg(
-        F.count(F.when(F.col("_y"), 1)).alias("_cp"),
-        F.count(F.when(~F.col("_y"), 1)).alias("_cn"),
+    tc = (
+        d.groupBy("_tok")
+        .agg(
+            F.count(F.when(F.col("_y"), 1)).alias("_cp"),
+            F.count(F.when(~F.col("_y"), 1)).alias("_cn"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = tc.agg(
-        F.sum("_cp").alias("_np"),
-        F.sum("_cn").alias("_nn"),
-        F.count(F.lit(1)).alias("_v"),
-    )
-    prior = (
-        docs.filter(F.col(text_col).isNotNull())
-        .agg(
-            F.log(
-                F.count(F.when(F.col(label_col).cast("boolean"), 1))
-                .cast("double")
-                / F.count(F.when(~F.col(label_col).cast("boolean"), 1))
-            ).alias("_b")
-        )
-    )
+        F.sum("_cp").alias("np"),
+        F.sum("_cn").alias("nn"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    np_v = float((tot["np"] or 0) + (tot["v"] or 0))
+    nn_v = float((tot["nn"] or 0) + (tot["v"] or 0))
+    pri = base.agg(
+        F.log(
+            F.count(F.when(F.col(label_col).cast("boolean"), 1))
+            .cast("double")
+            / F.count(F.when(~F.col(label_col).cast("boolean"), 1))
+        ).alias("b")
+    ).first()
+    b = float(pri["b"]) if pri["b"] is not None else 0.0
     w_t = F.log(
-        (F.col("_cp").cast("double") + 1) / (F.col("_np") + F.col("_v"))
-    ) - F.log(
-        (F.col("_cn").cast("double") + 1) / (F.col("_nn") + F.col("_v"))
-    )
+        (F.col("_cp").cast("double") + 1) / F.lit(np_v)
+    ) - F.log((F.col("_cn").cast("double") + 1) / F.lit(nn_v))
+    score = F.round(F.sum(w_t) + F.lit(b), 6)
     return (
         d.join(tc, "_tok")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(prior))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum(w_t) + F.max("_b"), 6).alias("score"),
+            score.alias("score"),
             # decide on the ROUNDED score: the raw sum is inside the
             # float-summation seam, so > on it could flip cross-engine
-            (F.round(F.sum(w_t) + F.max("_b"), 6) > 0).alias("pred"),
+            (score > 0).alias("pred"),
         )
     )

@@ -1118,3 +1118,25 @@ def test_zorder_all_null_column_still_clusters_the_rest(spark, tmp_path):
     out0 = str(tmp_path / "z_all_null_nf")
     write_zorder_layout(allnull, out0, ["x", "y"], bits=4, num_files=3)
     assert len(_g.glob(out0 + "/part-*.parquet")) == 3
+
+
+def test_containment_blocked_queries_never_cartesian(spark, sf_dir):
+    # The whole point of the prefix-filter scale path: candidate
+    # generation is an equi-join on the element key — no cross join
+    # anywhere in the plan at ANY threshold (the capped exact form
+    # containment_dedup_counts is the only sanctioned cross join).
+    for q in ("containment_dedup_blocked", "containment_near_pairs"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_nb_classifier_one_scoring_scan_pinned_model(spark, sf_dir):
+    # The vocab-sized model is built once and pinned (localCheckpoint),
+    # totals/prior are literals — so the RETURNED frame scans the
+    # corpus exactly ONCE (the scoring pass) and reads the model from
+    # the checkpoint, never recomputing the training explode.
+    plan = _plan(QUERIES["nb_quality_classifier"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "CartesianProduct" not in plan
