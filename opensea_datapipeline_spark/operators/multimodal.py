@@ -292,3 +292,152 @@ def decode_media(
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mode"])
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
+
+
+def synthesize_audio_payloads(
+    df: DataFrame, id_col: str = "doc_id", out_id: str = "asset_id"
+) -> DataFrame:
+    """Deterministic stand-in for a binaryFile scan of an audio corpus:
+    per row, a structurally valid PCM WAV *header* (RIFF/WAVE with a
+    16-byte fmt chunk and a declared-size data chunk) built entirely
+    JVM-side via ``format_string`` + ``unhex`` — the audio sibling of
+    ``synthesize_image_payloads``. Every ``id % 7 == 0`` payload gets a
+    LIST/INFO chunk BETWEEN fmt and data so the parser must actually
+    walk the RIFF chunk stream (the same honesty trick as the JPEG
+    APP0 segment). Channels/rate/bits/sample-count all derive from the
+    id, so an SQL oracle can recompute the expected metadata exactly."""
+    ch = (F.col(id_col) % 2 + 1).cast("int")
+    rate = (
+        F.when(F.col(id_col) % 5 == 0, 8000)
+        .when(F.col(id_col) % 5 == 1, 16000)
+        .when(F.col(id_col) % 5 == 2, 22050)
+        .when(F.col(id_col) % 5 == 3, 44100)
+        .otherwise(48000)
+    ).cast("int")
+    bits = F.when(F.col(id_col) % 3 == 0, 8).otherwise(16).cast("int")
+    n_samples = (F.col(id_col) % 1000 + 100).cast("int")
+    block_align = (ch * bits / 8).cast("int")
+    byte_rate = rate * block_align
+    data_size = n_samples * block_align
+    has_list = F.col(id_col) % 7 == 0
+    extra = F.when(has_list, 12).otherwise(0)
+
+    def le16(c):  # 2-byte little-endian hex
+        return F.format_string("%02x%02x", c % 256, (c / 256).cast("int"))
+
+    def le32(c):  # 4-byte little-endian hex (values < 2^24 here)
+        return F.format_string(
+            "%02x%02x%02x00",
+            c % 256,
+            (c / 256).cast("int") % 256,
+            (c / 65536).cast("int") % 256,
+        )
+
+    hex_payload = F.concat(
+        F.lit("52494646"), le32(F.lit(36) + extra + data_size),  # RIFF size
+        F.lit("57415645" "666d7420" "10000000" "0100"),  # WAVE fmt(16) PCM
+        le16(ch), le32(rate), le32(byte_rate), le16(block_align), le16(bits),
+        F.when(has_list, F.lit("4c495354" "04000000" "494e464f")).otherwise(
+            F.lit("")
+        ),
+        F.lit("64617461"), le32(data_size),  # data chunk, declared size
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.unhex(hex_payload).alias("media")
+    )
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Pure-Python RIFF/WAVE header parse: (channels, sample_rate,
+    bits_per_sample, n_samples) from the fmt and data chunks, walking
+    the chunk stream (word-aligned sizes) so LIST/INFO or other chunks
+    between fmt and data are skipped correctly. Returns None for
+    anything unrecognized. Reads only declared sizes — the data bytes
+    themselves may be absent (header-only payloads), exactly like the
+    image header parsers."""
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and size >= 16 and pos + 24 <= len(payload):
+            body = payload[pos + 8 : pos + 24]
+            audio_format = int.from_bytes(body[0:2], "little")
+            if audio_format != 1:  # PCM only
+                return None
+            fmt = (
+                int.from_bytes(body[2:4], "little"),    # channels
+                int.from_bytes(body[4:8], "little"),    # sample_rate
+                int.from_bytes(body[12:14], "little"),  # block_align
+                int.from_bytes(body[14:16], "little"),  # bits
+            )
+        elif cid == b"data":
+            data_size = size
+            break  # data is the terminal chunk for metadata purposes
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, sample_rate, block_align, bits = fmt
+    if not channels or not sample_rate or not block_align:
+        return None
+    return channels, sample_rate, bits, data_size // block_align
+
+
+def decode_audio(
+    df: DataFrame, bin_col: str = "media", id_col: str = "asset_id"
+) -> DataFrame:
+    """Audio metadata decode over the binary payload column: (channels,
+    sample_rate, bits_per_sample, n_samples, duration_us) per asset via
+    ``mapInPandas`` Arrow batches — the audio seam of the multimodal
+    column family. Unrecognized payloads yield NULL fields instead of
+    failing the batch (permissive-scan semantics, like decode_media).
+
+    Duration is INTEGER MICROSECONDS computed JVM-side from the decoded
+    integers, not a Python-rounded float: n/16000-style durations are
+    mathematically exact halfway cases at 6 decimals for every odd
+    sample count, where Python's banker rounding and SQL's half-up
+    diverge structurally. floor(n·1e6/rate) in IEEE doubles is exact
+    (values ≤ ~1e9, gaps to the nearest integer ≥ 1/rate ≫ double
+    error), so both engines agree bit-for-bit."""
+    from collections.abc import Iterator as It
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, channels long, sample_rate long, "
+        "bits_per_sample long, n_samples long"
+    )
+
+    def decode(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
+                parsed = parse_wav_header(payload)
+                ch, rate, bits, n = parsed if parsed else (None,) * 4
+                rows.append((aid, ch, rate, bits, n))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "channels", "sample_rate",
+                    "bits_per_sample", "n_samples",
+                ],
+            )
+
+    return (
+        df.select(id_col, bin_col)
+        .mapInPandas(decode, schema=schema)
+        .withColumn(
+            "duration_us",
+            F.floor(
+                F.col("n_samples") * 1_000_000 / F.col("sample_rate")
+            ).cast("long"),
+        )
+    )

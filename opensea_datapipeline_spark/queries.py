@@ -2050,6 +2050,41 @@ def q_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media(payloads, "media", "asset_id")
 
 
+@_register(
+    "audio_metadata",
+    """
+SELECT doc_id AS asset_id,
+  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+    AS sample_rate,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 16 END AS BIGINT)
+    AS bits_per_sample,
+  CAST(doc_id % 1000 + 100 AS BIGINT) AS n_samples,
+  CAST(floor((doc_id % 1000 + 100) * 1000000
+             / CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+       AS BIGINT) AS duration_us
+FROM documents
+""",
+)
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9 audio seam, end-to-end: build structurally valid PCM WAV
+    # headers JVM-side (every 7th with a LIST/INFO chunk between fmt and
+    # data, forcing a real RIFF chunk walk), parse them back with the
+    # pure-Python parser (mapInPandas — no audio lib in this env, so the
+    # header path IS the graded path, same stance as media_dimensions).
+    # The oracle recomputes channels/rate/bits/samples/duration from the
+    # generating formulas, so any byte-layout or parser error breaks the
+    # hash. Duration is integer µs (floor of an exact double) — a
+    # round-6 float here would be a STRUCTURAL banker-vs-half-up
+    # divergence for odd sample counts at 16 kHz.
+    payloads = mm.synthesize_audio_payloads(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    )
+    return mm.decode_audio(payloads, "media", "asset_id")
+
+
 # ---------------------------------------------------------------------------
 # Approximate similarity + clustering. RNG/ML outputs are engine-specific
 # (SURVEY.md §7.3 trap 7), so the registered queries grade STRUCTURAL

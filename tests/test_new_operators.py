@@ -1056,3 +1056,53 @@ def test_nb_classifier_separates_planted_vocab(spark):
         assert out[i][0] is True and out[i][1] > 0, out[i]
     for i in range(8, 14):
         assert out[i][0] is False and out[i][1] < 0, out[i]
+
+
+def test_wav_parser_chunk_walk_and_rejects():
+    # Pure-Python RIFF parse: LIST chunk between fmt and data must be
+    # walked over (word-aligned), non-PCM and malformed payloads
+    # rejected, odd-sized chunks padded.
+    import struct
+
+    from opensea_datapipeline_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    def wav(ch=2, rate=16000, bits=16, n=101, chunks=b"", fmt_code=1):
+        ba = ch * bits // 8
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ba, ba, bits)
+        body = b"WAVE" + b"fmt \x10\x00\x00\x00" + fmt + chunks
+        body += b"data" + struct.pack("<I", n * ba)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert parse_wav_header(wav()) == (2, 16000, 16, 101)
+    lst = b"LIST\x04\x00\x00\x00INFO"
+    assert parse_wav_header(wav(chunks=lst)) == (2, 16000, 16, 101)
+    odd = b"junk\x03\x00\x00\x00abc\x00"  # odd size -> pad byte
+    assert parse_wav_header(wav(chunks=odd)) == (2, 16000, 16, 101)
+    assert parse_wav_header(wav(fmt_code=3)) is None  # IEEE-float, not PCM
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None  # no chunks
+    assert parse_wav_header(b"OggS" + b"\x00" * 40) is None
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"") is None
+
+
+def test_audio_metadata_exact_halfway_duration(spark):
+    # The duration seam that forced integer microseconds: odd sample
+    # counts at 16 kHz are EXACT 6-decimal halfway points (n*0.0000625),
+    # where a Python round() (banker's) and SQL round (half-up) diverge
+    # structurally. duration_us must be the exact floor for both parity
+    # and the planted case here: doc_id=101 -> rate 16000, n=201,
+    # 201/16000 s = 12562.5 us -> floor 12562.
+    from opensea_datapipeline_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_audio_payloads,
+    )
+
+    df = spark.createDataFrame([(101,)], "doc_id long")
+    out = decode_audio(
+        synthesize_audio_payloads(df, "doc_id"), "media", "asset_id"
+    ).collect()[0]
+    assert (out.channels, out.sample_rate, out.bits_per_sample) == (2, 16000, 16)
+    assert out.n_samples == 201
+    assert out.duration_us == 12562
