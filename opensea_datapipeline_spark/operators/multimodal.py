@@ -441,3 +441,151 @@ def decode_audio(
             ).cast("long"),
         )
     )
+
+
+def synthesize_video_payloads(
+    df: DataFrame, id_col: str = "doc_id", out_id: str = "asset_id"
+) -> DataFrame:
+    """Deterministic stand-in for a binaryFile scan of a video corpus:
+    per row, a structurally valid MP4 header — ``ftyp`` box plus a
+    ``moov`` box nesting ``mvhd`` (v0: timescale + duration) and a
+    ``trak``/``tkhd`` (v0: 16.16 fixed-point width/height) — built
+    JVM-side, completing the image/audio/video triple. Every
+    ``id % 7 == 0`` payload carries a ``free`` box between ftyp and
+    moov, and inside moov an ``udta`` box BEFORE trak, so the parser
+    must genuinely walk both the top-level and the nested box streams.
+    Timescale cycles {600, 1000, 90000, 24000, 30000} on ``id % 5``;
+    duration ticks = id % 9000 + 600; width/height reuse the image
+    formulas ((id % 640) + 16, (id % 480) + 16)."""
+    w = (F.col(id_col) % 640 + 16).cast("long")
+    h = (F.col(id_col) % 480 + 16).cast("long")
+    tsc = (
+        F.when(F.col(id_col) % 5 == 0, 600)
+        .when(F.col(id_col) % 5 == 1, 1000)
+        .when(F.col(id_col) % 5 == 2, 90000)
+        .when(F.col(id_col) % 5 == 3, 24000)
+        .otherwise(30000)
+    ).cast("long")
+    dur = (F.col(id_col) % 9000 + 600).cast("long")
+    has_extra = F.col(id_col) % 7 == 0
+
+    def be32(c):  # 4-byte big-endian hex
+        return F.format_string("%08x", c)
+
+    ftyp = F.lit("0000001466747970" "69736f6d" "00000200" "6d703431")
+    free = F.when(has_extra, F.lit("0000000c6672656500000000")).otherwise(
+        F.lit("")
+    )
+    # mvhd v0: 8 (hdr) + 4 (ver/flags) + 8 (times) + 4 tsc + 4 dur + 80 tail
+    mvhd = F.concat(
+        F.lit("0000006c" "6d766864" "00000000" "00000000" "00000000"),
+        be32(tsc), be32(dur),
+        F.lit("00" * 80),
+    )
+    udta = F.when(has_extra, F.lit("0000000c7564746100000000")).otherwise(
+        F.lit("")
+    )
+    # tkhd v0: 8 + 4 + 8 (times) + 4 id + 4 res + 4 dur + 8 res + 2+2+2+2
+    # + 36 matrix + 4 w(16.16) + 4 h(16.16) = 92
+    tkhd = F.concat(
+        F.lit("0000005c" "746b6864" "00000007" "00000000" "00000000"
+              "00000001" "00000000"),
+        be32(dur),
+        F.lit("00" * 8 + "0000" "0000" "0000" "0000" + "00" * 36),
+        be32(w * 65536), be32(h * 65536),
+    )
+    trak = F.concat(be32(F.length(F.unhex(tkhd)) + 8), F.lit("7472616b"), tkhd)
+    moov_body = F.concat(mvhd, udta, trak)
+    moov = F.concat(
+        be32(F.length(F.unhex(moov_body)) + 8), F.lit("6d6f6f76"), moov_body
+    )
+    hex_payload = F.concat(ftyp, free, moov)
+    return df.select(
+        F.col(id_col).alias(out_id), F.unhex(hex_payload).alias("media")
+    )
+
+
+def parse_mp4_header(payload: bytes):
+    """Pure-Python MP4 box walk: (timescale, duration_ticks, width,
+    height) from moov/mvhd and the first video trak/tkhd, walking the
+    top-level box stream and the nested moov stream (so free/udta boxes
+    are skipped correctly). Returns None for anything unrecognized.
+    tkhd width/height are 16.16 fixed point; only version-0 boxes are
+    handled (the synthesizer emits v0; real v1 boxes would extend the
+    time fields to 64 bits — a documented TODO seam, not silent
+    misparse: v1 returns None)."""
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                return
+            yield btype, pos + 8, pos + size
+            pos += size
+
+    if payload is None or len(payload) < 16:
+        return None
+    if payload[4:8] != b"ftyp":
+        return None
+    tsc = dur = width = height = None
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, ib, ie in boxes(payload, body, bend):
+            if ityp == b"mvhd" and ie - ib >= 20:
+                if payload[ib] != 0:  # v1 (64-bit times): refuse, no guess
+                    return None
+                tsc = int.from_bytes(payload[ib + 12 : ib + 16], "big")
+                dur = int.from_bytes(payload[ib + 16 : ib + 20], "big")
+            elif ityp == b"trak" and width is None:
+                for ttyp, tb, te in boxes(payload, ib, ie):
+                    if ttyp == b"tkhd" and te - tb >= 84:
+                        if payload[tb] != 0:
+                            return None
+                        width = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
+                        height = int.from_bytes(payload[te - 4 : te], "big") >> 16
+    if tsc is None or not tsc or dur is None or width is None:
+        return None
+    return tsc, dur, width, height
+
+
+def decode_video(
+    df: DataFrame, bin_col: str = "media", id_col: str = "asset_id"
+) -> DataFrame:
+    """Video metadata decode over the binary payload column: (timescale,
+    duration_ticks, width, height, duration_us) per asset via
+    ``mapInPandas`` Arrow batches — the video seam of the multimodal
+    column family. Permissive NULLs on unrecognized payloads; duration
+    converted JVM-side to integer microseconds (same exact-floor
+    rationale as decode_audio)."""
+    from collections.abc import Iterator as It
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, timescale long, duration_ticks long, "
+        "width long, height long"
+    )
+
+    def decode(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
+                parsed = parse_mp4_header(payload)
+                tsc, dur, w, h = parsed if parsed else (None,) * 4
+                rows.append((aid, tsc, dur, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "timescale", "duration_ticks", "width", "height"],
+            )
+
+    return (
+        df.select(id_col, bin_col)
+        .mapInPandas(decode, schema=schema)
+        .withColumn(
+            "duration_us",
+            F.floor(
+                F.col("duration_ticks") * 1_000_000 / F.col("timescale")
+            ).cast("long"),
+        )
+    )

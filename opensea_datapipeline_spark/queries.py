@@ -2085,6 +2085,37 @@ def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_audio(payloads, "media", "asset_id")
 
 
+@_register(
+    "video_metadata",
+    """
+SELECT doc_id AS asset_id,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       WHEN 2 THEN 90000 WHEN 3 THEN 24000 ELSE 30000 END AS BIGINT)
+    AS timescale,
+  CAST(doc_id % 9000 + 600 AS BIGINT) AS duration_ticks,
+  CAST((doc_id % 640) + 16 AS BIGINT) AS width,
+  CAST((doc_id % 480) + 16 AS BIGINT) AS height,
+  CAST(floor((doc_id % 9000 + 600) * 1000000
+             / CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+               WHEN 2 THEN 90000 WHEN 3 THEN 24000 ELSE 30000 END)
+       AS BIGINT) AS duration_us
+FROM documents
+""",
+)
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9 video seam, completing the image/audio/video triple: build
+    # structurally valid MP4 headers JVM-side (ftyp + moov{mvhd, trak/
+    # tkhd}; every 7th with free and udta boxes forcing a real nested
+    # box walk), parse back with the pure-Python MP4 walker
+    # (mapInPandas). The oracle recomputes timescale/duration/dims from
+    # the generating formulas; duration_us is an exact integer floor
+    # (same cross-engine rationale as audio_metadata).
+    payloads = mm.synthesize_video_payloads(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    )
+    return mm.decode_video(payloads, "media", "asset_id")
+
+
 # ---------------------------------------------------------------------------
 # Approximate similarity + clustering. RNG/ML outputs are engine-specific
 # (SURVEY.md §7.3 trap 7), so the registered queries grade STRUCTURAL

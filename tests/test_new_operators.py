@@ -1106,3 +1106,50 @@ def test_audio_metadata_exact_halfway_duration(spark):
     assert (out.channels, out.sample_rate, out.bits_per_sample) == (2, 16000, 16)
     assert out.n_samples == 201
     assert out.duration_us == 12562
+
+
+def test_mp4_parser_box_walk_and_rejects():
+    # Pure-Python MP4 box walk: free/udta boxes skipped at both nesting
+    # levels, width/height decoded from 16.16 fixed point, v1 boxes
+    # refused (None, never a silent 64-bit misparse), malformed sizes
+    # stop the walk.
+    import struct
+
+    from opensea_datapipeline_spark.operators.multimodal import (
+        parse_mp4_header,
+    )
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def mvhd(tsc=90000, dur=4500, version=0):
+        return box(
+            b"mvhd",
+            bytes([version, 0, 0, 0]) + b"\x00" * 8
+            + struct.pack(">II", tsc, dur) + b"\x00" * 80,
+        )
+
+    def tkhd(w=640, h=480, version=0):
+        return box(
+            b"tkhd",
+            bytes([version, 0, 0, 7]) + b"\x00" * 8
+            + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">I", 4500)
+            + b"\x00" * 52 + struct.pack(">II", w << 16, h << 16),
+        )
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00mp41")
+    plain = ftyp + box(b"moov", mvhd() + box(b"trak", tkhd()))
+    assert parse_mp4_header(plain) == (90000, 4500, 640, 480)
+    cluttered = (
+        ftyp
+        + box(b"free", b"\x00" * 4)
+        + box(b"moov", mvhd() + box(b"udta", b"\x00" * 4) + box(b"trak", tkhd()))
+    )
+    assert parse_mp4_header(cluttered) == (90000, 4500, 640, 480)
+    v1 = ftyp + box(b"moov", mvhd(version=1) + box(b"trak", tkhd()))
+    assert parse_mp4_header(v1) is None
+    assert parse_mp4_header(ftyp) is None           # no moov
+    assert parse_mp4_header(b"RIFF\x00\x00\x00\x00WAVEdataxxxx") is None
+    assert parse_mp4_header(None) is None
+    truncated = plain[: len(plain) - 30]  # moov size overruns buffer
+    assert parse_mp4_header(truncated) is None
