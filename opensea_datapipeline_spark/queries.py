@@ -2556,6 +2556,44 @@ def q_incremental_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_topk_users",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+ORDER BY n_rows DESC, user_id ASC LIMIT 10
+""",
+)
+def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming heavy hitters: the Misra-Gries count table maintained
+    # across 3 idempotent foreachBatch merges (streaming/topk.py). The
+    # cap exceeds sf cardinality here, so eps stays 0 and the state is
+    # EXACT — the final top-10 must equal the one-shot batch aggregate
+    # (same full oracle as heavy_hitter_users; batch slicing must not
+    # change a single count). The bounded-state regime (cap ≪ distinct,
+    # eps > 0, sketch bounds) is pinned by the planted-skew pytest.
+    import tempfile
+
+    from .sources.readers import load_table
+    from .streaming.topk import run_streaming_topk
+
+    src = tempfile.mkdtemp(prefix="topk_src_")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    state = run_streaming_topk(
+        spark, src,
+        tempfile.mkdtemp(prefix="topk_state_"),
+        tempfile.mkdtemp(prefix="topk_ckpt_"),
+        key_col="user_id", cap=1_000_000,
+    )
+    return (
+        state.select(F.col("key").alias("user_id"), F.col("cnt").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, sessionization, neighbor peer windows (operators Spark lacks,
 # composed from primitives — SURVEY.md §2.3 J7/J8 + streaming-shaped batch)

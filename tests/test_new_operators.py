@@ -1153,3 +1153,90 @@ def test_mp4_parser_box_walk_and_rejects():
     assert parse_mp4_header(None) is None
     truncated = plain[: len(plain) - 30]  # moov size overruns buffer
     assert parse_mp4_header(truncated) is None
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (Misra-Gries state table, streaming/topk.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_topk_bounded_state_and_mg_bounds(spark, tmp_path):
+    # cap << distinct keys: every committed state version must hold
+    # <= cap rows (bounded state is the operator's contract), eps > 0,
+    # the planted hot keys must survive every merge, and the classic
+    # Misra-Gries bounds must hold: stored <= true <= stored + eps for
+    # retained keys, true <= eps for evicted ones.
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.streaming.topk import run_streaming_topk
+
+    rows = (
+        [(0, float(i)) for i in range(4000)]       # hot key 0: 4000 rows
+        + [(1, float(i)) for i in range(2500)]     # hot key 1: 2500 rows
+        + [(2 + i % 3000, 1.0) for i in range(6000)]  # 3000 cold keys, 2 each
+    )
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "user_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("user_id")))
+        .repartition(4)  # 4 files -> 4 micro-batches
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "state")
+    out = run_streaming_topk(
+        spark, src, state_dir, str(tmp_path / "ckpt"),
+        key_col="user_id", cap=500,
+    )
+    rows_out = out.collect()
+    eps = rows_out[0]["eps"]
+    assert eps > 0  # the cap was actually exceeded
+    stored = {r["key"]: r["cnt"] for r in rows_out}
+    assert len(stored) <= 500
+    for vdir in _g.glob(state_dir + "/batch_*"):
+        assert spark.read.parquet(vdir).count() <= 500, vdir
+    true = {0: 4000, 1: 2500}
+    true.update({k: 2 for k in range(2, 3002)})
+    for k, c in stored.items():
+        assert c <= true[k] <= c + eps, (k, c, eps)
+    for k, t in true.items():
+        if k not in stored:
+            assert t <= eps, (k, t, eps)
+    # the certified-by-margin hitters are retained and ranked first
+    top2 = sorted(stored, key=lambda k: -stored[k])[:2]
+    assert top2 == [0, 1]
+
+
+def test_streaming_topk_replayed_batch_is_noop(spark, tmp_path):
+    # foreachBatch is at-least-once: re-running the whole stream with
+    # the SAME state dir but a fresh checkpoint replays every batch id
+    # from 0 — all must be skipped (last_batch_id guard), leaving the
+    # state byte-identical instead of double-counted.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.streaming.topk import run_streaming_topk
+
+    rows = [(i % 50, 1.0) for i in range(5000)]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "user_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000)))
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "state")
+    first = run_streaming_topk(
+        spark, src, state_dir, str(tmp_path / "ckpt1"),
+        key_col="user_id", cap=1000,
+    ).collect()
+    replay = run_streaming_topk(
+        spark, src, state_dir, str(tmp_path / "ckpt2"),
+        key_col="user_id", cap=1000,
+    ).collect()
+    assert sorted((r.key, r.cnt, r.eps) for r in first) == sorted(
+        (r.key, r.cnt, r.eps) for r in replay
+    )
+    assert {r.cnt for r in first} == {100}  # 50 keys x 100 rows, exact
