@@ -88,6 +88,31 @@ def merge_mg_state(
     return trimmed, d
 
 
+def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
+    """Meta lost/corrupt but committed ``batch_*`` versions exist:
+    rebuild from the newest committed (non-underscore) dir — its rename
+    was atomic, so it is a complete state; the batch id comes from the
+    dir name and eps from the constant column every version carries."""
+    try:
+        names = sorted(
+            n
+            for n in os.listdir(state_dir)
+            if n.startswith("batch_") and not n.startswith("_")
+        )
+    except OSError:
+        return {}
+    if not names:
+        return {}
+    latest = os.path.join(state_dir, names[-1])
+    try:
+        last_id = int(names[-1].split("_")[-1])
+    except ValueError:
+        last_id = -1
+    row = spark.read.parquet(latest).select("eps").first()
+    eps = int(row["eps"]) if row is not None else 0
+    return {"last_batch_id": last_id, "version_dir": latest, "eps": eps}
+
+
 def run_streaming_topk(
     spark: SparkSession,
     events_dir: str,
@@ -114,30 +139,39 @@ def run_streaming_topk(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_meta(state_dir)
+        if not meta:
+            # meta lost but committed versions exist: recover the base
+            # instead of rebasing on empty (the gold-table r4 hole).
+            # eps is recoverable because every version CARRIES it as a
+            # constant column — a meta file alone would make the error
+            # bound unrecoverable, silently turning a sketch state into
+            # a claimed-exact one.
+            meta = _recover_meta(batch_df.sparkSession, state_dir)
+            if meta:
+                _write_meta(state_dir, meta)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged (idempotence)
         base_dir = meta.get("version_dir")
         existing = (
-            batch_df.sparkSession.read.parquet(base_dir)
+            batch_df.sparkSession.read.parquet(base_dir).drop("eps")
             if base_dir is not None
             else None
         )
         state, d = merge_mg_state(
             existing, batch_key_counts(batch_df, key_col), cap
         )
+        eps = int(meta.get("eps", 0)) + d
         out = os.path.join(state_dir, f"batch_{batch_id:012d}")
         tmp = os.path.join(state_dir, f"_tmp_batch_{batch_id:012d}")
         shutil.rmtree(tmp, ignore_errors=True)
-        state.write.mode("overwrite").parquet(tmp)
+        state.withColumn("eps", F.lit(eps).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         shutil.rmtree(out, ignore_errors=True)
         os.replace(tmp, out)
         _write_meta(
             state_dir,
-            {
-                "last_batch_id": batch_id,
-                "version_dir": out,
-                "eps": int(meta.get("eps", 0)) + d,
-            },
+            {"last_batch_id": batch_id, "version_dir": out, "eps": eps},
         )
 
     q = (
@@ -147,7 +181,7 @@ def run_streaming_topk(
         .start()
     )
     q.awaitTermination()
-    meta = _read_meta(state_dir)
+    meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
     base = meta.get("version_dir")
     eps = int(meta.get("eps", 0))
     if base is None:  # no batches ever merged: empty, source-typed key

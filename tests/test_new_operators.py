@@ -1240,3 +1240,41 @@ def test_streaming_topk_replayed_batch_is_noop(spark, tmp_path):
         (r.key, r.cnt, r.eps) for r in replay
     )
     assert {r.cnt for r in first} == {100}  # 50 keys x 100 rows, exact
+
+
+def test_streaming_topk_lost_meta_recovers_history(spark, tmp_path):
+    # The gold-table r4 hole, closed here from day one: delete the meta
+    # file between runs — the next run must recover base, batch id AND
+    # eps from the newest committed version (every version carries eps
+    # as a constant column), not rebase on empty state. The replayed
+    # batches are then skipped and the final state equals the
+    # uninterrupted run's.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.streaming.topk import run_streaming_topk
+
+    rows = [(i % 40, 1.0) for i in range(4000)]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "user_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000)))
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "state")
+    first = run_streaming_topk(
+        spark, src, state_dir, str(tmp_path / "ckpt1"),
+        key_col="user_id", cap=1000,
+    ).collect()
+    os.remove(os.path.join(state_dir, "_gold_meta.json"))
+    replay = run_streaming_topk(
+        spark, src, state_dir, str(tmp_path / "ckpt2"),
+        key_col="user_id", cap=1000,
+    ).collect()
+    assert sorted((r.key, r.cnt, r.eps) for r in first) == sorted(
+        (r.key, r.cnt, r.eps) for r in replay
+    )
+    assert {r.cnt for r in first} == {100}  # 40 keys x 100, not doubled
