@@ -109,20 +109,40 @@ def _write_meta(base_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(base_dir, _META))
 
 
-def _recover_meta(base_dir: str, store: "VersionedOutputStore") -> dict:
-    """Meta lost/corrupt but committed ``batch_*`` versions exist: rebuild
-    the merge base from the newest committed (non-underscore) version dir
-    rather than rebasing on empty — the rename that published that dir was
-    atomic, so it is a complete, consistent gold state. The batch id is
-    recovered from the dir name so replay-skipping keeps working."""
-    latest = store.latest_version_dir()
-    if latest is None:
-        return {}
-    name = os.path.basename(latest)
+def latest_committed_batch(base_dir: str) -> tuple[str, int] | None:
+    """Newest committed ``batch_<id>`` version dir under ``base_dir`` and
+    its batch id, or None. Shared by every foreachBatch state store that
+    follows the tmp-dir + atomic-rename protocol (gold table, streaming
+    top-k): underscore-prefixed tmp dirs are never listed, the rename
+    that published a ``batch_*`` dir was atomic, so whatever this
+    returns is a complete, consistent state."""
     try:
-        last_id = int(name.split("_")[-1])
+        names = sorted(
+            d
+            for d in os.listdir(base_dir)
+            if d.startswith("batch_")
+            and os.path.isdir(os.path.join(base_dir, d))
+        )
+    except OSError:
+        return None
+    if not names:
+        return None
+    try:
+        last_id = int(names[-1].split("_")[-1])
     except ValueError:
         last_id = -1
+    return os.path.join(base_dir, names[-1]), last_id
+
+
+def _recover_meta(base_dir: str) -> dict:
+    """Meta lost/corrupt but committed ``batch_*`` versions exist: rebuild
+    the merge base from the newest committed version dir rather than
+    rebasing on empty. The batch id is recovered from the dir name so
+    replay-skipping keeps working."""
+    found = latest_committed_batch(base_dir)
+    if found is None:
+        return {}
+    latest, last_id = found
     return {"last_batch_id": last_id, "version_dir": latest}
 
 
@@ -158,7 +178,7 @@ def run_incremental_gold_daily(
             # guard: meta missing but committed versions on disk means the
             # meta was lost, not that the store is fresh — recover the base
             # from the newest committed dir instead of rebasing on empty
-            meta = _recover_meta(gold_dir, store)
+            meta = _recover_meta(gold_dir)
             if meta:
                 # re-persist immediately: if this batch turns out to be a
                 # replay (skipped below), no later write would restore the

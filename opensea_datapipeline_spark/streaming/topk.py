@@ -33,6 +33,7 @@ in update mode would (its state store holds EVERY key ever seen).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -40,9 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import ensure_reader_confs, normalize_event_time
-from .gold import _read_meta, _write_meta
+from .gold import _read_meta, _write_meta, latest_committed_batch
 
 STATE_COLS = ["key", "cnt"]
+_EPS_SIDECAR = "_eps.json"
 
 
 def batch_key_counts(df: DataFrame, key_col: str) -> DataFrame:
@@ -71,6 +73,12 @@ def merge_mg_state(
         )
     else:
         combined = batch_counts
+    # pin ONE execution (state-sized: <= cap + batch-distinct rows): the
+    # count, the decrement aggregate, and the state write below would
+    # otherwise each re-run the union+groupBy lineage INCLUDING the raw
+    # micro-batch scan — 2-3x the dominant per-trigger cost (the same
+    # fix pattern as heavy_hitters/mann_whitney, ADVICE r9)
+    combined = combined.localCheckpoint(eager=True)
     n_keys = combined.count()
     if n_keys <= cap:
         return combined, 0
@@ -88,28 +96,28 @@ def merge_mg_state(
     return trimmed, d
 
 
-def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
+def _recover_meta(state_dir: str) -> dict:
     """Meta lost/corrupt but committed ``batch_*`` versions exist:
-    rebuild from the newest committed (non-underscore) dir — its rename
-    was atomic, so it is a complete state; the batch id comes from the
-    dir name and eps from the constant column every version carries."""
-    try:
-        names = sorted(
-            n
-            for n in os.listdir(state_dir)
-            if n.startswith("batch_") and not n.startswith("_")
-        )
-    except OSError:
+    rebuild from the newest committed dir (shared gold-table scan) —
+    its rename was atomic, so it is a complete state. eps comes from
+    the ``_eps.json`` sidecar written INSIDE the version dir before the
+    rename, so it is atomic with the state and — unlike an eps column
+    in the rows — survives an all-ties trim that leaves the state table
+    EMPTY (an empty version with a lost bound must not silently become
+    a claimed-exact eps=0 state). A committed version missing its
+    sidecar is store corruption: refuse loudly rather than guess."""
+    found = latest_committed_batch(state_dir)
+    if found is None:
         return {}
-    if not names:
-        return {}
-    latest = os.path.join(state_dir, names[-1])
+    latest, last_id = found
     try:
-        last_id = int(names[-1].split("_")[-1])
-    except ValueError:
-        last_id = -1
-    row = spark.read.parquet(latest).select("eps").first()
-    eps = int(row["eps"]) if row is not None else 0
+        with open(os.path.join(latest, _EPS_SIDECAR)) as f:
+            eps = int(json.load(f)["eps"])
+    except (OSError, ValueError, KeyError) as e:
+        raise ValueError(
+            f"corrupt topk state: committed version {latest} has no "
+            f"readable {_EPS_SIDECAR}; the error bound is unrecoverable"
+        ) from e
     return {"last_batch_id": last_id, "version_dir": latest, "eps": eps}
 
 
@@ -146,14 +154,14 @@ def run_streaming_topk(
             # constant column — a meta file alone would make the error
             # bound unrecoverable, silently turning a sketch state into
             # a claimed-exact one.
-            meta = _recover_meta(batch_df.sparkSession, state_dir)
+            meta = _recover_meta(state_dir)
             if meta:
                 _write_meta(state_dir, meta)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged (idempotence)
         base_dir = meta.get("version_dir")
         existing = (
-            batch_df.sparkSession.read.parquet(base_dir).drop("eps")
+            batch_df.sparkSession.read.parquet(base_dir)
             if base_dir is not None
             else None
         )
@@ -164,9 +172,15 @@ def run_streaming_topk(
         out = os.path.join(state_dir, f"batch_{batch_id:012d}")
         tmp = os.path.join(state_dir, f"_tmp_batch_{batch_id:012d}")
         shutil.rmtree(tmp, ignore_errors=True)
-        state.withColumn("eps", F.lit(eps).cast("long")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        state.write.mode("overwrite").parquet(tmp)
+        # eps sidecar INSIDE the version dir, before the rename: atomic
+        # with the state, ignored by the parquet reader (underscore
+        # prefix), and row-independent — recoverable even when an
+        # all-ties trim leaves the state table empty
+        with open(os.path.join(tmp, _EPS_SIDECAR), "w") as f:
+            json.dump({"eps": eps, "batch_id": batch_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
         shutil.rmtree(out, ignore_errors=True)
         os.replace(tmp, out)
         _write_meta(
@@ -181,7 +195,7 @@ def run_streaming_topk(
         .start()
     )
     q.awaitTermination()
-    meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
+    meta = _read_meta(state_dir) or _recover_meta(state_dir)
     base = meta.get("version_dir")
     eps = int(meta.get("eps", 0))
     if base is None:  # no batches ever merged: empty, source-typed key
@@ -196,4 +210,6 @@ def run_streaming_topk(
             ]
         )
         return spark.createDataFrame([], out_schema)
-    return spark.read.parquet(base).withColumn("eps", F.lit(eps))
+    return spark.read.parquet(base).withColumn(
+        "eps", F.lit(eps).cast("long")
+    )

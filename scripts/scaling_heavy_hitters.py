@@ -77,22 +77,32 @@ def main() -> None:
         )
         w_exact = time.time() - t0
 
-        # candidate-set size + certification outcome, from the SAME
-        # lazy frames the operator executes (r10: _heavy_hitter_frames
-        # replaces the stale re-implementation of the pre-r9 bar filter)
+        # candidate-set size + certification outcome from ONE pinned
+        # execution of the candidate pass (the pass is nondeterministic
+        # across executions, and the operator's returned top-10 is the
+        # exact answer on EVERY path — so deriving "certified" from a
+        # fresh pass + the result would be exactly the stale-bound
+        # hazard the r10 operator closes; this re-runs the operator's
+        # own protocol on its own pinned frames)
         from opensea_datapipeline_spark.operators.aggregates import (
             _heavy_hitter_frames,
         )
 
-        emitted, _exact_all, _verify = _heavy_hitter_frames(
+        emitted, _exact_all, verify = _heavy_hitter_frames(
             df, "key", k=k, top=10
         )
-        stats = emitted.agg(
+        pinned = emitted.localCheckpoint(eager=True)
+        stats = pinned.agg(
             F.sum("eps").alias("b"), F.count("key").alias("n_cand")
         ).first()
         bound = int(stats["b"] or 0)
+        n_cand = int(stats["n_cand"] or 0)
+        verified = verify(
+            pinned.filter(F.col("key").isNotNull()).select("key").distinct(),
+            broadcast_ok=n_cand <= 1_000_000,
+        ).collect()
         certified = bound == 0 or (
-            len(mg) == 10 and mg[-1]["n_rows"] > bound
+            len(verified) == 10 and verified[-1]["n_rows"] > bound
         )
         rec = {
             "mult": mult,
@@ -100,7 +110,7 @@ def main() -> None:
             "distinct_target": BASE_DISTINCT * mult + HOT,
             "wall_mg_s": round(w_mg, 3),
             "wall_exact_s": round(w_exact, 3),
-            "candidates": int(stats["n_cand"] or 0),
+            "candidates": n_cand,
             "eps_bound": bound,
             "certified": certified,
             "top10_match": [(r.key, r.n_rows) for r in mg]
