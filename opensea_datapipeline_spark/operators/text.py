@@ -930,14 +930,35 @@ def nb_token_classifier_scores(
 
     Contract: both classes must be non-empty (a one-class "training
     set" has no odds to learn; the prior literal degenerates).
-    Training and scoring share the corpus, so every scored token is in
-    the model by construction; scoring NEW docs against a persisted
-    model would need an OOV term (add-1 gives ``ln((1/(N_pos+V)) /
-    (1/(N_neg+V)))`` for unseen tokens — a one-line coalesce).
+    Training and scoring share the corpus here, so every scored token
+    is in the model by construction; ``train_nb_token_model`` /
+    ``score_nb_token_model`` split the two for the persisted-model
+    serving path, where unseen tokens get the add-1 OOV log-odds.
     """
+    model, params = train_nb_token_model(
+        docs, label_col, text_col=text_col
+    )
+    return score_nb_token_model(
+        docs, model, params, text_col=text_col, id_col=id_col
+    )
+
+
+def train_nb_token_model(
+    docs: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Train the NB token model: returns ``(model, params)`` where
+    ``model`` is the PINNED vocab-sized (tok, w) log-odds table — a
+    plain DataFrame, parquet-writable for reuse — and ``params`` holds
+    the two JSON-able floats scoring needs: the class prior ``b`` and
+    the add-1 OOV log-odds ``oov = ln((1/(N_pos+V))/(1/(N_neg+V)))``
+    every token UNSEEN at training time contributes at serving time."""
+    import math
+
     base = docs.filter(F.col(text_col).isNotNull())
     d = base.select(
-        F.col(id_col),
         F.col(label_col).cast("boolean").alias("_y"),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
     )
@@ -967,9 +988,32 @@ def nb_token_classifier_scores(
     w_t = F.log(
         (F.col("_cp").cast("double") + 1) / F.lit(np_v)
     ) - F.log((F.col("_cn").cast("double") + 1) / F.lit(nn_v))
-    score = F.round(F.sum(w_t) + F.lit(b), 6)
+    model = tc.select(F.col("_tok").alias("tok"), w_t.alias("w"))
+    oov = math.log(nn_v / np_v) if np_v and nn_v else 0.0
+    return model, {"b": b, "oov": oov}
+
+
+def score_nb_token_model(
+    docs: DataFrame,
+    model: DataFrame,
+    params: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs against a (possibly persisted) NB token model: one
+    column-pruned scan, a LEFT join on the token key (the only
+    data-sized shuffle), unseen tokens coalesced to the OOV log-odds —
+    so serving NEW corpora against yesterday's model is the same plan
+    as self-scoring, never a retrain."""
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    w = F.coalesce(F.col("w"), F.lit(float(params["oov"])))
+    score = F.round(F.sum(w) + F.lit(float(params["b"])), 6)
     return (
-        d.join(tc, "_tok")
+        d.join(model, "tok", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -1278,3 +1278,53 @@ def test_streaming_topk_lost_meta_recovers_history(spark, tmp_path):
         (r.key, r.cnt, r.eps) for r in replay
     )
     assert {r.cnt for r in first} == {100}  # 40 keys x 100, not doubled
+
+
+def test_nb_model_serving_with_oov(spark, tmp_path):
+    # Persisted-model serving path: train on a labeled corpus, write the
+    # model to parquet, score a HELD-OUT corpus containing tokens the
+    # model never saw — class-vocab docs classify correctly, and an
+    # all-OOV doc scores exactly n*oov + b (the add-1 unseen odds).
+    from opensea_datapipeline_spark.operators.text import (
+        score_nb_token_model,
+        train_nb_token_model,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "good clean prose text", True) for i in range(6)]
+        + [(i + 6, "spam junk noise garbage", False) for i in range(6)],
+        "doc_id long, text string, y boolean",
+    )
+    model, params = train_nb_token_model(train, "y")
+    path = str(tmp_path / "nb_model")
+    model.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+
+    held_out = spark.createDataFrame(
+        [
+            (100, "clean prose flows"),        # good vocab + 1 OOV token
+            (101, "junk noise everywhere"),    # spam vocab + 1 OOV token
+            (102, "zz yy xx"),                 # all OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in score_nb_token_model(held_out, persisted, params).collect()
+    }
+    assert out[100].pred is True and out[100].score > 0
+    assert out[101].pred is False and out[101].score < 0
+    # balanced classes: b = ln(1) = 0 and oov = ln(Nneg+V / Npos+V)
+    assert abs(out[102].score - round(3 * params["oov"] + params["b"], 6)) < 1e-6
+    # self-scoring through the split API still matches the one-shot form
+    from opensea_datapipeline_spark.operators.text import (
+        nb_token_classifier_scores,
+    )
+
+    one_shot = sorted(
+        tuple(r) for r in nb_token_classifier_scores(train, "y").collect()
+    )
+    split = sorted(
+        tuple(r) for r in score_nb_token_model(train, model, params).collect()
+    )
+    assert one_shot == split

@@ -287,3 +287,46 @@ def test_containment_blocked_matches_brute_force(spark, sets):
             if i != j and len(a) > 0 and len(a & b) >= t * len(a)
         }
         assert got_t == want_t, t
+
+
+@given(
+    stream=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(1, 59), max_size=3),
+    cap=st.integers(2, 8),
+)
+@SETTINGS
+def test_streaming_mg_merge_bounds_any_slicing(spark, stream, cuts, cap):
+    # Mergeable-summaries property for the streaming top-k state: for
+    # ANY batch slicing of ANY stream and ANY cap, after folding the
+    # batches through merge_mg_state the classic Misra-Gries bounds
+    # must hold (stored <= true <= stored + eps for retained keys,
+    # true <= eps for evicted ones) and the state never exceeds cap.
+    from collections import Counter
+
+    from opensea_datapipeline_spark.streaming.topk import (
+        batch_key_counts,
+        merge_mg_state,
+    )
+
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    slices = []
+    prev = 0
+    for b in bounds + [len(stream)]:
+        if b > prev:
+            slices.append(stream[prev:b])
+            prev = b
+    state, eps = None, 0
+    for batch in slices:
+        df = spark.createDataFrame(
+            [(k, 1.0) for k in batch], "user_id long, value double"
+        )
+        state, d = merge_mg_state(state, batch_key_counts(df, "user_id"), cap)
+        eps += d
+        assert state.count() <= cap
+    stored = {r.key: r.cnt for r in state.collect()}
+    true = Counter(stream)
+    for k, c in stored.items():
+        assert c <= true[k] <= c + eps, (k, c, true[k], eps)
+    for k, t in true.items():
+        if k not in stored:
+            assert t <= eps, (k, t, eps)
