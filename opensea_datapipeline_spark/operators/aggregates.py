@@ -761,6 +761,7 @@ def heavy_hitters(
     *,
     k: int,
     top: int,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Bounded-state heavy hitters, EXACT by construction: zero-shuffle
     Misra-Gries candidate pass + exact verification pass, with a proved
@@ -815,10 +816,21 @@ def heavy_hitters(
     bound = int(stats["b"] or 0)
     n_cand = int(stats["n_cand"] or 0)
 
+    def _report(certified: bool) -> None:
+        # observability hook (r10 review): callers that need the
+        # certification outcome (scaling legs, monitoring) read it from
+        # the operator's OWN pinned execution instead of re-running the
+        # nondeterministic candidate pass and risking a stale bound
+        if stats_out is not None:
+            stats_out.update(
+                {"bound": bound, "n_candidates": n_cand, "certified": certified}
+            )
+
     if n_cand == 0:
         # no retained keys: either no non-null data at all (bound 0 →
         # provably empty) or a pathological all-ties decrement emptied
         # every table (bound > 0 → cannot certify, go exact)
+        _report(bound == 0)
         return exact_all.limit(0) if bound == 0 else exact_all
 
     candidates = pinned.filter(F.col(col).isNotNull()).select(col).distinct()
@@ -826,6 +838,7 @@ def heavy_hitters(
     certified = bound == 0 or (
         len(verified) == top and verified[-1]["n_rows"] > bound
     )
+    _report(certified)
     if certified:
         out_schema = T.StructType(
             [T.StructField(field.name, field.dataType, True),

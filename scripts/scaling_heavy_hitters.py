@@ -64,7 +64,8 @@ def main() -> None:
         k = 1000
 
         t0 = time.time()
-        mg = heavy_hitters(df, "key", k=k, top=10).collect()
+        hh_stats = {}
+        mg = heavy_hitters(df, "key", k=k, top=10, stats_out=hh_stats).collect()
         w_mg = time.time() - t0
 
         t0 = time.time()
@@ -77,42 +78,19 @@ def main() -> None:
         )
         w_exact = time.time() - t0
 
-        # candidate-set size + certification outcome from ONE pinned
-        # execution of the candidate pass (the pass is nondeterministic
-        # across executions, and the operator's returned top-10 is the
-        # exact answer on EVERY path — so deriving "certified" from a
-        # fresh pass + the result would be exactly the stale-bound
-        # hazard the r10 operator closes; this re-runs the operator's
-        # own protocol on its own pinned frames)
-        from opensea_datapipeline_spark.operators.aggregates import (
-            _heavy_hitter_frames,
-        )
-
-        emitted, _exact_all, verify = _heavy_hitter_frames(
-            df, "key", k=k, top=10
-        )
-        pinned = emitted.localCheckpoint(eager=True)
-        stats = pinned.agg(
-            F.sum("eps").alias("b"), F.count("key").alias("n_cand")
-        ).first()
-        bound = int(stats["b"] or 0)
-        n_cand = int(stats["n_cand"] or 0)
-        verified = verify(
-            pinned.filter(F.col("key").isNotNull()).select("key").distinct(),
-            broadcast_ok=n_cand <= 1_000_000,
-        ).collect()
-        certified = bound == 0 or (
-            len(verified) == 10 and verified[-1]["n_rows"] > bound
-        )
+        # candidate-set size + certification outcome come from the
+        # operator's OWN pinned execution (stats_out, r10) — deriving
+        # them from a fresh nondeterministic candidate pass would be
+        # exactly the stale-bound hazard the r10 operator closes
         rec = {
             "mult": mult,
             "rows": n,
             "distinct_target": BASE_DISTINCT * mult + HOT,
             "wall_mg_s": round(w_mg, 3),
             "wall_exact_s": round(w_exact, 3),
-            "candidates": n_cand,
-            "eps_bound": bound,
-            "certified": certified,
+            "candidates": hh_stats.get("n_candidates"),
+            "eps_bound": hh_stats.get("bound"),
+            "certified": hh_stats.get("certified"),
             "top10_match": [(r.key, r.n_rows) for r in mg]
             == [(r.key, r.n_rows) for r in exact],
         }
