@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .operators import aggregates as agg
 from .operators import dedup as dd
+from .operators import graph as gr
 from .operators import joins as jn
 from .operators import similarity as sim
 from .operators import text as tx
@@ -1804,6 +1805,66 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.7
     )
+
+
+def _pagerank_near_dup_oracle(iters: int = 10, damping: float = 0.85,
+                              max_id: int = 200) -> str:
+    # The iterations are UNROLLED as chained CTEs (standard SQL forbids
+    # aggregation in a recursive CTE member), so the oracle replays the
+    # exact fixed-count synchronous power iteration. Every literal is
+    # CAST to DOUBLE: a bare 0.85 is DECIMAL in DuckDB and would run
+    # exact-decimal arithmetic that diverges from IEEE doubles.
+    d = f"CAST({damping} AS DOUBLE)"
+    steps = ",\n".join(
+        f"""pr{i + 1} AS (
+  SELECT e.dst AS node,
+    (1 - {d}) / (SELECT n FROM nn)
+      + {d} * sum(p.rank / dg.outdeg) AS rank
+  FROM pr{i} p
+  JOIN edges e ON p.node = e.src
+  JOIN deg dg ON dg.src = p.node
+  GROUP BY e.dst
+)"""
+        for i in range(iters)
+    )
+    return f"""
+WITH pairs AS (
+{_minhash_lsh_oracle(8, 2, 0.7, max_id)}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),
+{steps}
+SELECT node AS doc_id, CAST(round(rank, 6) AS DOUBLE) AS rank
+FROM pr{iters}
+"""
+
+
+@_register("pagerank_near_dup", _pagerank_near_dup_oracle(10, 0.85, 200))
+def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Numeric-iterative graph analytics with a FULL oracle: PageRank
+    # (10 synchronous power iterations, d=0.85) over the symmetrized
+    # minhash-LSH near-dup graph — centrality picks the natural cluster
+    # representative to keep in curation, the numeric sibling of the
+    # connected-components dedup_groups queries. The oracle unrolls the
+    # same 10 iterations in SQL over the same pairs CTE, so every rank
+    # value is hash-compared. Iterative-Spark discipline (pinned
+    # contribution table, lineage truncation every 3 iterations) is in
+    # operators/graph.py.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pr = gr.pagerank(edges, iters=10, damping=0.85, undirected=True)
+    return pr.select(F.col("node").alias("doc_id"), "rank")
 
 
 def _simhash_pairs_oracle(bits: int = 16, radius: int = 3,

@@ -1328,3 +1328,41 @@ def test_nb_model_serving_with_oov(spark, tmp_path):
         tuple(r) for r in score_nb_token_model(train, model, params).collect()
     )
     assert one_shot == split
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    # Undirected path a-b-c plus isolated pair d-e: ranks must equal a
+    # pure-Python synchronous power iteration exactly (round 6), total
+    # mass must stay 1 (symmetrized graph has no dangling nodes), and
+    # the path's center must outrank its leaves.
+    from collections import defaultdict
+
+    from opensea_datapipeline_spark.operators.graph import pagerank
+
+    raw = [(0, 1), (1, 2), (3, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=10, damping=0.85, undirected=True).collect()
+    }
+
+    adj = defaultdict(list)
+    for a, b in raw:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - 0.85) / float(n)
+    for _ in range(10):
+        nxt = {v: base for v in nodes}
+        for u in nodes:
+            share = rank[u] / len(adj[u])
+            for v in adj[u]:
+                nxt[v] += 0.85 * share
+        rank = nxt
+    want = {v: round(r, 6) for v, r in rank.items()}
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert got[1] > got[0] == got[2]
+    assert got[3] == got[4]
