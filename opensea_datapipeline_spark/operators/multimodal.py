@@ -254,6 +254,39 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+def _decode_binary_metadata(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    parser,
+    columns: list[str],
+    schema_tail: str,
+) -> DataFrame:
+    """Shared ``mapInPandas`` scaffold for every binary-metadata decoder
+    (image/audio/video): Arrow batches in, exactly one row per asset
+    out, ``parser(payload)`` returning a ``len(columns)`` tuple or None
+    — unrecognized payloads yield NULL fields instead of failing the
+    batch (permissive-scan semantics, matching the engine's CSV
+    policy). One copy of the batch loop keeps the permissive-NULL and
+    batch-shape behavior identical across formats."""
+    from collections.abc import Iterator as It
+
+    import pandas as pd
+
+    schema = f"{id_col} long, {schema_tail}"
+    nulls = (None,) * len(columns)
+
+    def decode(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
+                parsed = parser(payload)
+                rows.append((aid, *(parsed if parsed else nulls)))
+            yield pd.DataFrame(rows, columns=[id_col, *columns])
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
+
+
 def decode_media(
     df: DataFrame, bin_col: str = "media", id_col: str = "asset_id"
 ) -> DataFrame:
@@ -262,36 +295,29 @@ def decode_media(
 
     Uses PIL when installed (full format coverage); otherwise falls back to
     the pure-Python header parser (PNG/GIF/BMP) — real decode either way,
-    no stub. Unrecognized payloads yield NULL dims instead of failing the
-    batch (permissive-scan semantics, matching the engine's CSV policy)."""
+    no stub."""
     import io
-    from collections.abc import Iterator as It
-
-    import pandas as pd
 
     try:
         import PIL.Image as Image
     except ImportError:
         Image = None
 
-    schema = f"{id_col} long, width long, height long, mode string"
+    def parse(payload):
+        parsed = parse_image_header(payload)
+        if parsed is None and Image is not None and payload:
+            try:
+                img = Image.open(io.BytesIO(payload))
+                parsed = (img.width, img.height, img.mode)
+            except Exception:
+                parsed = None
+        return parsed
 
-    def decode(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
-                parsed = parse_image_header(payload)
-                if parsed is None and Image is not None and payload:
-                    try:
-                        img = Image.open(io.BytesIO(payload))
-                        parsed = (img.width, img.height, img.mode)
-                    except Exception:
-                        parsed = None
-                w, h, mode = parsed if parsed else (None, None, None)
-                rows.append((aid, w, h, mode))
-            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mode"])
-
-    return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
+    return _decode_binary_metadata(
+        df, bin_col, id_col, parse,
+        ["width", "height", "mode"],
+        "width long, height long, mode string",
+    )
 
 
 def synthesize_audio_payloads(
@@ -306,20 +332,36 @@ def synthesize_audio_payloads(
     walk the RIFF chunk stream (the same honesty trick as the JPEG
     APP0 segment). Channels/rate/bits/sample-count all derive from the
     id, so an SQL oracle can recompute the expected metadata exactly."""
-    ch = (F.col(id_col) % 2 + 1).cast("int")
-    rate = (
-        F.when(F.col(id_col) % 5 == 0, 8000)
-        .when(F.col(id_col) % 5 == 1, 16000)
-        .when(F.col(id_col) % 5 == 2, 22050)
-        .when(F.col(id_col) % 5 == 3, 44100)
-        .otherwise(48000)
-    ).cast("int")
-    bits = F.when(F.col(id_col) % 3 == 0, 8).otherwise(16).cast("int")
-    n_samples = (F.col(id_col) % 1000 + 100).cast("int")
-    block_align = (ch * bits / 8).cast("int")
+    # stage the derived params as projection columns: subexpression
+    # elimination skips when-chains, so referencing the rate CASE (or
+    # anything built on it) multiple times in one projection would
+    # re-evaluate the whole chain per reference (the repo's
+    # stage-expensive-exprs rule; CollapseProject keeps multiply-
+    # referenced non-cheap aliases staged)
+    staged = df.select(
+        F.col(id_col).alias(out_id),
+        (F.col(id_col) % 2 + 1).cast("int").alias("_ch"),
+        (
+            F.when(F.col(id_col) % 5 == 0, 8000)
+            .when(F.col(id_col) % 5 == 1, 16000)
+            .when(F.col(id_col) % 5 == 2, 22050)
+            .when(F.col(id_col) % 5 == 3, 44100)
+            .otherwise(48000)
+        ).cast("int").alias("_rate"),
+        F.when(F.col(id_col) % 3 == 0, 8).otherwise(16).cast("int").alias(
+            "_bits"
+        ),
+        (F.col(id_col) % 1000 + 100).cast("int").alias("_n"),
+        (F.col(id_col) % 7 == 0).alias("_hl"),
+    ).withColumn(
+        "_ba", (F.col("_ch") * F.col("_bits") / 8).cast("int")
+    ).withColumn(
+        "_ds", F.col("_n") * F.col("_ba")
+    )
+    ch, rate, bits = F.col("_ch"), F.col("_rate"), F.col("_bits")
+    block_align, data_size = F.col("_ba"), F.col("_ds")
+    has_list = F.col("_hl")
     byte_rate = rate * block_align
-    data_size = n_samples * block_align
-    has_list = F.col(id_col) % 7 == 0
     extra = F.when(has_list, 12).otherwise(0)
 
     def le16(c):  # 2-byte little-endian hex
@@ -342,9 +384,7 @@ def synthesize_audio_payloads(
         ),
         F.lit("64617461"), le32(data_size),  # data chunk, declared size
     )
-    return df.select(
-        F.col(id_col).alias(out_id), F.unhex(hex_payload).alias("media")
-    )
+    return staged.select(out_id, F.unhex(hex_payload).alias("media"))
 
 
 def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -407,39 +447,16 @@ def decode_audio(
     diverge structurally. floor(n·1e6/rate) in IEEE doubles is exact
     (values ≤ ~1e9, gaps to the nearest integer ≥ 1/rate ≫ double
     error), so both engines agree bit-for-bit."""
-    from collections.abc import Iterator as It
-
-    import pandas as pd
-
-    schema = (
-        f"{id_col} long, channels long, sample_rate long, "
-        "bits_per_sample long, n_samples long"
-    )
-
-    def decode(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
-                parsed = parse_wav_header(payload)
-                ch, rate, bits, n = parsed if parsed else (None,) * 4
-                rows.append((aid, ch, rate, bits, n))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col, "channels", "sample_rate",
-                    "bits_per_sample", "n_samples",
-                ],
-            )
-
-    return (
-        df.select(id_col, bin_col)
-        .mapInPandas(decode, schema=schema)
-        .withColumn(
-            "duration_us",
-            F.floor(
-                F.col("n_samples") * 1_000_000 / F.col("sample_rate")
-            ).cast("long"),
-        )
+    return _decode_binary_metadata(
+        df, bin_col, id_col, parse_wav_header,
+        ["channels", "sample_rate", "bits_per_sample", "n_samples"],
+        "channels long, sample_rate long, bits_per_sample long, "
+        "n_samples long",
+    ).withColumn(
+        "duration_us",
+        F.floor(
+            F.col("n_samples") * 1_000_000 / F.col("sample_rate")
+        ).cast("long"),
     )
 
 
@@ -457,17 +474,25 @@ def synthesize_video_payloads(
     Timescale cycles {600, 1000, 90000, 24000, 30000} on ``id % 5``;
     duration ticks = id % 9000 + 600; width/height reuse the image
     formulas ((id % 640) + 16, (id % 480) + 16)."""
-    w = (F.col(id_col) % 640 + 16).cast("long")
-    h = (F.col(id_col) % 480 + 16).cast("long")
-    tsc = (
-        F.when(F.col(id_col) % 5 == 0, 600)
-        .when(F.col(id_col) % 5 == 1, 1000)
-        .when(F.col(id_col) % 5 == 2, 90000)
-        .when(F.col(id_col) % 5 == 3, 24000)
-        .otherwise(30000)
-    ).cast("long")
-    dur = (F.col(id_col) % 9000 + 600).cast("long")
-    has_extra = F.col(id_col) % 7 == 0
+    # stage the params (same rule as synthesize_audio_payloads: the
+    # timescale CASE and duration feed multiple byte fields)
+    staged = df.select(
+        F.col(id_col).alias(out_id),
+        (F.col(id_col) % 640 + 16).cast("long").alias("_w"),
+        (F.col(id_col) % 480 + 16).cast("long").alias("_h"),
+        (
+            F.when(F.col(id_col) % 5 == 0, 600)
+            .when(F.col(id_col) % 5 == 1, 1000)
+            .when(F.col(id_col) % 5 == 2, 90000)
+            .when(F.col(id_col) % 5 == 3, 24000)
+            .otherwise(30000)
+        ).cast("long").alias("_tsc"),
+        (F.col(id_col) % 9000 + 600).cast("long").alias("_dur"),
+        (F.col(id_col) % 7 == 0).alias("_he"),
+    )
+    w, h = F.col("_w"), F.col("_h")
+    tsc, dur = F.col("_tsc"), F.col("_dur")
+    has_extra = F.col("_he")
 
     def be32(c):  # 4-byte big-endian hex
         return F.format_string("%08x", c)
@@ -500,9 +525,7 @@ def synthesize_video_payloads(
         be32(F.length(F.unhex(moov_body)) + 8), F.lit("6d6f6f76"), moov_body
     )
     hex_payload = F.concat(ftyp, free, moov)
-    return df.select(
-        F.col(id_col).alias(out_id), F.unhex(hex_payload).alias("media")
-    )
+    return staged.select(out_id, F.unhex(hex_payload).alias("media"))
 
 
 def parse_mp4_header(payload: bytes):
@@ -558,34 +581,13 @@ def decode_video(
     column family. Permissive NULLs on unrecognized payloads; duration
     converted JVM-side to integer microseconds (same exact-floor
     rationale as decode_audio)."""
-    from collections.abc import Iterator as It
-
-    import pandas as pd
-
-    schema = (
-        f"{id_col} long, timescale long, duration_ticks long, "
-        "width long, height long"
-    )
-
-    def decode(batches: It[pd.DataFrame]) -> It[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
-                parsed = parse_mp4_header(payload)
-                tsc, dur, w, h = parsed if parsed else (None,) * 4
-                rows.append((aid, tsc, dur, w, h))
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "timescale", "duration_ticks", "width", "height"],
-            )
-
-    return (
-        df.select(id_col, bin_col)
-        .mapInPandas(decode, schema=schema)
-        .withColumn(
-            "duration_us",
-            F.floor(
-                F.col("duration_ticks") * 1_000_000 / F.col("timescale")
-            ).cast("long"),
-        )
+    return _decode_binary_metadata(
+        df, bin_col, id_col, parse_mp4_header,
+        ["timescale", "duration_ticks", "width", "height"],
+        "timescale long, duration_ticks long, width long, height long",
+    ).withColumn(
+        "duration_us",
+        F.floor(
+            F.col("duration_ticks") * 1_000_000 / F.col("timescale")
+        ).cast("long"),
     )

@@ -150,8 +150,8 @@ def run_streaming_topk(
         if not meta:
             # meta lost but committed versions exist: recover the base
             # instead of rebasing on empty (the gold-table r4 hole).
-            # eps is recoverable because every version CARRIES it as a
-            # constant column — a meta file alone would make the error
+            # eps is recoverable from the _eps.json sidecar each
+            # version carries — a meta file alone would make the error
             # bound unrecoverable, silently turning a sketch state into
             # a claimed-exact one.
             meta = _recover_meta(state_dir)
@@ -187,6 +187,14 @@ def run_streaming_topk(
             state_dir,
             {"last_batch_id": batch_id, "version_dir": out, "eps": eps},
         )
+        # release the per-batch localCheckpoint (merge_mg_state) now
+        # superseded by the parquet version: a long-running stream is
+        # the longest-lived loop in the engine, and dead checkpoints
+        # otherwise accumulate in the block manager until a driver GC
+        # runs (the SCALING.md §r10 dead-checkpoint trap)
+        import gc
+
+        gc.collect()
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -88,7 +88,9 @@ def main() -> None:
             "distinct_target": BASE_DISTINCT * mult + HOT,
             "wall_mg_s": round(w_mg, 3),
             "wall_exact_s": round(w_exact, 3),
-            "candidates": hh_stats.get("n_candidates"),
+            # duplicate-inclusive emitted rows (pass-2 input), NOT the
+            # distinct candidate set prior rounds logged as "candidates"
+            "emitted_candidates": hh_stats.get("n_candidates"),
             "eps_bound": hh_stats.get("bound"),
             "certified": hh_stats.get("certified"),
             "top10_match": [(r.key, r.n_rows) for r in mg]

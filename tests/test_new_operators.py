@@ -1245,8 +1245,8 @@ def test_streaming_topk_replayed_batch_is_noop(spark, tmp_path):
 def test_streaming_topk_lost_meta_recovers_history(spark, tmp_path):
     # The gold-table r4 hole, closed here from day one: delete the meta
     # file between runs — the next run must recover base, batch id AND
-    # eps from the newest committed version (every version carries eps
-    # as a constant column), not rebase on empty state. The replayed
+    # eps from the newest committed version (each version dir carries an
+    # _eps.json sidecar), not rebase on empty state. The replayed
     # batches are then skipped and the final state equals the
     # uninterrupted run's.
     import os
