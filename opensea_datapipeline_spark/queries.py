@@ -1867,6 +1867,109 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "rank")
 
 
+def _dedup_representatives_oracle(iters: int = 10, max_id: int = 200) -> str:
+    # Composition oracle: the SAME pairs CTE feeds both the transitive
+    # closure (components) and the unrolled PageRank; the
+    # representative is chosen on the ROUNDED rank (round 6) before the
+    # id tie-break — mathematically-equal ranks can differ by an ulp
+    # across engines depending on summation order, so ordering raw
+    # doubles would make the winner engine-dependent.
+    d = "CAST(0.85 AS DOUBLE)"
+    steps = ",\n".join(
+        f"""pr{i + 1} AS (
+  SELECT e.dst AS node,
+    (1 - {d}) / (SELECT n FROM nn)
+      + {d} * sum(p.rank / dg.outdeg) AS rank
+  FROM pr{i} p
+  JOIN edges e ON p.node = e.src
+  JOIN deg dg ON dg.src = p.node
+  GROUP BY e.dst
+)"""
+        for i in range(iters)
+    )
+    return f"""
+WITH RECURSIVE
+nodes_all AS (SELECT doc_id AS id FROM documents WHERE doc_id < {max_id}),
+pairs AS (
+{_minhash_lsh_oracle(8, 2, 0.7, max_id)}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT id, id FROM nodes_all
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+groups AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),
+{steps},
+ranked AS (
+  SELECT g.group_id, g.id,
+    round(coalesce(p.rank, 0), 6) AS r6,
+    row_number() OVER (
+      PARTITION BY g.group_id
+      ORDER BY round(coalesce(p.rank, 0), 6) DESC, g.id ASC
+    ) AS rn,
+    count(*) OVER (PARTITION BY g.group_id) AS n_members
+  FROM groups g LEFT JOIN pr{iters} p ON p.node = g.id
+)
+SELECT CAST(group_id AS BIGINT) AS group_id, CAST(id AS BIGINT) AS rep_id,
+  CAST(n_members AS BIGINT) AS n_members, CAST(r6 AS DOUBLE) AS rep_rank
+FROM ranked WHERE rn = 1
+"""
+
+
+@_register("dedup_representatives", _dedup_representatives_oracle(10, 200))
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full curation-resolution chain COMPOSED from graded operators:
+    # LSH near-dup pairs → connected components (which docs are the same
+    # cluster) → PageRank centrality (which member REPRESENTS the
+    # cluster — the keep decision) → arg-max per component. Singletons
+    # represent themselves with rank 0. The representative is chosen on
+    # the ROUNDED rank before the id tie-break (raw-double ordering
+    # would be engine-dependent for mathematically-equal ranks).
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    comps = dd.connected_components_auto(
+        docs.select("doc_id"), pairs, id_col="doc_id", assume_distinct=True
+    )
+    pr = gr.pagerank(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        iters=10, damping=0.85, undirected=True,
+    )
+    ranked = comps.join(pr, comps.id == pr.node, "left").select(
+        F.col("id"),
+        F.col("group_id"),
+        F.coalesce(F.col("rank"), F.lit(0.0)).alias("r6"),
+    )
+    wg = Window.partitionBy("group_id")
+    w = wg.orderBy(F.col("r6").desc(), F.col("id").asc())
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("group_id").cast("long").alias("group_id"),
+            F.col("id").cast("long").alias("rep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("r6").alias("rep_rank"),
+        )
+    )
+
+
 def _simhash_pairs_oracle(bits: int = 16, radius: int = 3,
                           max_id: int = 300) -> str:
     # The oracle is the brute-force definition: all pairs with
