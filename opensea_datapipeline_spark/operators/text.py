@@ -628,9 +628,19 @@ def repetition_scores(
     ``n``-grams occupied by the single most frequent one. High values
     flag boilerplate/spam. explode → count per (doc, gram) → max ratio —
     two map-side-combined aggregates, scales with corpus size."""
+    # explode-index+slice, not the _word_ngrams transform lambda:
+    # higher-order functions are interpreted, not codegen (measured
+    # 3.7x on the contamination gram pass, r10)
     words = _words(text_col)
-    exploded = df.select(
-        F.col(id_col), F.explode(_word_ngrams(words, n)).alias("gram")
+    idx = F.sequence(F.lit(1), F.size("_ws") - (n - 1))
+    exploded = (
+        df.withColumn("_ws", words)
+        .filter(F.size("_ws") >= n)
+        .select(F.col(id_col), F.explode(idx).alias("_i"), "_ws")
+        .select(
+            id_col,
+            F.array_join(F.slice("_ws", F.col("_i"), n), " ").alias("gram"),
+        )
     )
     per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
@@ -695,13 +705,34 @@ def contamination_flags(
     raw strings here for oracle transparency — at 100 TB hash them
     (``F.md5``) to fixed-width keys to shrink the shuffle, which cannot
     change the result beyond md5-collision odds.
+
+    Gram generation is the explode-index+slice form (whole-stage
+    codegen), not a ``transform`` lambda (higher-order functions are
+    interpreted: measured 3.55 s vs 0.95 s for the train-side gram pass
+    at sf0.1, r10), and per-doc grams are NOT pre-deduplicated: the
+    count-DISTINCT aggregates already collapse duplicate (doc, gram)
+    join rows, so a pre-distinct would add a full shuffle of the
+    exploded grams (or a non-codegen array_distinct) for zero effect on
+    the result.
     """
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        g = _word_ngrams(_words(text_col), n)
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.array_distinct(g)).alias("gram"),
+        ws = _words(text_col)
+        idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+        return (
+            df.withColumn("_ws", ws)
+            .filter(F.size("_ws") >= n)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(idx).alias("_i"),
+                "_ws",
+            )
+            .select(
+                out_id,
+                F.array_join(F.slice("_ws", F.col("_i"), n), " ").alias(
+                    "gram"
+                ),
+            )
         )
 
     tg = grams(train, "doc_id")
