@@ -44,13 +44,21 @@ def pagerank(
     damping: float = 0.85,
     undirected: bool = False,
     checkpoint_every: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Synchronous PageRank after exactly ``iters`` power iterations
     (fixed-count, so the result is deterministic and SQL-replayable —
     no convergence-threshold nondeterminism): starting uniform over the
     nodes that appear as a source,
 
-        rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u) / outdeg(u)
+        rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u) * w(u,v) / outw(u)
+
+    with w ≡ 1 (so outw = outdeg) in the unweighted default, or taken
+    from ``weight_col`` — the similarity-weighted form a near-dup graph
+    wants: a 0.95-Jaccard neighbor should pull the representative
+    harder than a 0.71 one. Weights must be positive; each node's
+    outgoing weights are normalized by their own sum, so rank mass is
+    conserved exactly as in the unweighted case.
 
     ``undirected=True`` symmetrizes the edge list first (every node
     then has outdeg ≥ 1, so there are no dangling nodes and the rank
@@ -58,12 +66,21 @@ def pagerank(
     should add their own dangling redistribution if they need mass
     conservation). Returns (node, rank) with rank rounded to 6dp.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
     if undirected:
         e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     contrib = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = contrib.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
@@ -81,7 +98,7 @@ def pagerank(
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * F.sum(F.col("rank") / F.col("outdeg"))
+                    * F.sum(F.col("rank") * F.col("w") / F.col("outdeg"))
                 ).alias("rank")
             )
             .withColumnRenamed("dst", "node")

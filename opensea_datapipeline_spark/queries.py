@@ -1808,18 +1808,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_near_dup_oracle(iters: int = 10, damping: float = 0.85,
-                              max_id: int = 200) -> str:
+                              max_id: int = 200,
+                              weighted: bool = False) -> str:
     # The iterations are UNROLLED as chained CTEs (standard SQL forbids
     # aggregation in a recursive CTE member), so the oracle replays the
     # exact fixed-count synchronous power iteration. Every literal is
     # CAST to DOUBLE: a bare 0.85 is DECIMAL in DuckDB and would run
     # exact-decimal arithmetic that diverges from IEEE doubles.
+    # weighted=True divides each edge's jaccard weight by the source's
+    # weight sum instead of 1/outdeg (same formulas as the operator).
     d = f"CAST({damping} AS DOUBLE)"
+    w_expr = "jaccard" if weighted else "CAST(1.0 AS DOUBLE)"
     steps = ",\n".join(
         f"""pr{i + 1} AS (
   SELECT e.dst AS node,
     (1 - {d}) / (SELECT n FROM nn)
-      + {d} * sum(p.rank / dg.outdeg) AS rank
+      + {d} * sum(p.rank * e.w / dg.outdeg) AS rank
   FROM pr{i} p
   JOIN edges e ON p.node = e.src
   JOIN deg dg ON dg.src = p.node
@@ -1831,10 +1835,10 @@ def _pagerank_near_dup_oracle(iters: int = 10, damping: float = 0.85,
 WITH pairs AS (
 {_minhash_lsh_oracle(8, 2, 0.7, max_id)}
 ), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
+  SELECT id_a AS src, id_b AS dst, {w_expr} AS w FROM pairs
   UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+  SELECT id_b AS src, id_a AS dst, {w_expr} AS w FROM pairs
+), deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 pr0 AS (
@@ -1864,6 +1868,32 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     pr = gr.pagerank(edges, iters=10, damping=0.85, undirected=True)
+    return pr.select(F.col("node").alias("doc_id"), "rank")
+
+
+@_register(
+    "pagerank_weighted_near_dup",
+    _pagerank_near_dup_oracle(10, 0.85, 200, weighted=True),
+)
+def q_pagerank_weighted_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Similarity-WEIGHTED PageRank over the same near-dup graph: each
+    # neighbor's vote is proportional to the pair's exact Jaccard
+    # (normalized by the voter's weight sum), so a 0.95-similarity
+    # neighbor pulls the cluster representative harder than a 0.71 one
+    # — the form curation keep-decisions actually want. Same unrolled
+    # fixed-count oracle with w = jaccard; rank mass still conserved
+    # (per-source normalization).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
+    )
+    pr = gr.pagerank(
+        edges, iters=10, damping=0.85, undirected=True, weight_col="jaccard"
+    )
     return pr.select(F.col("node").alias("doc_id"), "rank")
 
 
