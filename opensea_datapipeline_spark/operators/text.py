@@ -1054,3 +1054,85 @@ def score_nb_token_model(
             (score > 0).alias("pred"),
         )
     )
+
+
+def duplicate_token_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact duplicate-substring SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-expressed at word-
+    n-gram granularity): for every document, the MAXIMAL token-index
+    spans covered by n-grams that also occur in at least one OTHER
+    document. ``dup_ngram_fraction`` answers "how much of this doc is
+    duplicated"; this answers "WHICH contiguous passages" — the form a
+    cut-the-span dedup pass actually consumes (the reference corpus
+    curation keeps whole docs; span dedup is the finer-grained stretch).
+
+    Plan (no N² anywhere): tokenize → explode n-gram start indices
+    (codegen slice/array_join projection, same shape as
+    dup_ngram_fraction) → cross-doc test per gram via min!=max doc id
+    over a gram-partitioned window (ONE equi-shuffle on gram) → island
+    merge per doc: a doc-partitioned running max of hit ends marks
+    interval starts (overlap OR adjacency merges), a running sum numbers
+    the islands, one groupBy collapses them. Every window is partitioned
+    (gram, then doc) — never SinglePartition; pinned by
+    tests/test_plans_and_io.py::test_duplicate_spans_plan.
+
+    ``hashed=True`` is the 100 TB scale path: collapse the ~n*6-byte
+    gram string to ``xxhash64`` map-side BEFORE the gram shuffle (span
+    geometry is invariant under any injective recoding of grams; same
+    argument as dup_ngram_fraction — pinned by
+    tests/test_new_operators.py::test_duplicate_spans_hashed_matches).
+
+    Docs with no cross-doc duplicated gram produce no rows (a span-cut
+    pass only visits flagged docs); docs shorter than ``n`` tokens
+    cannot be flagged. Outputs are exact integers plus one rounded
+    int/int division — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("_ts")
+    ).filter(F.size("_ts") >= n)
+    idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
+    gram = F.xxhash64(gram_str) if hashed else gram_str
+    hits = toks.select(
+        id_col,
+        F.size("_ts").alias("_nt"),
+        F.explode(idx).alias("_i"),
+        "_ts",
+    ).select(id_col, "_nt", "_i", gram.alias("_g"))
+
+    wg = Window.partitionBy("_g")
+    dup = (
+        hits.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "_nt", "_i", (F.col("_i") + (n - 1)).alias("_e"))
+    )
+    wd = Window.partitionBy(id_col).orderBy("_i")
+    prev_end = F.max("_e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "_new",
+        F.when(prev_end >= F.col("_i") - 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "_isl", F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy(id_col, "_isl").agg(
+        F.max("_nt").alias("_nt"),
+        (F.max("_e") - F.min("_i") + 1).alias("_len"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("_len").cast("long").alias("dup_tokens"),
+        F.max("_len").cast("long").alias("longest_span"),
+        F.round(
+            F.sum("_len").cast("double") / F.max("_nt"), 6
+        ).alias("dup_token_frac"),
+    )

@@ -6348,6 +6348,57 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "duplicate_token_spans",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+hits AS (
+  SELECT doc_id, len(ts) AS nt, i, i + 7 AS e,
+         array_to_string(ts[i:i+7], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(0, len(ts) - 7))) AS u(i)),
+dup AS (
+  SELECT doc_id, nt, i, e FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY g) AS mn,
+              max(doc_id) OVER (PARTITION BY g) AS mx FROM hits)
+  WHERE mn <> mx),
+isl AS (
+  SELECT doc_id, nt, i, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i - 1
+      THEN 0 ELSE 1 END AS new_isl
+  FROM dup),
+numbered AS (
+  SELECT doc_id, nt, i, e,
+    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl),
+spans AS (
+  SELECT doc_id, isl, max(nt) AS nt, max(e) - min(i) + 1 AS len
+  FROM numbered GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(len) AS BIGINT) AS dup_tokens,
+  CAST(max(len) AS BIGINT) AS longest_span,
+  CAST(round(CAST(sum(len) AS DOUBLE) / max(nt), 6) AS DOUBLE)
+    AS dup_token_frac
+FROM spans GROUP BY 1
+""",
+)
+def q_duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact duplicate-substring spans (Lee et al. 2022 at word-8-gram
+    # granularity): per doc, the MAXIMAL token-index spans covered by
+    # cross-doc duplicated 8-grams — dup_ngram_fraction's "how much" made
+    # actionable as "which passages". Island merge is two doc-partitioned
+    # windows + one groupBy; the cross-doc test is one gram equi-shuffle.
+    # The oracle replays the identical running-max island numbering, so
+    # every span count/length/fraction is hash-compared. hashed=True
+    # (xxhash64 gram keys) is the 100 TB shuffle-byte path, graded
+    # structurally in tests/test_new_operators.py.
+    d = _t(spark, sf_dir, "documents")
+    return tx.duplicate_token_spans(d, n=8)
+
+
+@_register(
     "token_entropy",
     """
 WITH tok AS (

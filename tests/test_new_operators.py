@@ -1366,3 +1366,53 @@ def test_pagerank_matches_pure_python_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-5
     assert got[1] > got[0] == got[2]
     assert got[3] == got[4]
+
+
+def test_duplicate_spans_hashed_matches(spark, sf_dir):
+    # The xxhash64-gram scale variant must produce IDENTICAL spans to
+    # the string-keyed graded form on a collision-free corpus — span
+    # geometry is invariant under any injective recoding of grams
+    # (same structural grade as test_hashed_gram_variants_match).
+    from opensea_datapipeline_spark.operators.text import (
+        duplicate_token_spans,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(duplicate_token_spans(d, n=8, hashed=True)) == rows(
+        duplicate_token_spans(d, n=8, hashed=False)
+    )
+
+
+def test_duplicate_spans_island_merge(spark):
+    # Hand-built corpus with a KNOWN span layout: two docs share two
+    # overlapping 3-grams (one merged 4-token span) plus one isolated
+    # 3-gram far away (its own span); a third doc shares nothing and
+    # must not appear. Verifies merge-on-overlap, merge-on-adjacency
+    # boundaries, and the exact span arithmetic.
+    from opensea_datapipeline_spark.operators.text import (
+        duplicate_token_spans,
+    )
+
+    shared_head = "a b c d"          # grams "a b c" + "b c d" -> span len 4
+    shared_tail = "x y z"            # isolated gram -> span len 3
+    doc0 = f"{shared_head} e0 f0 g0 h0 {shared_tail}"
+    doc1 = f"{shared_head} e1 f1 g1 h1 {shared_tail}"
+    doc2 = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_token_spans(df, n=3).collect()
+    }
+    assert set(out) == {0, 1}
+    for i in (0, 1):
+        assert out[i]["n_spans"] == 2
+        assert out[i]["dup_tokens"] == 7  # 4 + 3
+        assert out[i]["longest_span"] == 4
+        assert abs(out[i]["dup_token_frac"] - round(7 / 11, 6)) < 1e-9

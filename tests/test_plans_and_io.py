@@ -1140,3 +1140,23 @@ def test_nb_classifier_one_scoring_scan_pinned_model(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_plan(spark, sf_dir):
+    # r10: the Lee-et-al span merge must stay fully distributed — the
+    # cross-doc gram test partitions its window by the gram key and the
+    # island merge partitions by doc; an unpartitioned window here would
+    # funnel every gram hit through one task at corpus scale. Pin: every
+    # window spec is partitioned by _g or doc_id, and no SinglePartition
+    # exchange feeds a Window or Sort.
+    df = QUERIES["duplicate_token_spans"](spark, sf_dir)
+    plan = _plan(df)
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert specs, "span-merge windows disappeared"
+    for line in specs:
+        assert "windowspecdefinition(_g" in line or (
+            "windowspecdefinition(doc_id" in line
+        ), line
+    assert "Exchange SinglePartition" not in plan
