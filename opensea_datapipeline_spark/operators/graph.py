@@ -116,3 +116,78 @@ def pagerank(
 
             gc.collect()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient per node over
+    an undirected edge list — the density signal on similarity graphs
+    (a near-dup CLUSTER is clique-ish: high coefficient separates true
+    template families from chains of pairwise-coincidental overlaps,
+    which PageRank alone cannot).
+
+    Degree-ordered orientation (the standard distributed-triangle trick,
+    cf. Suri & Vassilvitskii WWW'11): orient every edge from its
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    from each node's out-neighborhood, and close them with one more
+    equi-join. Out-degree under this orientation is bounded by O(sqrt(m))
+    regardless of the raw degree distribution, so the wedge join's
+    per-key fanout — the thing that explodes on celebrity nodes in a
+    naive enumeration — stays bounded at 100 TB; every step is an
+    equi-keyed shuffle (AQE-sizable), nothing is collected.
+
+    Each triangle is counted exactly once (its orientation-minimum
+    vertex owns it) and then credited to all three corners. Returns one
+    row per node in the edge set: (node, degree, n_triangles,
+    clustering_coeff = 2T/deg(deg-1), rounded; 0.0 for degree-1 nodes).
+    All-integer arithmetic plus one rounded division — hash-exact
+    cross-engine.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    nodes = e.select(F.col("a").alias("v")).unionAll(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dt"),
+    )
+    w1 = o.select("s", F.col("t").alias("v1"), F.col("dt").alias("d1"))
+    w2 = o.select("s", F.col("t").alias("v2"), F.col("dt").alias("d2"))
+    wedge_ord = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))
+    )
+    closing = o.select(F.col("s").alias("v1"), F.col("t").alias("v2"))
+    tri = (
+        w1.join(w2, "s")
+        .filter(wedge_ord)
+        .join(closing, ["v1", "v2"])
+        .select("s", "v1", "v2")
+    )
+    tn = (
+        tri.select(F.col("s").alias("v"))
+        .unionAll(tri.select(F.col("v1").alias("v")))
+        .unionAll(tri.select(F.col("v2").alias("v")))
+    )
+    tc = tn.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    t = F.coalesce(F.col("t"), F.lit(0).cast("long"))
+    coeff = F.when(
+        F.col("d") >= 2,
+        F.round(
+            F.lit(2.0) * t / (F.col("d") * (F.col("d") - F.lit(1))), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tc, "v", "left").select(
+        F.col("v").alias("node"),
+        F.col("d").cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )

@@ -1897,6 +1897,62 @@ def q_pagerank_weighted_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "rank")
 
 
+@_register(
+    "triangle_count_near_dup",
+    f"""
+WITH pairs AS (
+{_minhash_lsh_oracle(8, 2, 0.7, 200)}
+), e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+allv AS (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e),
+deg AS (SELECT v, count(*) AS d FROM allv GROUP BY 1),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           THEN e.a ELSE e.b END AS s,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           THEN e.b ELSE e.a END AS t,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           THEN db.d ELSE da.d END AS dt
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+tri AS (
+  SELECT w1.s AS u, w1.t AS v1, w2.t AS v2
+  FROM o w1
+  JOIN o w2 ON w1.s = w2.s
+    AND (w1.dt < w2.dt OR (w1.dt = w2.dt AND w1.t < w2.t))
+  JOIN o c ON c.s = w1.t AND c.t = w2.t),
+tn AS (SELECT u AS v FROM tri UNION ALL SELECT v1 FROM tri
+       UNION ALL SELECT v2 FROM tri),
+tc AS (SELECT v, count(*) AS t FROM tn GROUP BY 1)
+SELECT d.v AS doc_id, CAST(d.d AS BIGINT) AS degree,
+  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+  CAST(round(CASE WHEN d.d >= 2
+      THEN CAST(2 AS DOUBLE) * coalesce(tc.t, 0) / (d.d * (d.d - 1))
+      ELSE CAST(0 AS DOUBLE) END, 6) AS DOUBLE) AS clustering_coeff
+FROM deg d LEFT JOIN tc ON tc.v = d.v
+""",
+)
+def q_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact per-node triangle counts + local clustering coefficient over
+    # the symmetrized minhash-LSH near-dup graph — the density signal
+    # that separates clique-like template families from chains of
+    # pairwise-coincidental overlap (PageRank ranks, this certifies
+    # cohesion). Degree-ordered orientation bounds the wedge join's
+    # per-key fanout at O(sqrt(m)) — see operators/graph.py:
+    # triangle_stats. The oracle replays the identical orientation and
+    # wedge closure, so every count and coefficient is hash-compared.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return gr.triangle_stats(edges).select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        "clustering_coeff",
+    )
+
+
 def _dedup_representatives_oracle(iters: int = 10, max_id: int = 200) -> str:
     # Composition oracle: the SAME pairs CTE feeds both the transitive
     # closure (components) and the unrolled PageRank; the

@@ -1416,3 +1416,23 @@ def test_duplicate_spans_island_merge(spark):
         assert out[i]["dup_tokens"] == 7  # 4 + 3
         assert out[i]["longest_span"] == 4
         assert abs(out[i]["dup_token_frac"] - round(7 / 11, 6)) < 1e-9
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 plus one pendant: every clique corner sits in exactly 3
+    # triangles; the corner carrying the pendant has degree 4 so its
+    # coefficient halves; the pendant has no wedge at all. Exercises
+    # orientation ties (equal degrees inside the clique) and the
+    # left-join zero-fill.
+    from opensea_datapipeline_spark.operators.graph import triangle_stats
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert {v: out[v]["n_triangles"] for v in sorted(out)} == {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 0,
+    }
+    assert out[1]["degree"] == 4 and out[5]["degree"] == 1
+    assert abs(out[1]["clustering_coeff"] - 0.5) < 1e-9
+    assert out[2]["clustering_coeff"] == 1.0
+    assert out[5]["clustering_coeff"] == 0.0
