@@ -1136,3 +1136,41 @@ def duplicate_token_spans(
             F.sum("_len").cast("double") / F.max("_nt"), 6
         ).alias("dup_token_frac"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    *,
+    top: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE training step's candidate scoring (Sennrich et al. 2016):
+    corpus-wide frequencies of adjacent character pairs inside words —
+    the pair a byte-pair-encoding tokenizer would merge next is the
+    argmax. Token counting / chunking already exist as consumers of a
+    FIXED tokenizer; this is the operator a pipeline needs to TRAIN one
+    on its own corpus.
+
+    Plan: explode words, explode in-word adjacent positions (codegen
+    sequence/substring — the row count is the corpus character volume,
+    the same order as every other gram pass), then ONE partial-agg
+    groupBy whose key space is bounded by charset² (tiny), finished by
+    TakeOrderedAndProject. Nothing driver-side; the full merge LOOP
+    re-tokenizes per step and belongs to a driver iteration over this
+    operator, same discipline as pagerank's fixed-count iterations.
+
+    Returns ``top`` rows (pair, n) ordered (n desc, pair asc) —
+    all-integer, hash-exact cross-engine.
+    """
+    w = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substr(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top)
+    )

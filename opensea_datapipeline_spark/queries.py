@@ -6455,6 +6455,29 @@ def q_duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_merge_candidates",
+    """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM w, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 25
+""",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE tokenizer-training step: corpus-wide adjacent-character-pair
+    # frequencies inside words, top 25 — the merge a byte-pair encoder
+    # learns next. One codegen double-explode + a partial-agg groupBy
+    # over a charset²-bounded key space + TakeOrderedAndProject; see
+    # operators/text.py:bpe_pair_counts.
+    d = _t(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(d, top=25)
+
+
+@_register(
     "token_entropy",
     """
 WITH tok AS (
