@@ -1174,3 +1174,82 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top)
     )
+
+
+def span_cut_corpus(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup: rewrite every
+    document with its cross-doc duplicated n-gram spans REMOVED (the
+    C4 "seen-before span" cut / Lee et al. 2022 substring cut, applied
+    symmetrically — every copy drops the shared passage, the
+    deterministic order-free form a distributed engine can grade;
+    keep-one-copy is this composed with an owner election à la
+    dedup_representatives). ``duplicate_token_spans`` reports the
+    spans; this emits the cleaned corpus a training run actually reads.
+
+    Plan: the same gram pass as duplicate_token_spans marks duplicated
+    hits (ONE gram equi-shuffle; ``hashed=True`` collapses the gram key
+    to xxhash64 map-side at 100 TB), each dup hit explodes to its ≤ n
+    covered token positions (clean corpus regions never expand), a
+    distinct builds the per-doc cut set, a left ANTI join drops cut
+    positions, and an ordered re-assembly
+    (array_join∘transform∘array_sort∘collect_list(struct(pos, tok)))
+    rebuilds the text — positions are unique per doc so the sort is
+    total and the rebuild deterministic. Every shuffle is keyed by gram
+    or doc id; nothing is SinglePartition.
+
+    Docs with no duplicated gram pass through VERBATIM; a doc cut down
+    to nothing keeps a row with empty text. NULL-text docs are out of
+    contract (filtered, same as the oracle). Returns
+    (id, text, n_tokens_removed).
+    """
+    from pyspark.sql import Window
+
+    src = docs.filter(F.col(text_col).isNotNull())
+    toks = src.select(id_col, F.split(F.col(text_col), " ").alias("_ts"))
+    pos = toks.select(
+        id_col, F.posexplode("_ts").alias("_p0", "_tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_tok")
+
+    idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
+    gram = F.xxhash64(gram_str) if hashed else gram_str
+    hits = (
+        toks.filter(F.size("_ts") >= n)
+        .select(id_col, F.explode(idx).alias("_i"), "_ts")
+        .select(id_col, "_i", gram.alias("_g"))
+    )
+    wg = Window.partitionBy("_g")
+    dup_hits = (
+        hits.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "_i")
+    )
+    cut = dup_hits.select(
+        id_col,
+        F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias("_p"),
+    ).distinct()
+
+    kept = pos.join(cut, [id_col, "_p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(_p, _tok))),"
+            " x -> x._tok), ' ')"
+        ).alias("_text"),
+    )
+    total = toks.select(id_col, F.size("_ts").alias("_n_total"))
+    return total.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

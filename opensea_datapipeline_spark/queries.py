@@ -6455,6 +6455,51 @@ def q_duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "span_cut_corpus",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT doc_id, i AS p, ts[i] AS tok
+  FROM toks, unnest(generate_series(1, len(ts))) AS u(i)),
+hits AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(0, len(ts) - 7))) AS u(i)),
+dup AS (
+  SELECT doc_id, i FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY g) AS mn,
+              max(doc_id) OVER (PARTITION BY g) AS mx FROM hits)
+  WHERE mn <> mx),
+cut AS (
+  SELECT DISTINCT doc_id, i + o AS p
+  FROM dup, unnest(generate_series(0, 7)) AS v(o)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM cut
+                    WHERE cut.doc_id = pos.doc_id AND cut.p = pos.p)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(tok, ' ' ORDER BY p) AS text
+  FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, len(ts) AS n_total FROM toks)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+  CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+""",
+)
+def q_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The actionable exact-substring dedup: every cross-doc duplicated
+    # 8-gram span is CUT from every copy and the text rebuilt — the
+    # cleaned corpus a training run reads, graded on the FULL rewritten
+    # string per doc (the oracle re-assembles via string_agg ORDER BY
+    # position, Spark via array_sort(collect_list(struct))) — see
+    # operators/text.py:span_cut_corpus.
+    d = _t(spark, sf_dir, "documents")
+    return tx.span_cut_corpus(d, n=8)
+
+
+@_register(
     "bpe_merge_candidates",
     """
 WITH w AS (

@@ -1436,3 +1436,28 @@ def test_triangle_stats_known_graph(spark):
     assert abs(out[1]["clustering_coeff"] - 0.5) < 1e-9
     assert out[2]["clustering_coeff"] == 1.0
     assert out[5]["clustering_coeff"] == 0.0
+
+
+def test_span_cut_consistent_with_span_report(spark, sf_dir):
+    # The cut corpus and the span report must agree doc-by-doc:
+    # n_tokens_removed == the report's dup_tokens for every flagged doc,
+    # zero removals (verbatim text) for every unflagged doc, and no doc
+    # gained or lost. Cross-operator structural grade on real testdata.
+    from opensea_datapipeline_spark.operators.text import (
+        duplicate_token_spans,
+        span_cut_corpus,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in duplicate_token_spans(d, n=8).collect()
+    }
+    cut = {r["doc_id"]: r for r in span_cut_corpus(d, n=8).collect()}
+    raw = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    assert set(cut) == {k for k, v in raw.items() if v is not None}
+    for doc, row in cut.items():
+        assert row["n_tokens_removed"] == spans.get(doc, 0), doc
+        if doc not in spans:
+            assert row["text"] == raw[doc], doc
