@@ -23,6 +23,7 @@ from .operators import aggregates as agg
 from .operators import dedup as dd
 from .operators import graph as gr
 from .operators import joins as jn
+from .operators import sketches as sk
 from .operators import similarity as sim
 from .operators import text as tx
 from .operators import windows as win
@@ -6376,6 +6377,94 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle with a candidate set bounded by 8k per partition.
     e = _t(spark, sf_dir, "events")
     return agg.heavy_hitters(e, "user_id", k=250, top=10)
+
+
+@_register(
+    "countmin_user_frequency",
+    """
+WITH ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1 ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+cells AS (
+  SELECT t.j,
+    CAST(concat('0x', substr(md5(concat('cm-v1_', CAST(t.j AS VARCHAR), '_',
+      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+  WHERE user_id IS NOT NULL),
+cm AS (SELECT j, b, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+pc AS (
+  SELECT e.user_id, e.n_exact, t.j,
+    CAST(concat('0x', substr(md5(concat('cm-v1_', CAST(t.j AS VARCHAR), '_',
+      CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM ex e, unnest([0, 1, 2, 3]) AS t(j))
+SELECT pc.user_id, pc.n_exact,
+  CAST(min(cm.n) AS BIGINT) AS cm_est,
+  CAST(min(cm.n) - pc.n_exact AS BIGINT) AS overestimate
+FROM pc JOIN cm ON cm.j = pc.j AND cm.b = pc.b
+GROUP BY 1, 2
+""",
+)
+def q_countmin_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min frequency sketch, deterministically hashed (md5) so the
+    # ORACLE REPLAYS THE SKETCH ITSELF: 4×1024 counters built in one
+    # pass whose map-side partial agg collapses the stream to ≤ 4096
+    # rows per task before the exchange, probed for the exact top-20
+    # users; overestimate = est − exact is the graded error surface
+    # (provably ≥ 0). The bounded-state sibling of heavy_hitter_users —
+    # see operators/sketches.py.
+    e = _t(spark, sf_dir, "events")
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = sk.count_min_estimates(
+        e, "user_id", exact.select("user_id"), depth=4, width=1024
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        F.col("est").alias("cm_est"),
+        (F.col("est") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )
+
+
+@_register(
+    "kmv_distinct_users",
+    """
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv-v1_',
+    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+bot AS (SELECT h FROM h ORDER BY h LIMIT 64),
+kth AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS m_k FROM bot),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM events WHERE user_id IS NOT NULL)
+SELECT ex.n_exact, CAST(64 AS BIGINT) AS k, kth.m_k,
+  CAST(round(CASE WHEN kth.n_kept < 64 THEN CAST(kth.n_kept AS DOUBLE)
+    ELSE CAST(63 AS DOUBLE)
+      / (CAST(kth.m_k AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+    END, 6) AS DOUBLE) AS estimate
+FROM ex, kth
+""",
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV / bottom-k distinct-count sketch, md5-hashed so the estimate
+    # is REPLAYED by the oracle (same m_k, same IEEE division) — the
+    # deterministic sibling of approx_distinct_users' HLL structural
+    # grade. The candidate pass is a per-partition k-min-distinct
+    # mapInPandas (state O(k), emits ≤ k rows/partition, lossless by
+    # the TakeOrdered argument); n_exact is the comparison column —
+    # see operators/sketches.py:kmv_distinct.
+    e = _t(spark, sf_dir, "events")
+    kmv = sk.kmv_distinct(e, "user_id", k=64)
+    exact = e.filter(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(kmv).select("n_exact", "k", "m_k", "estimate")
 
 
 @_register(

@@ -1461,3 +1461,46 @@ def test_span_cut_consistent_with_span_report(spark, sf_dir):
         assert row["n_tokens_removed"] == spans.get(doc, 0), doc
         if doc not in spans:
             assert row["text"] == raw[doc], doc
+
+
+def test_count_min_never_underestimates(spark):
+    # CM's one-sided guarantee: est >= exact for EVERY probed key, and
+    # exact equality on a sketch wide enough that the planted keys
+    # cannot collide-saturate (200 distinct keys into 4x1024 counters).
+    from opensea_datapipeline_spark.operators.sketches import (
+        count_min_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i % 200}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["key"])
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    est = count_min_estimates(df, "key", exact.select("key"))
+    joined = exact.join(est, "key").collect()
+    assert len(joined) == 200
+    assert all(r["est"] >= r["n"] for r in joined)
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    # Fewer distinct values than k: the bottom-k set IS the distinct
+    # set, and the operator must report the exact count, not an
+    # extrapolation.
+    from opensea_datapipeline_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(f"u{i % 10}",) for i in range(500)], ["u"]
+    )
+    row = kmv_distinct(df, "u", k=64).collect()[0]
+    assert row["estimate"] == 10.0
+
+
+def test_kmv_estimate_within_error_band(spark):
+    # 5,000 planted distinct keys, k=256: rel error ~ 1/sqrt(254) ≈ 6%;
+    # assert a generous 4-sigma band so the test never flakes (the
+    # estimate is DETERMINISTIC — this pins the md5 pipeline end to
+    # end, not randomness).
+    from opensea_datapipeline_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], ["u"])
+    row = kmv_distinct(df, "u", k=256).collect()[0]
+    assert abs(row["estimate"] - 5000) / 5000 < 0.25
