@@ -115,6 +115,11 @@ HEADLINE = [
     "association_rules",        # market-basket lift, cached basket fan-out (r8)
     "session_window_stats",     # native SessionWindow merge (r8)
     "ewma_daily",               # exponential smoothing, ratio-of-running-sums (r8)
+    "duplicate_token_spans",    # Lee-et-al dup-span report: gram window +
+                                # island merge (r10)
+    "span_cut_corpus",          # actionable substring cut + text rebuild (r10)
+    "countmin_user_frequency",  # CM sketch build: map-side-collapsed
+                                # 4x1024 counters + broadcast probe (r10)
     "nb_quality_classifier",    # in-plan naive-Bayes BOW filter (r10).
                                 # containment_* queries are NOT headliners by
                                 # the corpus_curation_near_dup precedent: the
