@@ -163,3 +163,85 @@ def kmv_distinct(
         .otherwise(est)
         .alias("estimate"),
     )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    *,
+    k: int = 64,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Grouped KMV: one bottom-k distinct-count sketch PER GROUP — the
+    column-profiler shape ("distinct users per event type / distinct
+    values per partition") that an exact countDistinct answers with a
+    full-cardinality shuffle per group.
+
+    Same lossless two-phase plan as :func:`kmv_distinct`, grouped: the
+    mapInPandas candidate pass keeps k smallest distinct hashes per
+    (partition, group) — state O(k·groups-per-partition), emission
+    ≤ k·groups rows per partition — then the exact finish re-ranks the
+    candidate union with a group-partitioned row_number window (never
+    SinglePartition; the window input is candidate-sized, not
+    stream-sized). Groups with < k distinct values report exactly.
+
+    Returns one row per group: (group_col, k, m_k, estimate).
+    """
+    import pandas as pd  # Arrow seam only
+
+    from pyspark.sql import Window
+
+    h = df.filter(
+        F.col(col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        _h15(F.concat(F.lit(f"{salt}_"), F.col(col).cast("string"))).alias(
+            "h"
+        ),
+    )
+
+    def local_kmin(batches):
+        best: dict = {}
+        for b in batches:
+            for g, v in zip(b["g"].to_numpy(), b["h"].to_numpy()):
+                s = best.setdefault(g, set())
+                s.add(int(v))
+                if len(s) > 4 * k:
+                    best[g] = set(sorted(s)[:k])
+        if best:
+            rows = [
+                (g, v) for g, s in best.items() for v in sorted(s)[:k]
+            ]
+            yield pd.DataFrame(rows, columns=["g", "h"])
+
+    g_field = h.schema["g"].dataType
+    cand = h.mapInPandas(
+        local_kmin,
+        schema=T.StructType(
+            [T.StructField("g", g_field), T.StructField("h", T.LongType())]
+        ),
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    kth = (
+        cand.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").alias("m_k"),
+        )
+    )
+    est = F.round(
+        F.lit(float(k - 1)) / (F.col("m_k").cast("double") / F.lit(_HEX15_SPAN)),
+        6,
+    )
+    return kth.select(
+        F.col("g").alias(group_col),
+        F.lit(k).cast("long").alias("k"),
+        F.col("m_k"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(est)
+        .alias("estimate"),
+    )

@@ -2845,6 +2845,48 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_kmv_distinct_users",
+    """
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv-v1_',
+    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+bot AS (SELECT h FROM h ORDER BY h LIMIT 64),
+kth AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS m_k FROM bot)
+SELECT CAST(64 AS BIGINT) AS k, kth.m_k,
+  CAST(round(CASE WHEN kth.n_kept < 64 THEN CAST(kth.n_kept AS DOUBLE)
+    ELSE CAST(63 AS DOUBLE)
+      / (CAST(kth.m_k AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+    END, 6) AS DOUBLE) AS estimate
+FROM kth
+""",
+)
+def q_streaming_kmv_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Streaming KMV: the bottom-k hash state maintained across 3
+    # idempotent foreachBatch merges (streaming/sketch.py). Bottom-k
+    # summaries merge losslessly, so the final estimate must equal the
+    # one-shot batch sketch EXACTLY — the oracle replays the batch
+    # sketch over all events; batch slicing must not move m_k at all.
+    import tempfile
+
+    from .sources.readers import load_table
+    from .streaming.sketch import run_streaming_kmv
+
+    src = tempfile.mkdtemp(prefix="kmv_src_")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    return run_streaming_kmv(
+        spark, src,
+        tempfile.mkdtemp(prefix="kmv_state_"),
+        tempfile.mkdtemp(prefix="kmv_ckpt_"),
+        key_col="user_id", k=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, sessionization, neighbor peer windows (operators Spark lacks,
 # composed from primitives — SURVEY.md §2.3 J7/J8 + streaming-shaped batch)
@@ -6465,6 +6507,52 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
     return exact.crossJoin(kmv).select("n_exact", "k", "m_k", "estimate")
+
+
+@_register(
+    "kmv_distinct_by_type",
+    """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST(concat('0x', substr(md5(concat('kmv-v1_',
+      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h),
+kth AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS m_k
+  FROM r WHERE rn <= 64 GROUP BY 1),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1)
+SELECT ex.event_type, ex.n_exact, CAST(64 AS BIGINT) AS k, kth.m_k,
+  CAST(round(CASE WHEN kth.n_kept < 64 THEN CAST(kth.n_kept AS DOUBLE)
+    ELSE CAST(63 AS DOUBLE)
+      / (CAST(kth.m_k AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+    END, 6) AS DOUBLE) AS estimate
+FROM ex JOIN kth ON kth.event_type = ex.event_type
+""",
+)
+def q_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped KMV: one bottom-k distinct-user sketch PER event type —
+    # the column-profiler shape. Candidate pass keeps k smallest
+    # distinct hashes per (partition, group); the exact finish re-ranks
+    # candidates under a group-partitioned window (candidate-sized
+    # input). n_exact per group is the graded comparison column — see
+    # operators/sketches.py:kmv_distinct_by_group.
+    e = _t(spark, sf_dir, "events")
+    kmv = sk.kmv_distinct_by_group(e, "event_type", "user_id", k=64)
+    exact = (
+        e.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return exact.join(kmv, "event_type").select(
+        "event_type", "n_exact", "k", "m_k", "estimate"
+    )
 
 
 @_register(

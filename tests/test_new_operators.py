@@ -1504,3 +1504,46 @@ def test_kmv_estimate_within_error_band(spark):
     df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], ["u"])
     row = kmv_distinct(df, "u", k=256).collect()[0]
     assert abs(row["estimate"] - 5000) / 5000 < 0.25
+
+
+def test_streaming_kmv_merge_equals_batch_and_replay_noop(spark, tmp_path):
+    # Bottom-k summaries merge losslessly: the streaming state after 4
+    # micro-batches must yield the IDENTICAL (m_k, estimate) to the
+    # one-shot batch sketch over the same rows; every committed version
+    # holds <= k rows (bounded state); replaying the whole stream with
+    # the same state dir but a fresh checkpoint is a byte-level no-op.
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.sketches import kmv_distinct
+    from opensea_datapipeline_spark.streaming.sketch import run_streaming_kmv
+
+    rows = [(i % 777, 1.0) for i in range(6000)]
+    src = str(tmp_path / "src")
+    df = (
+        spark.createDataFrame(rows, "user_id long, value double")
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("user_id"))
+        )
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    state_dir = str(tmp_path / "state")
+    stream_row = run_streaming_kmv(
+        spark, src, state_dir, str(tmp_path / "ckpt1"),
+        key_col="user_id", k=64,
+    ).collect()[0]
+    batch_row = kmv_distinct(
+        spark.read.parquet(src), "user_id", k=64
+    ).collect()[0]
+    assert stream_row["m_k"] == batch_row["m_k"]
+    assert stream_row["estimate"] == batch_row["estimate"]
+    for vdir in _g.glob(state_dir + "/batch_*"):
+        assert spark.read.parquet(vdir).count() <= 64, vdir
+    replay = run_streaming_kmv(
+        spark, src, state_dir, str(tmp_path / "ckpt2"),
+        key_col="user_id", k=64,
+    ).collect()[0]
+    assert (replay["m_k"], replay["estimate"]) == (
+        stream_row["m_k"], stream_row["estimate"],
+    )
