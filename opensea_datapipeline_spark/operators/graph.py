@@ -143,8 +143,21 @@ def triangle_stats(
     clustering_coeff = 2T/deg(deg-1), rounded; 0.0 for degree-1 nodes).
     All-integer arithmetic plus one rounded division — hash-exact
     cross-engine.
+
+    Input hygiene: the edge list is canonicalized here — (a,b)/(b,a)
+    collapse to one undirected edge and self-loops are dropped — so a
+    SYMMETRIZED list (the form pagerank consumes) counts identically to
+    the one-per-pair form; without this, a symmetrized input doubles
+    every degree and octuples triangle counts.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
     nodes = e.select(F.col("a").alias("v")).unionAll(
         e.select(F.col("b").alias("v"))
     )

@@ -1056,6 +1056,51 @@ def score_nb_token_model(
     )
 
 
+def _cross_doc_dup_hits(
+    toks: DataFrame,
+    *,
+    n: int,
+    id_col: str,
+    hashed: bool,
+    with_ntokens: bool = False,
+) -> DataFrame:
+    """Shared core of duplicate_token_spans / span_cut_corpus: from a
+    (id, _ts token-array) frame, the positions of every n-gram that also
+    occurs in at least one OTHER document. One codegen explode-index+
+    slice gram projection (xxhash64-collapsed map-side when ``hashed``)
+    and ONE gram-partitioned min/max window — the single data-sized
+    equi-shuffle of both operators. Keeping this in one place keeps the
+    span REPORT and the span CUT definitionally in lockstep (same gram
+    key, same short-doc filter, same cross-doc test).
+
+    Returns (id_col, [_nt,] _i) rows; ``_nt`` (the doc's token count)
+    is carried through when ``with_ntokens``.
+    """
+    from pyspark.sql import Window
+
+    carry = [F.size("_ts").alias("_nt")] if with_ntokens else []
+    idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
+    gram = F.xxhash64(gram_str) if hashed else gram_str
+    hits = (
+        toks.filter(F.size("_ts") >= n)
+        .select(id_col, *carry, F.explode(idx).alias("_i"), "_ts")
+        .select(
+            id_col,
+            *(["_nt"] if with_ntokens else []),
+            "_i",
+            gram.alias("_g"),
+        )
+    )
+    wg = Window.partitionBy("_g")
+    return (
+        hits.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, *(["_nt"] if with_ntokens else []), "_i")
+    )
+
+
 def duplicate_token_spans(
     docs: DataFrame,
     *,
@@ -1098,24 +1143,10 @@ def duplicate_token_spans(
 
     toks = docs.select(
         id_col, F.split(F.col(text_col), " ").alias("_ts")
-    ).filter(F.size("_ts") >= n)
-    idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
-    gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
-    gram = F.xxhash64(gram_str) if hashed else gram_str
-    hits = toks.select(
-        id_col,
-        F.size("_ts").alias("_nt"),
-        F.explode(idx).alias("_i"),
-        "_ts",
-    ).select(id_col, "_nt", "_i", gram.alias("_g"))
-
-    wg = Window.partitionBy("_g")
-    dup = (
-        hits.withColumn("_mn", F.min(id_col).over(wg))
-        .withColumn("_mx", F.max(id_col).over(wg))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select(id_col, "_nt", "_i", (F.col("_i") + (n - 1)).alias("_e"))
     )
+    dup = _cross_doc_dup_hits(
+        toks, n=n, id_col=id_col, hashed=hashed, with_ntokens=True
+    ).withColumn("_e", F.col("_i") + (n - 1))
     wd = Window.partitionBy(id_col).orderBy("_i")
     prev_end = F.max("_e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
     isl = dup.withColumn(
@@ -1209,29 +1240,13 @@ def span_cut_corpus(
     contract (filtered, same as the oracle). Returns
     (id, text, n_tokens_removed).
     """
-    from pyspark.sql import Window
-
     src = docs.filter(F.col(text_col).isNotNull())
     toks = src.select(id_col, F.split(F.col(text_col), " ").alias("_ts"))
     pos = toks.select(
         id_col, F.posexplode("_ts").alias("_p0", "_tok")
     ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_tok")
 
-    idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
-    gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
-    gram = F.xxhash64(gram_str) if hashed else gram_str
-    hits = (
-        toks.filter(F.size("_ts") >= n)
-        .select(id_col, F.explode(idx).alias("_i"), "_ts")
-        .select(id_col, "_i", gram.alias("_g"))
-    )
-    wg = Window.partitionBy("_g")
-    dup_hits = (
-        hits.withColumn("_mn", F.min(id_col).over(wg))
-        .withColumn("_mx", F.max(id_col).over(wg))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select(id_col, "_i")
-    )
+    dup_hits = _cross_doc_dup_hits(toks, n=n, id_col=id_col, hashed=hashed)
     cut = dup_hits.select(
         id_col,
         F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias("_p"),

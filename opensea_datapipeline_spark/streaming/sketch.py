@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from ..operators.sketches import _HEX15_SPAN, _h15
 from ..sources.readers import ensure_reader_confs, normalize_event_time
-from .gold import _read_meta, _write_meta, latest_committed_batch
+from .gold import _read_meta, _recover_meta, _write_meta
 
 
 def batch_bottom_k(df: DataFrame, key_col: str, k: int, salt: str) -> DataFrame:
@@ -99,10 +99,11 @@ def run_streaming_kmv(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_meta(state_dir)
         if not meta:
-            found = latest_committed_batch(state_dir)
-            if found is not None:
-                latest, last_id = found
-                meta = {"last_batch_id": last_id, "version_dir": latest}
+            # meta lost but committed versions exist: gold-table recovery
+            # (the bottom-k state is self-contained, so — unlike topk's
+            # eps sidecar — the version dir alone is the whole state)
+            meta = _recover_meta(state_dir)
+            if meta:
                 _write_meta(state_dir, meta)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged (idempotence)

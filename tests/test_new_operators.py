@@ -1547,3 +1547,67 @@ def test_streaming_kmv_merge_equals_batch_and_replay_noop(spark, tmp_path):
     assert (replay["m_k"], replay["estimate"]) == (
         stream_row["m_k"], stream_row["estimate"],
     )
+
+
+def test_triangle_stats_symmetrized_and_self_loop_input(spark):
+    # Input hygiene (r10 review): the SYMMETRIZED edge form (both
+    # directions present — what pagerank consumes) and self-loops must
+    # count identically to the canonical one-row-per-pair form; without
+    # canonicalization a symmetrized triangle octuples.
+    from opensea_datapipeline_spark.operators.graph import triangle_stats
+
+    canon = [(1, 2), (1, 3), (2, 3)]
+    messy = (
+        canon
+        + [(b, a) for a, b in canon]   # symmetrized duplicates
+        + [(1, 1), (3, 3)]             # self-loops
+    )
+    want = {
+        r["node"]: tuple(r)
+        for r in triangle_stats(
+            spark.createDataFrame(canon, ["src", "dst"])
+        ).collect()
+    }
+    got = {
+        r["node"]: tuple(r)
+        for r in triangle_stats(
+            spark.createDataFrame(messy, ["src", "dst"])
+        ).collect()
+    }
+    assert got == want
+    assert all(r[2] == 1 for r in want.values())  # one triangle each
+
+
+def test_streaming_kmv_lost_meta_recovers_history(spark, tmp_path):
+    # Delete the meta file between runs: the next run must recover the
+    # base and batch id from the newest committed version (gold-table
+    # _recover_meta — the bottom-k state is self-contained, no sidecar),
+    # skip the replayed batches, and land on the identical state.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.streaming.sketch import run_streaming_kmv
+
+    rows = [(i % 300, 1.0) for i in range(3000)]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "user_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000)))
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "state")
+    first = run_streaming_kmv(
+        spark, src, state_dir, str(tmp_path / "ckpt1"),
+        key_col="user_id", k=64,
+    ).collect()[0]
+    os.remove(os.path.join(state_dir, "_gold_meta.json"))
+    again = run_streaming_kmv(
+        spark, src, state_dir, str(tmp_path / "ckpt2"),
+        key_col="user_id", k=64,
+    ).collect()[0]
+    assert (again["m_k"], again["estimate"]) == (
+        first["m_k"], first["estimate"],
+    )

@@ -330,3 +330,50 @@ def test_streaming_mg_merge_bounds_any_slicing(spark, stream, cuts, cap):
     for k, t in true.items():
         if k not in stored:
             assert t <= eps, (k, t, eps)
+
+
+@given(
+    stream=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(1, 59), max_size=3),
+    k=st.integers(2, 16),
+)
+@SETTINGS
+def test_streaming_bottom_k_merge_lossless_any_slicing(spark, stream, cuts, k):
+    # Mergeable-summaries property for the streaming KMV state: for ANY
+    # batch slicing of ANY stream and ANY k, folding the batches through
+    # merge_bottom_k must land on EXACTLY the one-shot bottom-k distinct
+    # hash set of the whole stream (bottom-k merges without loss), and
+    # the state never exceeds k rows.
+    from opensea_datapipeline_spark.operators.sketches import _h15
+    from opensea_datapipeline_spark.streaming.sketch import (
+        batch_bottom_k,
+        merge_bottom_k,
+    )
+    from pyspark.sql import functions as F
+
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    slices = []
+    prev = 0
+    for b in bounds + [len(stream)]:
+        if b > prev:
+            slices.append(stream[prev:b])
+            prev = b
+    state = None
+    for batch in slices:
+        df = spark.createDataFrame(
+            [(v, 1.0) for v in batch], "user_id long, value double"
+        )
+        state = merge_bottom_k(
+            state, batch_bottom_k(df, "user_id", k, "kmv-v1"), k
+        )
+        assert state.count() <= k
+    got = sorted(r.h for r in state.collect())
+    whole = spark.createDataFrame(
+        [(v,) for v in stream], "user_id long"
+    ).select(
+        _h15(F.concat(F.lit("kmv-v1_"), F.col("user_id").cast("string"))).alias("h")
+    )
+    want = sorted(
+        r.h for r in whole.distinct().orderBy("h").limit(k).collect()
+    )
+    assert got == want
