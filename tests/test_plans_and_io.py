@@ -1160,3 +1160,29 @@ def test_duplicate_spans_plan(spark, sf_dir):
             "windowspecdefinition(doc_id" in line
         ), line
     assert "Exchange SinglePartition" not in plan
+
+
+def test_kmv_candidate_pass_no_upstream_shuffle(spark, sf_dir):
+    # The KMV candidate pass must be a mapInPandas DIRECTLY over the
+    # scan — an Exchange upstream would shuffle the stream before the
+    # O(k)-state reduction, defeating the sketch (the heavy_hitters
+    # pin, applied to the cardinality sibling). The grouped form gets
+    # the same pin.
+    from opensea_datapipeline_spark.operators.sketches import (
+        _h15,
+        kmv_distinct,
+        kmv_distinct_by_group,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    for df in (
+        kmv_distinct(e, "user_id", k=16),
+        kmv_distinct_by_group(e, "event_type", "user_id", k=16),
+    ):
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        lines = plan.splitlines()
+        mip = max(i for i, l in enumerate(lines) if "MapInPandas" in l)
+        below = "\n".join(lines[mip:])  # deeper in the tree = upstream
+        assert "Exchange" not in below, below
