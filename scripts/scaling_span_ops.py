@@ -33,6 +33,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    if "--skew" in sys.argv:
+        skew_leg()
+        return
     scales = [1, 10]
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
@@ -69,6 +72,41 @@ def main() -> None:
         legs.append(row)
         print(json.dumps(row))
     print(json.dumps({"legs": legs}))
+
+
+
+
+def skew_leg(mult: int = 10) -> None:
+    """Planted hot-gram skew: every doc carries the same 50-token
+    boilerplate tail, so its ~43 8-grams are shared by ALL docs. The
+    window strategy funnels every hit of each hot gram into one task;
+    the join strategy collapses them map-side and broadcast-joins the
+    tiny dup-gram set."""
+    spark = get_spark(
+        "scaling-span-skew", extra_configs={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, SF_DIR, "documents")
+    boiler = " ".join(f"boil{i}" for i in range(50))
+    out = tempfile.mkdtemp(prefix=f"docs_skew_{mult}x_")
+    scaled_docs(base, mult).select(
+        "doc_id", F.concat_ws(" ", "text", F.lit(boiler)).alias("text")
+    ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    row = {"mult": mult, "n_docs": docs.count(), "skew": "50-token shared tail", "ops": []}
+    for strat in ("window", "join"):
+        row["ops"].append(
+            measure(
+                spark,
+                lambda: duplicate_token_spans(
+                    docs, n=8, hashed=True, strategy=strat
+                ),
+                f"dup_spans[hashed,{strat}]",
+            )
+        )
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -1611,3 +1611,27 @@ def test_streaming_kmv_lost_meta_recovers_history(spark, tmp_path):
     assert (again["m_k"], again["estimate"]) == (
         first["m_k"], first["estimate"],
     )
+
+
+def test_dup_hits_strategies_match(spark, sf_dir):
+    # The "join" skew path (groupBy-collapsed dup-gram set + filtered
+    # join) must produce IDENTICAL spans and cut corpora to the graded
+    # "window" form, hashed or not.
+    from opensea_datapipeline_spark.operators.text import (
+        duplicate_token_spans,
+        span_cut_corpus,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for hashed in (False, True):
+        assert rows(
+            duplicate_token_spans(d, n=8, hashed=hashed, strategy="join")
+        ) == rows(duplicate_token_spans(d, n=8, hashed=hashed))
+    assert rows(span_cut_corpus(d, n=8, strategy="join")) == rows(
+        span_cut_corpus(d, n=8)
+    )
