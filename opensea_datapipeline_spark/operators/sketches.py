@@ -50,27 +50,26 @@ def count_min_estimates(
     broadcast sketch. All-integer arithmetic; the bucket hash is
     md5-derived so the DuckDB oracle replays it bit-for-bit.
 
+    The ``depth`` rows slice ONE md5 per input row into disjoint 8-hex
+    (32-bit) windows rather than paying ``depth`` md5 evaluations — the
+    build is hash-CPU-bound (measured: 4×md5 cost ~5.7 s vs the 1.1 s
+    exact groupBy at 10M rows), the slices are each uniform, and the
+    per-row independence CM needs across rows is md5's. ``depth`` ≤ 4
+    (32 hex chars / 8).
+
     Returns one row per probe key: (col, est) — callers join exact
     counts alongside where they want the error surfaced.
     """
+    if depth > 4:
+        raise ValueError("depth > 4 needs more than one md5 (32 hex / 8)")
+    digest = F.md5(F.concat(F.lit(f"{salt}_"), F.col(col).cast("string")))
     cells = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
                 (
                     F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{salt}_{j}_"),
-                                    F.col(col).cast("string"),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
+                        F.substring(digest, 1 + 8 * j, 8), 16, 10
                     ).cast("long")
                     % width
                 ).alias("b"),

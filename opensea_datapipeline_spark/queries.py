@@ -6430,15 +6430,15 @@ WITH ex AS (
   GROUP BY 1 ORDER BY n_exact DESC, user_id ASC LIMIT 20),
 cells AS (
   SELECT t.j,
-    CAST(concat('0x', substr(md5(concat('cm-v1_', CAST(t.j AS VARCHAR), '_',
-      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS b
+    CAST(concat('0x', substr(md5(concat('cm-v1_',
+      CAST(user_id AS VARCHAR))), 1 + 8 * t.j, 8)) AS BIGINT) % 1024 AS b
   FROM events, unnest([0, 1, 2, 3]) AS t(j)
   WHERE user_id IS NOT NULL),
 cm AS (SELECT j, b, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
 pc AS (
   SELECT e.user_id, e.n_exact, t.j,
-    CAST(concat('0x', substr(md5(concat('cm-v1_', CAST(t.j AS VARCHAR), '_',
-      CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS b
+    CAST(concat('0x', substr(md5(concat('cm-v1_',
+      CAST(e.user_id AS VARCHAR))), 1 + 8 * t.j, 8)) AS BIGINT) % 1024 AS b
   FROM ex e, unnest([0, 1, 2, 3]) AS t(j))
 SELECT pc.user_id, pc.n_exact,
   CAST(min(cm.n) AS BIGINT) AS cm_est,
