@@ -6556,6 +6556,68 @@ def q_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sketch_column_profile",
+    """
+WITH m AS (
+  SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+  UNION ALL
+  SELECT 'event_date', strftime(CAST(ts AS DATE), '%Y-%m-%d') FROM events),
+prof AS (
+  SELECT col_name, CAST(count(val) AS BIGINT) AS n_nonnull,
+         CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_exact
+  FROM m GROUP BY 1),
+h AS (
+  SELECT DISTINCT col_name,
+    CAST(concat('0x', substr(md5(concat('kmv-v1_', val)), 1, 15))
+      AS BIGINT) AS h
+  FROM m WHERE val IS NOT NULL),
+r AS (
+  SELECT col_name, h,
+    row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+  FROM h),
+kth AS (
+  SELECT col_name, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS m_k
+  FROM r WHERE rn <= 64 GROUP BY 1)
+SELECT p.col_name, p.n_nonnull, p.n_nulls, p.n_exact,
+  CAST(round(CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+    ELSE CAST(63 AS DOUBLE)
+      / (CAST(k.m_k AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+    END, 6) AS DOUBLE) AS kmv_estimate
+FROM prof p JOIN kth k ON k.col_name = p.col_name
+""",
+)
+def q_sketch_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch-composed column profiler: ONE unpivot scan (stack — a
+    # codegen projection, not 3 scans) melts selected columns to
+    # (col_name, val) rows; nulls/exact-distinct come from one grouped
+    # agg and the cardinality estimate from the grouped KMV over the
+    # same melted frame. The profile-every-column-of-a-100TB-table
+    # shape: scan count is independent of column count, and the sketch
+    # state is O(k) per column. String-safe columns only (bigint/string/
+    # date-formatted) — raw doubles are out of contract for md5 keys
+    # (cross-engine float FORMATTING is not in the seam budget).
+    e = _t(spark, sf_dir, "events")
+    m = e.selectExpr(
+        "stack(3, 'user_id', cast(user_id as string),"
+        " 'event_type', event_type,"
+        " 'event_date', date_format(ts, 'yyyy-MM-dd')) as (col_name, val)"
+    )
+    prof = m.groupBy("col_name").agg(
+        F.count("val").cast("long").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_exact"),
+    )
+    kmv = sk.kmv_distinct_by_group(m, "col_name", "val", k=64)
+    return prof.join(kmv, "col_name").select(
+        "col_name", "n_nonnull", "n_nulls", "n_exact",
+        F.col("estimate").alias("kmv_estimate"),
+    )
+
+
+@_register(
     "dup_ngram_fraction",
     """
 WITH toks AS (
@@ -6674,6 +6736,24 @@ def q_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/text.py:span_cut_corpus.
     d = _t(spark, sf_dir, "documents")
     return tx.span_cut_corpus(d, n=8)
+
+
+@_register(
+    "duplicate_spans_skewsafe",
+    # same oracle as duplicate_token_spans: the join strategy is
+    # output-identical by construction (test_dup_hits_strategies_match);
+    # this entry gives the 100 TB skew path its own driver row, the
+    # containment_dedup_blocked precedent.
+    ORACLE["duplicate_token_spans"],
+)
+def q_duplicate_spans_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hot-gram-skew-resilient form of duplicate_token_spans:
+    # strategy="join" collapses hot grams map-side (groupBy partial agg)
+    # and joins hits to the DUPLICATED-grams set only — AQE-splittable /
+    # broadcastable where the gram window funnels every hot-gram hit
+    # into one task (measured: SCALING.md §span-dedup skew addendum).
+    d = _t(spark, sf_dir, "documents")
+    return tx.duplicate_token_spans(d, n=8, strategy="join")
 
 
 @_register(
