@@ -244,3 +244,102 @@ def kmv_distinct_by_group(
         .otherwise(est)
         .alias("estimate"),
     )
+
+
+def _bloom_bit(col: F.Column, j: int, m_bits: int, salt: str) -> F.Column:
+    """Bit position j for a value: disjoint 8-hex (32-bit) slice of ONE
+    md5 per value, mod ``m_bits`` — the Count-Min bucket discipline
+    (see count_min_estimates), so the DuckDB oracle replays every bit."""
+    digest = F.md5(F.concat(F.lit(f"{salt}_"), col.cast("string")))
+    return (
+        F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Membership sketch build: the DISTINCT set-bit positions of a
+    Bloom filter (Bloom 1970) over ``df[col]`` — one row per set bit,
+    ≤ ``m_bits`` rows total. Completes the bounded-state sketch family:
+    Count-Min answers "how frequent", KMV "how many distinct", Bloom
+    "is THIS key present" — with false positives ~(1-e^{-kn/m})^k and
+    ZERO false negatives, the property the pruned join relies on.
+
+    One pass over the stream: each row explodes to ``k_hashes`` bit
+    positions and the distinct's map-side partial collapses every task
+    to ≤ m_bits rows BEFORE the exchange — the shuffle carries the
+    filter, never the stream (the Count-Min discipline). md5-derived
+    positions (one digest per row, disjoint 32-bit slices) keep the
+    sketch bit-for-bit replayable by the DuckDB oracle.
+    """
+    if k_hashes > 4:
+        raise ValueError("k_hashes > 4 needs more than one md5 (32 hex / 8)")
+    c = F.col(col)
+    positions = F.array(
+        *[_bloom_bit(c, j, m_bits, salt) for j in range(k_hashes)]
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(F.explode(positions).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_mask_literal(
+    bits: DataFrame, *, m_bits: int = 8192
+) -> "F.Column":
+    """Collect a built filter's set bits (ONE bounded driver action,
+    ≤ m_bits rows — the heavy_hitters bounded-collect discipline) and
+    pack them into a LITERAL array of ``m_bits/64`` longs. The result
+    embeds in any plan as a constant: membership tests against it are
+    pure whole-stage-codegen bit arithmetic — no join, no exchange,
+    no broadcast variable lifecycle. At 100 TB this is the scan-side
+    semi-join prune: a 1 KiB literal riding the task binary instead of
+    a shuffled key set.
+    """
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for r in bits.collect():
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # Spark longs are signed; fold the top bit back into two's complement
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return F.array(*[F.lit(w).cast("long") for w in signed])
+
+
+def bloom_might_contain(
+    mask: "F.Column",
+    col: F.Column,
+    *,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    salt: str = "bloom-v1",
+) -> F.Column:
+    """Boolean column: every one of the value's ``k_hashes`` bits is
+    set in ``mask`` (a bloom_mask_literal). False ⇒ definitely absent
+    (no false negatives); True ⇒ present or false positive. All-JVM
+    bit arithmetic — element_at + shiftright + bitwise AND — inside
+    whole-stage codegen; no Python, no join."""
+    tests = []
+    for j in range(k_hashes):
+        pos = _bloom_bit(col, j, m_bits, salt)
+        word = F.element_at(mask, (pos / 64).cast("int") + 1)
+        # arithmetic shift then &1: sign extension only touches bits
+        # above the one queried, the AND masks it to the target bit.
+        # call_function: the SQL ShiftRight takes a column shift amount,
+        # the python F.shiftright wrapper only a literal.
+        shifted = F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        )
+        tests.append(shifted.bitwiseAND(F.lit(1)) == 1)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out

@@ -6618,6 +6618,107 @@ def q_sketch_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bloom_membership_segment",
+    """
+WITH mem AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(concat('bloom-v1_',
+      CAST(k AS VARCHAR))), 1 + 8 * t.j, 8)) AS BIGINT) % 2048 AS bit
+  FROM mem, unnest([0, 1, 2, 3]) AS t(j)),
+pb AS (
+  SELECT c.c_custkey, t.j,
+    CAST(concat('0x', substr(md5(concat('bloom-v1_',
+      CAST(c.c_custkey AS VARCHAR))), 1 + 8 * t.j, 8)) AS BIGINT) % 2048
+      AS bit
+  FROM customer c, unnest([0, 1, 2, 3]) AS t(j)),
+hit AS (
+  SELECT pb.c_custkey,
+    CAST(CASE WHEN bool_and(b.bit IS NOT NULL) THEN 1 ELSE 0 END
+      AS BIGINT) AS might_contain
+  FROM pb LEFT JOIN bits b ON b.bit = pb.bit GROUP BY 1)
+SELECT h.c_custkey, h.might_contain,
+  CAST(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT)
+    AS is_member
+FROM hit h JOIN customer c ON c.c_custkey = h.c_custkey
+""",
+)
+def q_bloom_membership_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom membership sketch, md5-hashed so the ORACLE REPLAYS EVERY
+    # BIT: the filter is built over one segment's custkeys (≤ m_bits
+    # rows survive the build's map-side partial distinct), packed into
+    # a LITERAL long[32] bitmask, and every customer row is probed with
+    # pure codegen bit arithmetic — no join, no exchange on the probe
+    # side. might_contain vs is_member is the graded error surface:
+    # zero false negatives by construction (the pruned-join guarantee),
+    # false positives ~(1-e^{-kn/m})^k, deliberately visible at
+    # m=2048. Completes the sketch family (Count-Min = frequency,
+    # KMV = cardinality, Bloom = membership) — operators/sketches.py.
+    c = _t(spark, sf_dir, "customer")
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = sk.bloom_bits(members, "k", m_bits=2048, k_hashes=4)
+    mask = sk.bloom_mask_literal(bits, m_bits=2048)
+    might = sk.bloom_might_contain(
+        mask, F.col("c_custkey"), m_bits=2048, k_hashes=4
+    )
+    return c.select(
+        "c_custkey",
+        F.when(might, 1).otherwise(0).cast("long").alias("might_contain"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_member"),
+    )
+
+
+@_register(
+    "bloom_pruned_segment_revenue",
+    """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o.o_totalprice AS DECIMAL(22,8))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+""",
+)
+def q_bloom_pruned_segment_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Bloom-PRUNED dimension join: the segment's custkeys become a
+    # literal bitmask filter on the orders SCAN (codegen bit tests,
+    # no exchange below the filter), so ~80% of the fact never reaches
+    # the join; the broadcast equi-join then removes the sketch's false
+    # positives, making the final answer EXACT — which is why the
+    # oracle is the plain SQL join. This is the scan-side runtime-
+    # filter shape Spark's own bloom-join optimizer targets, made
+    # explicit and deterministic: at 100 TB the 1 KiB mask rides the
+    # task binary and prunes before any shuffle of the fact.
+    c = _t(spark, sf_dir, "customer")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = sk.bloom_bits(seg, "c_custkey", m_bits=2048, k_hashes=4)
+    mask = sk.bloom_mask_literal(bits, m_bits=2048)
+    o = _t(spark, sf_dir, "orders").filter(
+        sk.bloom_might_contain(
+            mask, F.col("o_custkey"), m_bits=2048, k_hashes=4
+        )
+    )
+    return (
+        o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@_register(
     "dup_ngram_fraction",
     """
 WITH toks AS (

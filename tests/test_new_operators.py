@@ -1635,3 +1635,66 @@ def test_dup_hits_strategies_match(spark, sf_dir):
     assert rows(span_cut_corpus(d, n=8, strategy="join")) == rows(
         span_cut_corpus(d, n=8)
     )
+
+
+def test_bloom_zero_false_negatives_and_fp_band(spark):
+    # Bloom's one-sided guarantee (the pruned-join contract): EVERY
+    # member probes True — zero false negatives — while non-members
+    # false-positive at ~(1-e^{-kn/m})^k. 300 members into m=4096,
+    # k=4 predicts ~0.5% FP; assert a generous 5x band so the test
+    # never flakes (the sketch is md5-DETERMINISTIC, this pins the
+    # hash pipeline, not randomness).
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import sketches as sk
+
+    members = spark.range(300).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("k")
+    )
+    bits = sk.bloom_bits(members, "k", m_bits=4096, k_hashes=4)
+    n_bits = bits.count()
+    assert n_bits <= 4 * 300  # at most k bits per inserted key
+    mask = sk.bloom_mask_literal(bits, m_bits=4096)
+
+    probe_members = members.select(
+        sk.bloom_might_contain(
+            mask, F.col("k"), m_bits=4096, k_hashes=4
+        ).alias("hit")
+    )
+    assert probe_members.filter(~F.col("hit")).count() == 0
+
+    others = spark.range(3000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("k")
+    )
+    fp = (
+        others.select(
+            sk.bloom_might_contain(
+                mask, F.col("k"), m_bits=4096, k_hashes=4
+            ).alias("hit")
+        )
+        .filter(F.col("hit"))
+        .count()
+    )
+    assert fp / 3000 < 0.025  # ~5x the ~0.5% analytic rate
+
+
+def test_bloom_mask_signed_long_roundtrip(spark):
+    # Bits 63, 64 and 127 exercise the word boundary and the signed
+    # two's-complement fold (bit 63 sets the long's sign bit): the
+    # packed literal must read back exactly the bits that were set,
+    # and nothing else.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import sketches as sk
+
+    bits = spark.createDataFrame(
+        [(0,), (63,), (64,), (127,)], ["bit"]
+    )
+    mask = sk.bloom_mask_literal(bits, m_bits=128)
+    # probe every position directly (bypass the hash: read the words)
+    rows = spark.range(1).select(mask.alias("m")).collect()[0]["m"]
+    words = [int(w) & ((1 << 64) - 1) for w in rows]
+    got = {
+        i for i in range(128) if (words[i >> 6] >> (i & 63)) & 1
+    }
+    assert got == {0, 63, 64, 127}

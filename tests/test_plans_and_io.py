@@ -1186,3 +1186,53 @@ def test_kmv_candidate_pass_no_upstream_shuffle(spark, sf_dir):
         mip = max(i for i, l in enumerate(lines) if "MapInPandas" in l)
         below = "\n".join(lines[mip:])  # deeper in the tree = upstream
         assert "Exchange" not in below, below
+
+
+def test_bloom_probe_is_literal_scan_filter(spark, sf_dir):
+    # The Bloom-pruned join's probe must be a LITERAL-bitmask filter
+    # sitting DIRECTLY on the fact scan — no Exchange between the
+    # filter and the scan (the prune happens before any shuffle), the
+    # dimension join stays broadcast (one BroadcastHashJoin, never a
+    # SortMergeJoin), and the mask rides the plan as a constant
+    # (element_at + shiftright bit arithmetic, no second join for
+    # membership).
+    from opensea_datapipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["bloom_pruned_segment_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    fi = next(
+        i
+        for i, l in enumerate(lines)
+        if "Filter" in l and "shiftright" in l and "element_at" in l
+    )
+    # upstream of the probe filter: nothing but the columnar scan
+    seg = []
+    for l in lines[fi + 1 :]:
+        seg.append(l)
+        if "Scan parquet" in l or "FileScan" in l:
+            break
+    assert seg and not any("Exchange" in l for l in seg), "\n".join(seg)
+
+
+def test_bloom_bits_build_collapses_map_side(spark, sf_dir):
+    # The filter build's distinct must collapse each task to <= m_bits
+    # rows BEFORE the exchange (a partial HashAggregate below the
+    # shuffle) — the Count-Min discipline: the shuffle carries the
+    # sketch, never the stream.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import sketches as sk
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    plan = _plan(sk.bloom_bits(c, "k", m_bits=2048, k_hashes=4))
+    lines = plan.splitlines()
+    ex = next(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l
+    )
+    below = "\n".join(lines[ex:])  # deeper in the tree = upstream
+    assert "HashAggregate" in below, below
