@@ -5,15 +5,19 @@ survivors (selectivity + false positives) BEFORE the exchange.
 
 Legs, per growth multiple, with autoBroadcastJoinThreshold=-1 so the
 join is a genuine shuffle join (the 100 TB big-dim shape):
-  - sj_plain:  orders ⋈ segment-customers, no prune
-  - sj_bloom:  same join, orders scan pre-filtered by the 2 KiB literal
-               mask (m=8192, k=4) built from the segment's custkeys
-  - bcast_bloom: the graded broadcast form, for reference
+  - sj_plain:      orders ⋈ segment-customers, no prune
+  - sj_bloom_sat:  prune with a FIXED 8,192-bit mask — documents the
+                   saturation failure mode (kn/m >> 1 at 10x: the
+                   filter passes everything, prune is a silent no-op)
+  - sj_bloom:      mask SIZED to the keys (~16 bits/key, pow2), md5
+  - sj_bloom_xx:   same sized mask, xxhash64 double-hash probe (the
+                   JVM-native production path, no hex digest slicing)
+  - bcast_bloom:   the graded broadcast form, for reference
 
 Orders grow by replication with custkeys offset per replica (cardinality
-grows too, so the mask is rebuilt per leg — build cost is included in
-the bloom walls). Shuffle bytes from the UI REST API; noop sink so
-Catalyst cannot prune the work under test.
+grows too, so the mask is rebuilt per leg — build cost is reported
+separately). Shuffle bytes from the UI REST API; noop sink so Catalyst
+cannot prune the work under test.
 
 Run:  python scripts/scaling_bloom.py [--scales=1,10]
 """
@@ -91,20 +95,50 @@ def main() -> None:
         seg = c.filter(F.col("c_mktsegment") == "BUILDING").select(
             "c_custkey"
         )
+        n_seg = seg.count()
+        # ~16 bits/key at k=4 -> FP ~0.24%; round up to a power of two
+        m_sized = 1 << max(11, (16 * n_seg - 1).bit_length())
         t0 = time.time()
-        mask = sk.bloom_mask_literal(
-            sk.bloom_bits(seg, "c_custkey", m_bits=M_BITS, k_hashes=4),
-            m_bits=M_BITS,
+        bits_sat = sk.bloom_bits(
+            seg, "c_custkey", m_bits=M_BITS, k_hashes=4
         )
-        build_s = round(time.time() - t0, 3)
-        might = sk.bloom_might_contain(
-            mask, F.col("o_custkey"), m_bits=M_BITS, k_hashes=4
+        mask_sat = sk.bloom_mask_literal(bits_sat, m_bits=M_BITS)
+        t1 = time.time()
+        mask_md5 = sk.bloom_mask_literal(
+            sk.bloom_bits(seg, "c_custkey", m_bits=m_sized, k_hashes=4),
+            m_bits=m_sized,
         )
+        t2 = time.time()
+        mask_xx = sk.bloom_mask_literal(
+            sk.bloom_bits(
+                seg, "c_custkey", m_bits=m_sized, k_hashes=4,
+                hash_fn="xxhash64",
+            ),
+            m_bits=m_sized,
+        )
+        t3 = time.time()
+        probes = {
+            "sj_bloom_sat": sk.bloom_might_contain(
+                mask_sat, F.col("o_custkey"), m_bits=M_BITS, k_hashes=4
+            ),
+            "sj_bloom": sk.bloom_might_contain(
+                mask_md5, F.col("o_custkey"), m_bits=m_sized, k_hashes=4
+            ),
+            "sj_bloom_xx": sk.bloom_might_contain(
+                mask_xx, F.col("o_custkey"), m_bits=m_sized,
+                k_hashes=4, hash_fn="xxhash64",
+            ),
+        }
         row = {
             "mult": mult,
             "n_orders": o.count(),
-            "n_seg": seg.count(),
-            "mask_build_s": build_s,
+            "n_seg": n_seg,
+            "m_sized_bits": m_sized,
+            "mask_build_s": {
+                "sat_8192": round(t1 - t0, 3),
+                "md5_sized": round(t2 - t1, 3),
+                "xx_sized": round(t3 - t2, 3),
+            },
             "ops": [],
         }
         no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
@@ -116,22 +150,23 @@ def main() -> None:
                     "sj_plain",
                 )
             )
-            row["ops"].append(
-                measure(
-                    spark,
-                    lambda: agg(
-                        o.filter(might).join(
-                            seg, o.o_custkey == seg.c_custkey
-                        )
-                    ),
-                    "sj_bloom",
+            for tag, might in probes.items():
+                row["ops"].append(
+                    measure(
+                        spark,
+                        lambda m=might: agg(
+                            o.filter(m).join(
+                                seg, o.o_custkey == seg.c_custkey
+                            )
+                        ),
+                        tag,
+                    )
                 )
-            )
         row["ops"].append(
             measure(
                 spark,
                 lambda: agg(
-                    o.filter(might).join(
+                    o.filter(probes["sj_bloom_xx"]).join(
                         F.broadcast(seg), o.o_custkey == seg.c_custkey
                     )
                 ),

@@ -1698,3 +1698,39 @@ def test_bloom_mask_signed_long_roundtrip(spark):
         i for i in range(128) if (words[i >> 6] >> (i & 63)) & 1
     }
     assert got == {0, 63, 64, 127}
+
+
+def test_bloom_xxhash_variant_zero_false_negatives(spark):
+    # The JVM-native double-hash probe path (hash_fn="xxhash64") keeps
+    # the one-sided guarantee: build and probe share the hash, so every
+    # member still probes True; FP band as the md5 form.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import sketches as sk
+
+    members = spark.range(300).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("k")
+    )
+    kw = dict(m_bits=4096, k_hashes=4, hash_fn="xxhash64")
+    mask = sk.bloom_mask_literal(
+        sk.bloom_bits(members, "k", **kw), m_bits=4096
+    )
+    assert (
+        members.select(
+            sk.bloom_might_contain(mask, F.col("k"), **kw).alias("hit")
+        )
+        .filter(~F.col("hit"))
+        .count()
+        == 0
+    )
+    others = spark.range(3000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("k")
+    )
+    fp = (
+        others.select(
+            sk.bloom_might_contain(mask, F.col("k"), **kw).alias("hit")
+        )
+        .filter(F.col("hit"))
+        .count()
+    )
+    assert fp / 3000 < 0.025
