@@ -5758,6 +5758,37 @@ def q_daily_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_covariance",
+    """
+WITH idx AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+x AS (
+  SELECT e.vec_id, i.i, CAST(e.embedding[i.i + 1] AS DOUBLE) AS xi
+  FROM embeddings e, idx i
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+  sum(a.xi * b.xi) / count(*) - avg(a.xi) * avg(b.xi) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id
+GROUP BY 1, 2
+""",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed feature covariance: ONE mapInPandas pass reduces each
+    # Arrow batch to its d^2 sufficient statistics (numpy X^T X), the
+    # groupBy collapses partials map-side, so the exchange carries
+    # <= tasks*4096 rows however large the corpus — the sufficient
+    # statistic for PCA/whitening (operators/decompose.py; the
+    # eigenbasis itself is bounded 64x64 driver math, pytest-pinned).
+    # cov = E[xy] - E[x]E[y] spelled identically in both engines so the
+    # only cross-engine delta is float summation order (<< 6dp round).
+    # The oracle's pair self-join is the N*d^2 shape this operator
+    # exists to avoid.
+    from .operators import decompose as dc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dc.covariance_matrix(emb, "embedding", 64)
+
+
+@_register(
     "embedding_array_stats",
     """
 SELECT vec_id,

@@ -1734,3 +1734,78 @@ def test_bloom_xxhash_variant_zero_false_negatives(spark):
         .count()
     )
     assert fp / 3000 < 0.025
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    # The distributed sufficient-statistic path must agree with
+    # numpy's population covariance to float precision, across
+    # multiple partitions (partial merge correctness), and drop
+    # NULL / wrong-length vectors by contract.
+    import numpy as np
+
+    from opensea_datapipeline_spark.operators.decompose import (
+        covariance_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(400, 6))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(400)]
+    rows += [(1000, None), (1001, [1.0, 2.0])]  # dropped
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "embedding", 6).collect()
+    }
+    want = np.cov(x, rowvar=False, bias=True)
+    assert len(got) == 36
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 1e-9, (i, j)
+
+
+def test_pca_projection_diagonalizes_and_whitens(spark):
+    # End-to-end invariants of the basis + projection: projecting onto
+    # the top-k eigenbasis diagonalizes the covariance with the
+    # eigenvalues on the diagonal; whitening scales it to identity.
+    # Data is rank-heavy on purpose (2 strong directions + noise).
+    import numpy as np
+
+    from opensea_datapipeline_spark.operators.decompose import (
+        covariance_matrix,
+        pca_basis,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    latent = rng.normal(size=(500, 2)) * np.array([5.0, 2.0])
+    mix = rng.normal(size=(2, 8))
+    x = latent @ mix + rng.normal(size=(500, 8)) * 0.05 + 3.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(500)],
+        ["vec_id", "embedding"],
+    ).repartition(5)
+
+    vals, comps, mean = pca_basis(df, "embedding", 8, k=3)
+    assert vals[0] > vals[1] > vals[2] >= 0
+    assert abs(np.array(mean).mean() - 3.0) < 0.5
+
+    proj = pca_project(df, "embedding", comps, mean)
+    pcov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(proj, "pc", 3).collect()
+    }
+    for c in range(3):
+        assert abs(pcov[(c, c)] - vals[c]) < 1e-6 * max(1.0, vals[c])
+    for i in range(3):
+        for j in range(3):
+            if i != j:
+                assert abs(pcov[(i, j)]) < 1e-6
+
+    white = pca_project(
+        df, "embedding", comps, mean, eigenvalues=vals, out_col="w"
+    )
+    wcov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(white, "w", 3).collect()
+    }
+    for c in range(3):
+        assert abs(wcov[(c, c)] - 1.0) < 1e-6

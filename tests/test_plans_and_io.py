@@ -1236,3 +1236,23 @@ def test_bloom_bits_build_collapses_map_side(spark, sf_dir):
     )
     below = "\n".join(lines[ex:])  # deeper in the tree = upstream
     assert "HashAggregate" in below, below
+
+
+def test_covariance_partial_pass_no_upstream_shuffle(spark, sf_dir):
+    # The covariance partial pass must be a mapInPandas DIRECTLY over
+    # the vector scan (an upstream Exchange would shuffle the corpus
+    # before the d^2-state reduction — the heavy_hitters/KMV pin), and
+    # the only exchange in the plan is the bounded (i, j) partial merge.
+    from opensea_datapipeline_spark.operators.decompose import (
+        covariance_matrix,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(covariance_matrix(emb, "embedding", 64))
+    assert "MapInPandas" in plan
+    lines = plan.splitlines()
+    mip = max(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    below = "\n".join(lines[mip:])  # deeper in the tree = upstream
+    assert "Exchange" not in below, below
+    assert plan.count("Exchange hashpartitioning") == 1
