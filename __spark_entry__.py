@@ -82,13 +82,21 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # association_rules (localCheckpoint swap) — their latest driver rows all
 # grade the pre-rewrite implementations; local oracle-parity covers them
 # but the driver row must grade the shipped code. r10: heavy_hitter_users
-# also changed again (localCheckpoint pin + frames split).
+# also changed again (localCheckpoint pin + frames split), and the gram
+# passes were rewritten to the codegen explode-index+slice projection
+# (511233f) — contamination_flags / repetition_scores / dup_ngram_fraction
+# / bigram_logprob_scores execute the new gram plan, so their rows must
+# regrade too.
 _REGRADE_FIRST = (
     "mann_whitney_value",
     "ewma_daily",
     "kl_source_drift",
     "heavy_hitter_users",
     "association_rules",
+    "contamination_flags",
+    "repetition_scores",
+    "dup_ngram_fraction",
+    "bigram_logprob_scores",
 )
 
 
