@@ -31,7 +31,7 @@ cross-engine seam budget (error ~1e-14 vs 0.5e-6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -204,3 +204,67 @@ def triangle_stats(
         t.cast("long").alias("n_triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 5,
+    undirected: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan-Albert-Kumara 2007) after exactly ``iters`` rounds —
+    fixed-count + deterministic tie-break (most frequent neighbor
+    label; ties → SMALLEST label), so the result is SQL-replayable
+    and partitioning-independent, unlike the paper's random-order
+    asynchronous form.
+
+    Per round, every node adopts the modal label among its neighbors:
+    one join (labels → edge sources) + one (node, label) count + one
+    per-node argmax window whose input is the counted table (≤ one row
+    per distinct neighbor label per node, never the raw adjacency).
+    All shuffles key on node ids; no step is driver-side. Fixed-count
+    synchronous LPA can oscillate on bipartite structure — for the
+    dedup use-case (dense near-clique clusters) it stabilizes in 2-3
+    rounds; callers needing convergence detection can compare label
+    tables across calls.
+
+    The complementary operator to connected_components (same-component
+    ≠ same-community: a chain of weak links is one component but many
+    communities) and pagerank (which ranks WITHIN a cluster).
+    Returns (node, community) — both ids, no floats to drift.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for i in range(1, iters + 1):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if i % checkpoint_every == 0 and i < iters:
+            labels = labels.localCheckpoint(eager=True)
+            import gc
+
+            gc.collect()  # see pagerank: release superseded checkpoints
+    return labels.select("node", F.col("label").alias("community"))

@@ -1851,6 +1851,66 @@ FROM pr{iters}
 """
 
 
+def _label_prop_near_dup_oracle(iters: int = 5, max_id: int = 200) -> str:
+    # Unrolled fixed-count synchronous LPA (see _pagerank_near_dup_oracle
+    # for why unrolled): per round each node takes the modal neighbor
+    # label, ties to the SMALLEST label — all-integer arithmetic, so the
+    # hash compare has no float seam at all.
+    steps = ",\n".join(
+        f"""lp{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, p.label, count(*) AS c,
+      row_number() OVER (
+        PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC) AS rn
+    FROM lp{i} p JOIN edges e ON p.node = e.src
+    GROUP BY e.dst, p.label) t
+  WHERE rn = 1
+)"""
+        for i in range(iters)
+    )
+    return f"""
+WITH pairs AS (
+{_minhash_lsh_oracle(8, 2, 0.7, max_id)}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{steps}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS community
+FROM lp{iters}
+"""
+
+
+@_register("label_prop_communities", _label_prop_near_dup_oracle(5, 200))
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Community detection over the near-dup graph: 5 rounds of
+    # synchronous label propagation (modal neighbor label, smallest-
+    # label ties) — the third leg of the graph family: components say
+    # WHICH docs are transitively linked, PageRank ranks WITHIN a
+    # cluster, LPA splits a weakly-bridged component into its dense
+    # communities (what curation actually wants to budget over: a
+    # boilerplate bridge should not merge two unrelated clusters).
+    # All-integer state, so the unrolled oracle hash-matches exactly;
+    # per round the only shuffles are the (node,label) count and the
+    # counted-table argmax window — never the raw adjacency through a
+    # window. operators/graph.py:label_propagation.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    lp = gr.label_propagation(edges, iters=5, undirected=True)
+    return lp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 @_register("pagerank_near_dup", _pagerank_near_dup_oracle(10, 0.85, 200))
 def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Numeric-iterative graph analytics with a FULL oracle: PageRank

@@ -1809,3 +1809,48 @@ def test_pca_projection_diagonalizes_and_whitens(spark):
     }
     for c in range(3):
         assert abs(wcov[(c, c)] - 1.0) < 1e-6
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    # Two 6-cliques joined by ONE bridge edge: connected components
+    # sees a single component; LPA must resolve TWO communities (the
+    # dense sides out-vote the bridge) — the reason the operator exists
+    # next to connected_components. Also pins determinism across
+    # partitionings: same labels at 2 and 7 shuffle partitions.
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from opensea_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(6)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((5, 10))  # bridge
+    e = spark.createDataFrame(edges, ["src", "dst"])
+
+    lp = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, iters=5).collect()
+    }
+    comms = {}
+    for node, c in lp.items():
+        comms.setdefault(c, set()).add(node)
+    assert len(comms) == 2
+    sides = sorted(tuple(sorted(v)) for v in comms.values())
+    assert sides == [tuple(range(6)), tuple(range(10, 16))]
+
+    nodes = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+    cc = connected_components(
+        nodes, e, id_col="id", src_col="src", dst_col="dst"
+    )
+    assert cc.select("group_id").distinct().count() == 1  # one component
+
+    e7 = e.repartition(7)
+    lp7 = {
+        r["node"]: r["community"]
+        for r in label_propagation(e7, iters=5).collect()
+    }
+    assert lp7 == lp
