@@ -28,6 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _lit_double_array(vals: "Sequence[float]") -> F.Column:
+    """One py4j literal for a double array: CSV string + split + cast,
+    constant-folded by Catalyst (the _lit_str_array discipline from
+    operators/text.py — F.lit(list) loops a py4j round-trip per
+    element). repr() round-trips IEEE doubles exactly."""
+    return F.split(
+        F.lit(",".join(repr(float(v)) for v in vals)), ","
+    ).cast(T.ArrayType(T.DoubleType()))
+
+
 _PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("i", T.IntegerType()),
@@ -165,7 +175,7 @@ def pca_project(
     """
     centered = F.zip_with(
         F.col(col).cast(T.ArrayType(T.DoubleType())),
-        F.lit([float(m) for m in mean]).cast(T.ArrayType(T.DoubleType())),
+        _lit_double_array(mean),
         lambda a, b: a - b,
     )
     outs = []
@@ -173,9 +183,7 @@ def pca_project(
         dot = F.aggregate(
             F.zip_with(
                 centered,
-                F.lit([float(x) for x in comp]).cast(
-                    T.ArrayType(T.DoubleType())
-                ),
+                _lit_double_array(comp),
                 lambda a, b: a * b,
             ),
             F.lit(0.0),

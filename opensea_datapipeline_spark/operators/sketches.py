@@ -337,11 +337,15 @@ def bloom_mask_literal(
         words[b >> 6] |= 1 << (b & 63)
     # Spark longs are signed; fold the top bit back into two's complement
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    # ONE Literal node holding the whole array — F.array(*lits) would
-    # build n_words py4j Columns and a CreateArray tree Catalyst must
-    # re-fold on every rule pass (measured: ~15 s build + ~2 s plan
-    # overhead at 8,192 words; the single Literal is milliseconds)
-    return F.lit(signed).cast(T.ArrayType(T.LongType()))
+    # ONE py4j literal: encode as a CSV string, split + cast (Catalyst
+    # constant-folds it to the array). F.array(*lits) — and F.lit(list),
+    # which loops lit() per element internally — pay ~1 ms of py4j
+    # round-trip per element at plan CONSTRUCTION: measured ~15 s at
+    # 8,192 words via F.array, ~4 s via F.lit(list), milliseconds this
+    # way (the _lit_str_array discipline from operators/text.py).
+    return F.split(F.lit(",".join(str(w) for w in signed)), ",").cast(
+        T.ArrayType(T.LongType())
+    )
 
 
 def bloom_might_contain(
