@@ -1289,3 +1289,76 @@ def span_cut_corpus(
         .cast("long")
         .alias("n_tokens_removed"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, *, top_v: int = 32
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: the ``top_v`` most frequent
+    whitespace tokens (the _words normalization: lowercase, collapsed
+    whitespace), id = 0-based rank, ties broken by token ASC so the
+    mapping is deterministic across partitionings and engines.
+
+    One explode + one counted groupBy (map-side partials — the gram
+    discipline); the ranking window runs over the COUNTED table (one
+    row per distinct token, never the token stream). Returns (tok, id).
+    At 100 TB a real tokenizer caps the candidate set before ranking
+    (min-count prune on the counted table — a filter, not a new pass).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    # single-partition window is SAFE here: its input is the counted
+    # vocab table (bounded by distinct-token count, and top_v-bounded
+    # output), not the corpus — same argument as heavy_hitters' final
+    # rank
+    return (
+        counts.withColumn("id", F.row_number().over(w) - 1)
+        .filter(F.col("id") < top_v)
+        .select("tok", F.col("id").cast("long").alias("id"))
+    )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenizer-apply: encode each document as its ordered array of
+    vocabulary ids (OOV → ``oov_id``) — the step between vocabulary
+    mining (build_vocab / bpe_merge_candidates) and sequence_packing.
+
+    posexplode keeps token order; the vocab join is BROADCAST (a
+    vocabulary is ≤ a few hundred thousand rows at any corpus size);
+    the ordered rebuild is the array_sort(collect_list(struct(pos,id)))
+    pattern from span_cut_corpus — one shuffle keyed by doc. Returns
+    (id_col, n_tokens, n_oov, ids).
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.posexplode(_words(text_col)).alias("pos", "tok"),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("id"), F.lit(oov_id)).cast("long").alias("id"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("id") == oov_id).cast("long"))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, id))),"
+            " x -> x.id)"
+        ).alias("ids"),
+    )

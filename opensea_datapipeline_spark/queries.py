@@ -6810,6 +6810,50 @@ def q_bloom_pruned_segment_revenue(
 
 
 @_register(
+    "vocab_encode_documents",
+    """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS ts
+  FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT t.doc_id, t.ts[j.j + 1] AS tok, CAST(j.j AS BIGINT) AS pos
+  FROM toks t, unnest(range(len(t.ts))) AS j(j)),
+vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+v AS (
+  SELECT tok,
+    CAST(row_number() OVER (ORDER BY c DESC, tok ASC) - 1 AS BIGINT) AS id
+  FROM vc),
+vv AS (SELECT * FROM v WHERE id < 24),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(vv.id, -1) AS id
+  FROM tok t LEFT JOIN vv ON vv.tok = t.tok)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  list(id ORDER BY pos) AS ids
+FROM enc GROUP BY 1
+""",
+)
+def q_vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-apply: frequency-ranked top-24 vocabulary (count desc,
+    # token asc — deterministic) then every document encoded as its
+    # ORDERED id array with OOV = -1 — the missing step between
+    # vocabulary mining (bpe_merge_candidates) and sequence_packing,
+    # and the op a 100 TB pretraining pipeline runs on every document.
+    # Vocab ranking windows the COUNTED table (bounded), the id join is
+    # broadcast, the ordered rebuild is one doc-keyed shuffle
+    # (operators/text.py:build_vocab/encode_token_ids). Every id is an
+    # integer — the array hash compare has no float seam.
+    d = _t(spark, sf_dir, "documents")
+    # top_v=24 < the corpus's 31 distinct tokens, so the OOV branch is
+    # EXERCISED, not vacuously green (the 0=0 trap)
+    vocab = tx.build_vocab(d, "text", top_v=24)
+    return tx.encode_token_ids(d, "doc_id", "text", vocab)
+
+
+@_register(
     "dup_ngram_fraction",
     """
 WITH toks AS (

@@ -1854,3 +1854,33 @@ def test_label_propagation_splits_bridged_cliques(spark):
         for r in label_propagation(e7, iters=5).collect()
     }
     assert lp7 == lp
+
+
+def test_encode_token_ids_order_and_oov(spark):
+    # Encoding invariants: ids come back in TOKEN ORDER across a
+    # multi-partition shuffle, OOV maps to -1, vocabulary ranks by
+    # count desc then token asc (deterministic ties), and the vocab
+    # join is broadcast (no fact-side exchange for the mapping).
+    from opensea_datapipeline_spark.operators.text import (
+        build_vocab,
+        encode_token_ids,
+    )
+
+    rows = [
+        (1, "b a b c b a"),
+        (2, "a zzz a b"),
+        (3, "c c a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    # counts: a=5, b=4, c=3, zzz=1 -> ids a:0 b:1 c:2
+    vocab = build_vocab(df, "text", top_v=3)
+    assert {(r["tok"], r["id"]) for r in vocab.collect()} == {
+        ("a", 0), ("b", 1), ("c", 2)
+    }
+    enc = encode_token_ids(df, "doc_id", "text", vocab)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], list(r["ids"])) for r in enc.collect()}
+    assert got[1] == (6, 0, [1, 0, 1, 2, 1, 0])
+    assert got[2] == (4, 1, [0, -1, 0, 1])
+    assert got[3] == (3, 0, [2, 2, 0])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
