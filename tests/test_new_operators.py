@@ -1930,3 +1930,43 @@ def test_pca_reduced_knn_recall(spark):
     hits = sum(len(full[q] & reduced[q]) for q in full)
     total = sum(len(full[q]) for q in full)
     assert hits / total > 0.9, hits / total
+
+
+def test_jl_projection_distance_preservation(spark):
+    # The JL guarantee the operator is used for: pairwise squared
+    # distances in the k=24 projected space concentrate around the
+    # original distances (1/sqrt(k) scaling) — check median relative
+    # distortion over 100 random 64-dim vectors is small and the
+    # projection is deterministic across partitionings.
+    import numpy as np
+
+    from opensea_datapipeline_spark.operators.decompose import (
+        random_sign_projection,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(100, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        ["vec_id", "embedding"],
+    )
+    out = random_sign_projection(df, "embedding", 64, 24)
+    proj = np.zeros((100, 24))
+    for r in out.collect():
+        proj[r["vec_id"], r["comp"]] = r["val"]
+    # rebuild must be identical on a different partitioning
+    out7 = random_sign_projection(df.repartition(7), "embedding", 64, 24)
+    proj7 = np.zeros((100, 24))
+    for r in out7.collect():
+        proj7[r["vec_id"], r["comp"]] = r["val"]
+    assert np.array_equal(proj, proj7)
+
+    idx = rng.integers(0, 100, size=(200, 2))
+    dist = []
+    for a, b in idx:
+        if a == b:
+            continue
+        d0 = np.sum((x[a] - x[b]) ** 2)
+        d1 = np.sum((proj[a] - proj[b]) ** 2)  # 1/sqrt(k) already applied
+        dist.append(abs(d1 - d0) / d0)
+    assert np.median(dist) < 0.25, np.median(dist)
