@@ -120,7 +120,17 @@ HEADLINE = [
     "span_cut_corpus",          # actionable substring cut + text rebuild (r10)
     "countmin_user_frequency",  # CM sketch build: map-side-collapsed
                                 # 4x1024 counters + broadcast probe (r10)
-    "nb_quality_classifier",    # in-plan naive-Bayes BOW filter (r10).
+    "nb_quality_classifier",    # in-plan naive-Bayes BOW filter (r10)
+    "bloom_pruned_segment_revenue",  # literal-bitmask scan prune +
+                                # broadcast FP-removal join (r10)
+    "embedding_covariance",     # mapInPandas X^T X partials, <= tasks*d^2
+                                # exchange (r10)
+    "label_prop_communities",   # 5-round synchronous LPA, counted-table
+                                # argmax windows (r10)
+    "vocab_encode_documents",   # tokenizer-apply: broadcast vocab join +
+                                # ordered id rebuild (r10)
+    "jl_project_embeddings",    # JL sign projection: 16 literal codegen
+                                # dots per row (r10).
                                 # containment_* queries are NOT headliners by
                                 # the corpus_curation_near_dup precedent: the
                                 # template corpus is ~33% true containment

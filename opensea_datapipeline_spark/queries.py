@@ -7551,6 +7551,159 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "theil_sen_daily_trend",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+  FROM events GROUP BY 1),
+p AS (
+  SELECT (b.v - a.v) / date_diff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d)
+SELECT round(median(slope), 6) AS theil_sen_slope,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+""",
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil-Sen robust trend (median of all pairwise slopes — immune to
+    # up to ~29% outlier days, where the OLS in group_regression is
+    # not): the pair blow-up runs on the AGGREGATED daily table, never
+    # the event stream — days grow with calendar time, not data volume,
+    # so the self-join is ~D^2/2 rows of two doubles (4k pairs at 92
+    # days) and broadcastable at any corpus size. Slopes divide the
+    # SAME rounded daily values in both engines; median picks/averages
+    # the same order statistics.
+    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.d") < F.col("b.d")
+    ).select(
+        (
+            (F.col("b.v") - F.col("a.v"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope")
+    )
+    return pairs.agg(
+        F.round(F.median("slope"), 6).alias("theil_sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+
+
+@_register(
+    "acf_daily_revenue",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+  FROM events GROUP BY 1),
+l AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag)
+SELECT CAST(l.lag AS BIGINT) AS lag,
+  round(corr(a.v, b.v), 6) AS acf,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM daily a CROSS JOIN l JOIN daily b ON b.d = a.d + l.lag
+GROUP BY 1
+""",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Autocorrelation of daily revenue at CALENDAR lags 1..7 (weekly
+    # seasonality shows as a lag-7 peak). Calendar-lag pairing is a
+    # date-arithmetic equi-join on the bounded daily table — no global
+    # ordering window anywhere, well-defined under missing days, and
+    # both engines pair the exact same (d, d+lag) rows. Pearson at 6dp
+    # per the correlation_matrix precedent.
+    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(b),
+        F.col("b.d") == F.date_add(F.col("a.d"), F.col("lag")),
+    )
+    return (
+        pairs.groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.round(F.corr(F.col("a.v"), F.col("b.v")), 6).alias("acf"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+@_register(
+    "seasonal_decompose_daily",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+  FROM events GROUP BY 1),
+off AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS o),
+tr AS (
+  SELECT a.d, a.v, sum(b.v) / 7.0 AS trend
+  FROM daily a CROSS JOIN off JOIN daily b ON b.d = a.d + off.o
+  GROUP BY 1, 2 HAVING count(*) = 7),
+se AS (
+  SELECT isodow(d) AS wd, sum(v - trend) / count(*) AS seasonal
+  FROM tr GROUP BY 1)
+SELECT strftime(tr.d, '%Y-%m-%d') AS d, tr.v,
+  round(tr.trend, 6) AS trend,
+  round(se.seasonal, 6) AS seasonal,
+  round(tr.v - tr.trend - se.seasonal, 6) AS resid
+FROM tr JOIN se ON se.wd = isodow(tr.d)
+""",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Additive seasonal decomposition (classical, moving-average form):
+    # trend = centered 7-day CALENDAR mean (offset join on the bounded
+    # daily table — interior days only, HAVING count(*)=7, so edges and
+    # gap-adjacent days are excluded rather than silently averaged over
+    # fewer points); seasonal = per-ISO-weekday mean of the detrended
+    # series; resid = v - trend - seasonal. No global window — every
+    # step is an equi-join or grouped agg on the daily table. sum/7.0
+    # and sum/count spelled identically in both engines (avg()'s
+    # internal accumulation could differ in summation order).
+    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
+    offs = spark.range(-3, 4).select(F.col("id").cast("int").alias("o"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    tr = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            F.broadcast(b),
+            F.col("b.d") == F.date_add(F.col("a.d"), F.col("o")),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.v").alias("v"))
+        .agg(
+            (F.sum(F.col("b.v")) / F.lit(7.0)).alias("trend"),
+            F.count(F.lit(1)).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+        .drop("n7")
+    )
+    # ISO weekday: Spark weekday() is 0=Mon..6=Sun; +1 matches DuckDB
+    # isodow (SURVEY trap 2, same as aggregates.weekday_rollup)
+    wd = F.weekday("d") + 1
+    se = tr.groupBy(wd.alias("wd")).agg(
+        (F.sum(F.col("v") - F.col("trend")) / F.count(F.lit(1))).alias(
+            "seasonal"
+        )
+    )
+    return (
+        tr.withColumn("wd", wd)
+        .join(F.broadcast(se), "wd")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "v",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+    )
+
+
+@_register(
     "benford_deviation",
     """
 WITH v AS (
