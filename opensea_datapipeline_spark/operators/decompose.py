@@ -126,6 +126,13 @@ def pca_basis(
     import numpy as np
 
     rows = covariance_matrix(df, col, dim).collect()
+    if not rows:
+        # no valid vectors: the mean agg below would return an array of
+        # NULLs and float(None) would raise a bare TypeError — fail with
+        # the actual contract violation instead
+        raise ValueError(
+            f"pca_basis: no non-null {dim}-wide vectors in '{col}'"
+        )
     cov = np.zeros((dim, dim))
     for r in rows:
         cov[int(r["i"]), int(r["j"])] = r["cov"]

@@ -1970,3 +1970,18 @@ def test_jl_projection_distance_preservation(spark):
         d1 = np.sum((proj[a] - proj[b]) ** 2)  # 1/sqrt(k) already applied
         dist.append(abs(d1 - d0) / d0)
     assert np.median(dist) < 0.25, np.median(dist)
+
+
+def test_pca_basis_empty_input_raises_cleanly(spark):
+    # All-NULL / wrong-width vectors must raise the contract error, not
+    # a bare TypeError from float(None) on the mean row (the z-order
+    # empty-input lesson applied to decompose).
+    import pytest
+
+    from opensea_datapipeline_spark.operators.decompose import pca_basis
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="no non-null 8-wide"):
+        pca_basis(df, "embedding", 8, k=2)
