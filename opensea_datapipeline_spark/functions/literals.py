@@ -1,0 +1,39 @@
+"""Single-py4j-literal array constructors.
+
+Three code sites independently discovered that building array literals
+element-wise is a plan-construction hazard: ``F.array(*lits)`` — and
+``F.lit(list)``, which loops ``lit()`` per element internally — pay
+~1 ms of py4j round-trip per element (measured: ~15 s / ~4 s for an
+8,192-long Bloom mask; 0.6 s per bench run for a 670-word profile in
+operators/text.py). The fix is always the same: ONE string literal +
+split + cast, which Catalyst constant-folds to the array. This module
+is the shared home so the numeric variants stop drifting
+(operators/text.py keeps its space-joined string variant, whose
+no-space-in-word contract doesn't fit here).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def lit_long_array(vals: Sequence[int]) -> F.Column:
+    """One-literal array<long>. Empty input folds to array()."""
+    if not len(vals):  # split('') would yield [''] -> [null] after cast
+        return F.array().cast(T.ArrayType(T.LongType()))
+    return F.split(F.lit(",".join(str(int(v)) for v in vals)), ",").cast(
+        T.ArrayType(T.LongType())
+    )
+
+
+def lit_double_array(vals: Sequence[float]) -> F.Column:
+    """One-literal array<double>; repr() round-trips IEEE doubles
+    exactly. Empty input folds to array()."""
+    if not len(vals):
+        return F.array().cast(T.ArrayType(T.DoubleType()))
+    return F.split(
+        F.lit(",".join(repr(float(v)) for v in vals)), ","
+    ).cast(T.ArrayType(T.DoubleType()))

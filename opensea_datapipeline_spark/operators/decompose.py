@@ -28,15 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _lit_double_array(vals: "Sequence[float]") -> F.Column:
-    """One py4j literal for a double array: CSV string + split + cast,
-    constant-folded by Catalyst (the _lit_str_array discipline from
-    operators/text.py — F.lit(list) loops a py4j round-trip per
-    element). repr() round-trips IEEE doubles exactly."""
-    return F.split(
-        F.lit(",".join(repr(float(v)) for v in vals)), ","
-    ).cast(T.ArrayType(T.DoubleType()))
-
+from ..functions.literals import lit_double_array as _lit_double_array
 
 _PARTIAL_SCHEMA = T.StructType(
     [
@@ -50,18 +42,11 @@ _PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def covariance_matrix(df: DataFrame, col: str, dim: int) -> DataFrame:
-    """Population covariance of a ``dim``-wide array column as (i, j,
-    cov) rows — the full d×d matrix, d² rows total.
-
-    One pass: each Arrow batch reduces to its d² partial sufficient
-    statistics (Σxᵢxⱼ, Σxᵢ, Σxⱼ, n) via numpy ``X.T @ X``; the groupBy
-    collapses partials map-side so the exchange is ≤ tasks·d² rows.
-    cov = Σxᵢxⱼ/N − (Σxᵢ/N)(Σxⱼ/N) — the same explicit formula the
-    DuckDB oracle evaluates, so cross-engine drift is summation-order
-    only (≪ the 6dp grading round). Rows with NULL or wrong-length
-    vectors are dropped (documented contract, same as knn_topk).
-    """
+def _sufficient_totals(df: DataFrame, col: str, dim: int) -> DataFrame:
+    """The shared single-pass sufficient-statistic frame: (i, j, Σxᵢxⱼ,
+    Σxᵢ, Σxⱼ, n) totals — covariance_matrix derives cov from it and
+    pca_basis additionally derives the mean (Σxᵢ/n) from the SAME
+    collected rows, so the basis costs ONE corpus scan, not two."""
     d = dim
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,12 +80,27 @@ def covariance_matrix(df: DataFrame, col: str, dim: int) -> DataFrame:
         .select(col)
         .mapInPandas(part, _PARTIAL_SCHEMA)
     )
-    tot = partials.groupBy("i", "j").agg(
+    return partials.groupBy("i", "j").agg(
         F.sum("ss").alias("ss"),
         F.sum("s_i").alias("s_i"),
         F.sum("s_j").alias("s_j"),
         F.sum("n").alias("n"),
     )
+
+
+def covariance_matrix(df: DataFrame, col: str, dim: int) -> DataFrame:
+    """Population covariance of a ``dim``-wide array column as (i, j,
+    cov) rows — the full d×d matrix, d² rows total.
+
+    One pass: each Arrow batch reduces to its d² partial sufficient
+    statistics (Σxᵢxⱼ, Σxᵢ, Σxⱼ, n) via numpy ``X.T @ X``; the groupBy
+    collapses partials map-side so the exchange is ≤ tasks·d² rows.
+    cov = Σxᵢxⱼ/N − (Σxᵢ/N)(Σxⱼ/N) — the same explicit formula the
+    DuckDB oracle evaluates, so cross-engine drift is summation-order
+    only (≪ the 6dp grading round). Rows with NULL or wrong-length
+    vectors are dropped (documented contract, same as knn_topk).
+    """
+    tot = _sufficient_totals(df, col, dim)
     n = F.col("n").cast("double")
     return tot.select(
         F.col("i").cast("long").alias("i"),
@@ -115,8 +115,10 @@ def pca_basis(
     df: DataFrame, col: str, dim: int, k: int
 ) -> tuple[list[float], list[list[float]], list[float]]:
     """Top-``k`` principal components of the array column: collect the
-    d² covariance rows (ONE bounded driver action — 4,096 numbers at
-    d=64, data-size-independent) and eigendecompose with numpy.
+    d² sufficient-statistic rows (ONE bounded driver action — 4,096
+    small tuples at d=64, data-size-independent) and eigendecompose
+    with numpy. Covariance AND mean both derive from the same collected
+    totals, so the basis costs exactly one corpus scan.
 
     Returns (eigenvalues desc, components [k][dim], mean [dim]).
     Deterministic sign convention: each eigenvector is flipped so its
@@ -125,29 +127,19 @@ def pca_basis(
     """
     import numpy as np
 
-    rows = covariance_matrix(df, col, dim).collect()
+    rows = _sufficient_totals(df, col, dim).collect()
     if not rows:
-        # no valid vectors: the mean agg below would return an array of
-        # NULLs and float(None) would raise a bare TypeError — fail with
-        # the actual contract violation instead
         raise ValueError(
             f"pca_basis: no non-null {dim}-wide vectors in '{col}'"
         )
+    n = float(rows[0]["n"])
     cov = np.zeros((dim, dim))
+    mean = np.zeros(dim)
     for r in rows:
-        cov[int(r["i"]), int(r["j"])] = r["cov"]
-    mean_row = (
-        df.filter(F.col(col).isNotNull() & (F.size(col) == dim))
-        .agg(
-            F.array(
-                *[
-                    F.avg(F.element_at(F.col(col), i + 1))
-                    for i in range(dim)
-                ]
-            ).alias("m")
-        )
-        .collect()[0]["m"]
-    )
+        i, j = int(r["i"]), int(r["j"])
+        cov[i, j] = r["ss"] / n - (r["s_i"] / n) * (r["s_j"] / n)
+        if j == 0:
+            mean[i] = r["s_i"] / n
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []
@@ -160,7 +152,7 @@ def pca_basis(
     return (
         [float(vals[i]) for i in order],
         comps,
-        [float(m) for m in mean_row],
+        [float(m) for m in mean],
     )
 
 
@@ -177,9 +169,28 @@ def pca_project(
     components: out[c] = Σᵢ (x[i] − mean[i])·comp[c][i] (÷ √λ_c when
     ``eigenvalues`` is given). Pure whole-stage codegen — zip_with for
     the elementwise product, aggregate for the sum, literal arrays for
-    mean/components (single Literal nodes; see bloom_mask_literal for
-    why not F.array(*lits)). Appends ``out_col`` as array<double>.
+    mean/components (single Literal nodes; see functions/literals.py).
+    Appends ``out_col`` as array<double>. Rows with NULL or
+    wrong-length vectors are DROPPED — the family contract
+    (covariance_matrix, random_sign_projection), not silently-NULL
+    projected components. Whitening requires strictly positive
+    eigenvalues: eigh on rank-deficient data returns tiny
+    negative/zero trailing values, whose √ would be complex / divide
+    by zero — raise the contract error instead.
     """
+    if eigenvalues is not None:
+        bad = [
+            (c, float(ev))
+            for c, ev in enumerate(eigenvalues)
+            if not float(ev) > 0.0
+        ]
+        if bad:
+            raise ValueError(
+                "pca_project: whitening needs strictly positive "
+                f"eigenvalues; got {bad} (rank-deficient input? "
+                "drop those components or skip whitening)"
+            )
+    dim = len(mean)
     centered = F.zip_with(
         F.col(col).cast(T.ArrayType(T.DoubleType())),
         _lit_double_array(mean),
@@ -199,7 +210,9 @@ def pca_project(
         if eigenvalues is not None:
             dot = dot / F.lit(float(eigenvalues[c]) ** 0.5)
         outs.append(dot)
-    return df.withColumn(out_col, F.array(*outs))
+    return df.filter(
+        F.col(col).isNotNull() & (F.size(col) == dim)
+    ).withColumn(out_col, F.array(*outs))
 
 
 def random_sign_projection(

@@ -232,6 +232,12 @@ def label_propagation(
     rounds; callers needing convergence detection can compare label
     tables across calls.
 
+    Directed graphs (``undirected=False``) propagate along in-edges:
+    a node with no in-edges KEEPS its current label each round (the
+    per-round left join + coalesce below) — without that, source-only
+    nodes would silently vanish from the label table after round 1 and
+    their influence with them.
+
     The complementary operator to connected_components (same-component
     ≠ same-community: a chain of weak links is one component but many
     communities) and pagerank (which ranks WITHIN a cluster).
@@ -243,11 +249,13 @@ def label_propagation(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.localCheckpoint(eager=True)
-    labels = (
+    nodes = (
         e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
@@ -257,10 +265,20 @@ def label_propagation(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        new = (
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("_new"))
+        )
+        # keep every node's row: no in-edges this round -> keep label
+        # (under undirected=True every node has in-edges, so this left
+        # join degenerates to the inner join and coalesce never fires)
+        labels = (
+            labels.join(new, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
         )
         if i % checkpoint_every == 0 and i < iters:
             labels = labels.localCheckpoint(eager=True)

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.literals import lit_long_array
+
 # 16^15 = 2^60: md5's first 15 hex chars as a uniform integer in [0, 2^60)
 _HEX15_SPAN = float(1 << 60)
 
@@ -268,6 +270,13 @@ def _bloom_bit(
             F.xxhash64(col.cast("string"), F.lit(salt)), F.lit(1 << 31)
         )
         return F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)).cast("long")
+    if j > 3:
+        # guard HERE, not only in bloom_bits: a probe with more hashes
+        # than the digest has slices would substring past the 32 hex
+        # chars -> conv('') -> NULL -> every row silently fails the AND
+        # chain — 100% false negatives, the one failure the Bloom
+        # contract forbids
+        raise ValueError("md5 hash_fn supports k_hashes <= 4 (32 hex / 8)")
     digest = F.md5(F.concat(F.lit(f"{salt}_"), col.cast("string")))
     return (
         F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
@@ -337,15 +346,10 @@ def bloom_mask_literal(
         words[b >> 6] |= 1 << (b & 63)
     # Spark longs are signed; fold the top bit back into two's complement
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    # ONE py4j literal: encode as a CSV string, split + cast (Catalyst
-    # constant-folds it to the array). F.array(*lits) — and F.lit(list),
-    # which loops lit() per element internally — pay ~1 ms of py4j
-    # round-trip per element at plan CONSTRUCTION: measured ~15 s at
-    # 8,192 words via F.array, ~4 s via F.lit(list), milliseconds this
-    # way (the _lit_str_array discipline from operators/text.py).
-    return F.split(F.lit(",".join(str(w) for w in signed)), ",").cast(
-        T.ArrayType(T.LongType())
-    )
+    # ONE py4j literal (see functions/literals.py for why — measured
+    # ~15 s at 8,192 words via F.array(*lits), ~4 s via F.lit(list),
+    # milliseconds this way)
+    return lit_long_array(signed)
 
 
 def bloom_might_contain(

@@ -94,10 +94,9 @@ def main() -> None:
                 "cov_partials",
             )
         )
-        if mult <= 10:  # the naive form is the blow-up; cap its legs
-            row["ops"].append(
-                measure(spark, lambda: naive_pairs_cov(emb), "cov_naive")
-            )
+        row["ops"].append(
+            measure(spark, lambda: naive_pairs_cov(emb), "cov_naive")
+        )
         legs.append(row)
         print(json.dumps(row))
     print(json.dumps({"legs": legs}))

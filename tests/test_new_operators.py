@@ -1985,3 +1985,51 @@ def test_pca_basis_empty_input_raises_cleanly(spark):
     )
     with pytest.raises(ValueError, match="no non-null 8-wide"):
         pca_basis(df, "embedding", 8, k=2)
+
+
+def test_label_propagation_directed_keeps_source_only_nodes(spark):
+    # Directed chain 1->2->3: node 1 has no in-edges and must KEEP its
+    # own label every round (not vanish from the output); propagation
+    # flows along in-edges so 2 takes 1's label, 3 takes 2's updated
+    # label by round 2. Pins the coalesce path the undirected form
+    # never exercises.
+    from opensea_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, iters=2, undirected=False).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_pca_project_contracts(spark):
+    # Family drop contract + whitening guard: NULL / wrong-width
+    # vectors are DROPPED (not silently projected to NULL arrays), and
+    # whitening with a non-positive eigenvalue (rank-deficient eigh
+    # tail) raises the contract error instead of producing a complex
+    # literal or dividing by zero.
+    import pytest
+
+    from opensea_datapipeline_spark.operators.decompose import pca_project
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0]),
+            (2, None),
+            (3, [1.0, 2.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    comps = [[0.5, 0.5, 0.5, 0.5]]
+    mean = [0.0, 0.0, 0.0, 0.0]
+    out = pca_project(df, "embedding", comps, mean).collect()
+    assert [r["vec_id"] for r in out] == [1]
+    assert out[0]["pc"][0] == 5.0
+
+    with pytest.raises(ValueError, match="strictly positive"):
+        pca_project(
+            df, "embedding", comps, mean, eigenvalues=[-1e-17]
+        )
