@@ -214,6 +214,7 @@ def label_propagation(
     iters: int = 5,
     undirected: bool = True,
     checkpoint_every: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation
     (Raghavan-Albert-Kumara 2007) after exactly ``iters`` rounds —
@@ -232,6 +233,14 @@ def label_propagation(
     rounds; callers needing convergence detection can compare label
     tables across calls.
 
+    ``weight_col`` makes votes similarity-weighted (the weighted-
+    pagerank sibling): each node adopts the label with the largest
+    NEIGHBOR WEIGHT SUM instead of the largest neighbor count. The
+    vote sum is rounded to 6dp before ranking — float summation order
+    differs across partitionings/engines, and an unrounded near-tie
+    would make the argmax nondeterministic; after rounding, exact ties
+    still break by smallest label.
+
     Directed graphs (``undirected=False``) propagate along in-edges:
     a node with no in-edges KEEPS its current label each round (the
     per-round left join + coalesce below) — without that, source-only
@@ -243,10 +252,19 @@ def label_propagation(
     communities) and pagerank (which ranks WITHIN a cluster).
     Returns (node, community) — both ids, no floats to drift.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w_val = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_val.alias("w")
+    )
     if undirected:
         e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
         )
     e = e.localCheckpoint(eager=True)
     nodes = (
@@ -260,10 +278,15 @@ def label_propagation(
         F.col("c").desc(), F.col("label").asc()
     )
     for i in range(1, iters + 1):
+        vote = (
+            F.round(F.sum("w"), 6)
+            if weight_col is not None
+            else F.count(F.lit(1))
+        )
         counts = (
             e.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(vote.alias("c"))
         )
         new = (
             counts.withColumn("rn", F.row_number().over(w))
@@ -286,3 +309,84 @@ def label_propagation(
 
             gc.collect()  # see pagerank: release superseded checkpoints
     return labels.select("node", F.col("label").alias("community"))
+
+
+def community_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity contribution per community: Q_c = e_in/m −
+    (d_c/2m)² — the quality metric that says whether a community
+    assignment (label_propagation's output) beats random wiring with
+    the same degrees. Σ Q_c ∈ [-0.5, 1); ~0 means the split is no
+    better than chance.
+
+    Edges are canonicalized here (self-loops dropped, (a,b)/(b,a)
+    collapsed) so symmetrized and one-per-pair inputs score identically
+    — the triangle_stats hygiene rule. e_in, d_c, m are integers; the
+    single float division is rounded at 6dp. The edge count rides the
+    plan as a broadcast 1-row aggregate — no driver action, the whole
+    score is one lazy plan. Returns (community, n_nodes, e_in, deg_sum,
+    q_part).
+    """
+    ce = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    m_df = ce.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    deg = (
+        ce.select(F.col("a").alias("node"))
+        .unionAll(ce.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lab = communities.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("label")
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    intra = (
+        ce.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("deg_sum"),
+        )
+    )
+    out = (
+        comm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("label").cast("long").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            (
+                F.round(
+                    F.coalesce(F.col("e_in"), F.lit(0)) / F.col("m")
+                    - (F.col("deg_sum") / (2 * F.col("m")))
+                    * (F.col("deg_sum") / (2 * F.col("m"))),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 + 0.0 = 0.0: normalize negative zero
+                # (repr('-0.0') vs repr('0.0') breaks the hash compare;
+                # a zero-internal-edge singleton community rounds to -0.0)
+            ).alias("q_part"),
+        )
+    )
+    return out

@@ -1851,35 +1851,77 @@ FROM pr{iters}
 """
 
 
-def _label_prop_near_dup_oracle(iters: int = 5, max_id: int = 200) -> str:
-    # Unrolled fixed-count synchronous LPA (see _pagerank_near_dup_oracle
-    # for why unrolled): per round each node takes the modal neighbor
-    # label, ties to the SMALLEST label — all-integer arithmetic, so the
-    # hash compare has no float seam at all.
+def _label_prop_cte(
+    iters: int = 5, max_id: int = 200, weighted: bool = False
+) -> str:
+    # Shared unrolled fixed-count synchronous LPA CTE chain (see
+    # _pagerank_near_dup_oracle for why unrolled): per round each node
+    # takes the modal neighbor label, ties to the SMALLEST label.
+    # Unweighted votes are all-integer (no float seam at all); weighted
+    # votes sum edge jaccards ROUNDED TO 6dp before ranking on BOTH
+    # engines, so summation-order near-ties cannot flip the argmax.
+    vote = "round(sum(w), 6)" if weighted else "count(*)"
+    w_expr = "jaccard AS w" if weighted else "CAST(1.0 AS DOUBLE) AS w"
     steps = ",\n".join(
         f"""lp{i + 1} AS (
   SELECT node, label FROM (
-    SELECT e.dst AS node, p.label, count(*) AS c,
+    SELECT e.dst AS node, p.label, {vote} AS c,
       row_number() OVER (
-        PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC) AS rn
+        PARTITION BY e.dst ORDER BY {vote} DESC, p.label ASC) AS rn
     FROM lp{i} p JOIN edges e ON p.node = e.src
     GROUP BY e.dst, p.label) t
   WHERE rn = 1
 )"""
         for i in range(iters)
     )
-    return f"""
-WITH pairs AS (
+    return f"""pairs AS (
 {_minhash_lsh_oracle(8, 2, 0.7, max_id)}
 ), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
+  SELECT id_a AS src, id_b AS dst, {w_expr} FROM pairs
   UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
+  SELECT id_b AS src, id_a AS dst, {w_expr} FROM pairs
 ),
 lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-{steps}
+{steps}"""
+
+
+def _label_prop_near_dup_oracle(
+    iters: int = 5, max_id: int = 200, weighted: bool = False
+) -> str:
+    return f"""
+WITH {_label_prop_cte(iters, max_id, weighted)}
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS community
 FROM lp{iters}
+"""
+
+
+def _modularity_near_dup_oracle(iters: int = 5, max_id: int = 200) -> str:
+    # Newman modularity of the LPA communities over the SAME graph:
+    # Q_c = e_in/m - (d_c/(2m))^2 per community, canonical edges counted
+    # once, degrees from the symmetrized list. e_in/d_c/m are integers;
+    # the one float division is rounded at 6dp.
+    return f"""
+WITH {_label_prop_cte(iters, max_id, weighted=False)},
+ce AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ce),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+lab AS (SELECT node, label FROM lp{iters}),
+intra AS (
+  SELECT la.label, count(*) AS e_in
+  FROM ce JOIN lab la ON la.node = ce.a
+  JOIN lab lb ON lb.node = ce.b
+  WHERE la.label = lb.label GROUP BY 1),
+comm AS (
+  SELECT la.label, count(*) AS n_nodes, sum(deg.d) AS deg_sum
+  FROM lab la JOIN deg ON deg.node = la.node GROUP BY 1)
+SELECT CAST(comm.label AS BIGINT) AS community,
+  CAST(comm.n_nodes AS BIGINT) AS n_nodes,
+  CAST(COALESCE(intra.e_in, 0) AS BIGINT) AS e_in,
+  CAST(comm.deg_sum AS BIGINT) AS deg_sum,
+  round(COALESCE(intra.e_in, 0) / (SELECT m FROM m)
+    - (comm.deg_sum / (2 * (SELECT m FROM m)))
+      * (comm.deg_sum / (2 * (SELECT m FROM m))), 6) + 0.0 AS q_part
+FROM comm LEFT JOIN intra ON intra.label = comm.label
 """
 
 
@@ -1909,6 +1951,56 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("doc_id"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+@_register(
+    "label_prop_weighted",
+    _label_prop_near_dup_oracle(5, 200, weighted=True),
+)
+def q_label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Similarity-WEIGHTED label propagation (the weighted-pagerank
+    # sibling): a 0.95-Jaccard neighbor out-votes two 0.45 ones, so
+    # community boundaries follow similarity mass, not edge count —
+    # what dedup curation wants when LSH emits borderline pairs. Vote
+    # sums round to 6dp BEFORE ranking on both engines (summation-order
+    # near-ties cannot flip the argmax); exact ties still break by
+    # smallest label.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
+    )
+    lp = gr.label_propagation(
+        edges, iters=5, undirected=True, weight_col="jaccard"
+    )
+    return lp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+@_register("community_modularity", _modularity_near_dup_oracle(5, 200))
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity per LPA community over the same near-dup graph:
+    # the quality metric that tells curation whether the community
+    # split beats random wiring with the same degrees (sum of q_part
+    # ~0 = chance). Integer e_in/deg_sum/m, one rounded division; the
+    # edge total rides the plan as a broadcast 1-row aggregate — the
+    # whole score is one lazy plan, no driver action
+    # (operators/graph.py:community_modularity).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    lp = gr.label_propagation(edges, iters=5, undirected=True)
+    return gr.community_modularity(edges, lp)
 
 
 @_register("pagerank_near_dup", _pagerank_near_dup_oracle(10, 0.85, 200))

@@ -2033,3 +2033,33 @@ def test_pca_project_contracts(spark):
         pca_project(
             df, "embedding", comps, mean, eigenvalues=[-1e-17]
         )
+
+
+def test_community_modularity_bridged_cliques(spark):
+    # Ground-truth check on the planted two-clique-one-bridge graph:
+    # LPA's two communities score high modularity (each clique's 15
+    # internal edges vs 1 bridge; Q = 2*(15/31 - (31/62)^2) ≈ 0.4677),
+    # and a single-community assignment scores ~0 (chance wiring) —
+    # the metric separates a real split from no split.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(6)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((5, 10))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+
+    lp = label_propagation(e, iters=5)
+    rows = community_modularity(e, lp).collect()
+    q = sum(r["q_part"] for r in rows)
+    assert abs(q - (2 * (15 / 31 - 0.25))) < 1e-5
+
+    one = lp.select("node", F.lit(0).alias("community"))
+    rows1 = community_modularity(e, one).collect()
+    assert abs(sum(r["q_part"] for r in rows1)) < 1e-9
