@@ -266,6 +266,15 @@ def label_propagation(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
             )
         )
+    # localCheckpoint, NOT repartition+persist: the checkpoint
+    # materializes WITHOUT any exchange, and although each iteration
+    # then re-shuffles the edge table for the labels join, the
+    # alternative (pre-partition on src + persist, whose
+    # InMemoryTableScan preserves outputPartitioning) measured WORSE —
+    # 3.9 GB vs 1.4 GB total shuffle and 42 s vs 26 s for 3 rounds at
+    # 10M edges — because it pays an upfront full-edge shuffle and the
+    # pinned 32-partition layout stops AQE from sizing every downstream
+    # exchange (SCALING.md §label-prop, negative result recorded).
     e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
