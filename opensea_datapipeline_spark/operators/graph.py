@@ -302,16 +302,21 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", F.col("label").alias("_new"))
         )
-        # keep every node's row: no in-edges this round -> keep label
-        # (under undirected=True every node has in-edges, so this left
-        # join degenerates to the inner join and coalesce never fires)
-        labels = (
-            labels.join(new, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+        if undirected:
+            # every node has in-edges after symmetrization, so `new`
+            # already covers the full node set — no keep-label join
+            labels = new.select("node", F.col("_new").alias("label"))
+        else:
+            # keep every node's row: no in-edges this round -> keep label
+            labels = (
+                labels.join(new, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_new"), F.col("label")).alias(
+                        "label"
+                    ),
+                )
             )
-        )
         if i % checkpoint_every == 0 and i < iters:
             labels = labels.localCheckpoint(eager=True)
             import gc
