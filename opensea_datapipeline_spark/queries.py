@@ -7643,6 +7643,70 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_user_diff",
+    """
+WITH old AS (
+  SELECT user_id, date_trunc('week', ts) AS w, count(*) AS n_old,
+    round(sum(value), 6) AS sum_old
+  FROM events WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-28'
+  GROUP BY 1, 2),
+new AS (
+  SELECT user_id, date_trunc('week', ts) AS w, count(*) AS n_new,
+    round(sum(value), 6) AS sum_new
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+SELECT new.user_id, strftime(new.w, '%Y-%m-%d') AS week,
+  CAST(COALESCE(old.n_old, 0) AS BIGINT) AS n_old,
+  CAST(new.n_new AS BIGINT) AS n_new,
+  COALESCE(old.sum_old, 0.0) AS sum_old,
+  new.sum_new,
+  CASE WHEN old.user_id IS NULL THEN 'added'
+       WHEN old.n_old = new.n_new THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM new LEFT JOIN old ON old.user_id = new.user_id AND old.w = new.w
+""",
+)
+def q_snapshot_user_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC-style diff between two gold-table versions (the versioned-
+    # store read path, side-effect-free: "old" = the per-user-week
+    # rollup a Jan-28 build would have written, "new" = today's). The
+    # user×ISO-week entity + a mid-week cutoff makes ALL THREE branches
+    # real at both graded SFs (149 added / 129 changed / 471 unchanged
+    # at sf0.01) — a user-level diff graded every row 'changed', the
+    # vacuous-branch trap. Classification keys on the INTEGER count
+    # only: events are append-only, so equal counts imply identical row
+    # sets, while rounded-float-sum equality would sit on a 6dp
+    # boundary. Both snapshots aggregate before the join; at 100 TB
+    # each prunes to its date partitions first.
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wk = F.date_trunc("week", F.col("ts"))
+    old = (
+        e.filter(F.col("ts") < F.lit("2024-01-28").cast("timestamp"))
+        .groupBy("user_id", wk.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_old"),
+            F.round(F.sum("value"), 6).alias("sum_old"),
+        )
+    )
+    new = e.groupBy("user_id", wk.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.round(F.sum("value"), 6).alias("sum_new"),
+    )
+    j = new.join(old, ["user_id", "w"], "left")
+    return j.select(
+        "user_id",
+        F.date_format("w", "yyyy-MM-dd").alias("week"),
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.coalesce(F.col("sum_old"), F.lit(0.0)).alias("sum_old"),
+        "sum_new",
+        F.when(F.col("n_old").isNull(), "added")
+        .when(F.col("n_old") == F.col("n_new"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+@_register(
     "theil_sen_daily_trend",
     """
 WITH daily AS (
