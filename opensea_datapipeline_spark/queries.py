@@ -7859,6 +7859,177 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _huber_irls_oracle(iters: int = 3, c: float = 1.5) -> str:
+    # Huber M-estimator of location by fixed-count IRLS, unrolled as
+    # chained CTEs (the pagerank-oracle discipline): start at the
+    # median, reweight w = min(1, c*s/|x-mu|) with s = MAD scale frozen
+    # from the start, re-estimate mu = sum(w*x)/sum(w). Every literal
+    # CAST to DOUBLE; float drift is summation-order only at 6dp.
+    cd = f"CAST({c} AS DOUBLE)"
+    steps = ",\n".join(
+        f"""mu{i + 1} AS (
+  SELECT sum(
+    CASE WHEN abs(d.v - (SELECT mu FROM mu{i})) <= {cd} * (SELECT s FROM sc)
+      THEN d.v
+      ELSE d.v * ({cd} * (SELECT s FROM sc)
+                  / abs(d.v - (SELECT mu FROM mu{i}))) END) /
+  sum(
+    CASE WHEN abs(d.v - (SELECT mu FROM mu{i})) <= {cd} * (SELECT s FROM sc)
+      THEN CAST(1.0 AS DOUBLE)
+      ELSE {cd} * (SELECT s FROM sc)
+           / abs(d.v - (SELECT mu FROM mu{i})) END) AS mu
+  FROM daily d
+)"""
+        for i in range(iters)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+  FROM events GROUP BY 1),
+mu0 AS (SELECT median(v) AS mu FROM daily),
+sc AS (
+  SELECT median(abs(v - (SELECT mu FROM mu0))) AS s FROM daily),
+{steps}
+SELECT round((SELECT mu FROM mu{iters}), 6) AS huber_location,
+  round((SELECT mu FROM mu0), 6) AS median_start,
+  round((SELECT s FROM sc), 6) AS mad_scale,
+  CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days
+"""
+
+
+@_register("huber_location_daily", _huber_irls_oracle(3, 1.5))
+def q_huber_location_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust location of daily revenue: Huber M-estimator by exactly 3
+    # IRLS rounds (fixed-count => deterministic and SQL-replayable, the
+    # pagerank discipline applied to statistics) — between the mean
+    # (efficient, outlier-fragile) and the median (robust, inefficient),
+    # completing the robust family (MAD, Theil-Sen). Start = median,
+    # scale s = MAD frozen from the start; w = min(1, c*s/|x-mu|).
+    # Every step aggregates the BOUNDED daily table; the per-iteration
+    # scalars ride the plan as broadcast 1-row aggregates — fully lazy,
+    # no driver action, no global window.
+    c = 1.5
+    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
+    mu = daily.agg(F.median("v").alias("mu"))
+    sc = daily.crossJoin(F.broadcast(mu)).agg(
+        F.median(F.abs(F.col("v") - F.col("mu"))).alias("s")
+    )
+    start = mu
+    for _ in range(3):
+        j = daily.crossJoin(F.broadcast(mu)).crossJoin(F.broadcast(sc))
+        dev = F.abs(F.col("v") - F.col("mu"))
+        wgt = F.when(dev <= c * F.col("s"), F.lit(1.0)).otherwise(
+            c * F.col("s") / dev
+        )
+        mu = j.agg(
+            (F.sum(F.col("v") * wgt) / F.sum(wgt)).alias("mu")
+        )
+    return (
+        mu.crossJoin(F.broadcast(start.withColumnRenamed("mu", "mu0")))
+        .crossJoin(F.broadcast(sc))
+        .crossJoin(
+            F.broadcast(daily.agg(F.count(F.lit(1)).alias("n_days")))
+        )
+        .select(
+            F.round("mu", 6).alias("huber_location"),
+            F.round("mu0", 6).alias("median_start"),
+            F.round("s", 6).alias("mad_scale"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+@_register(
+    "seasonal_adjusted_anomalies",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+  FROM events GROUP BY 1),
+off AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS o),
+tr AS (
+  SELECT a.d, a.v, sum(b.v) / 7.0 AS trend
+  FROM daily a CROSS JOIN off JOIN daily b ON b.d = a.d + off.o
+  GROUP BY 1, 2 HAVING count(*) = 7),
+se AS (
+  SELECT isodow(d) AS wd, sum(v - trend) / count(*) AS seasonal
+  FROM tr GROUP BY 1),
+res AS (
+  SELECT tr.d, tr.v, round(tr.v - tr.trend - se.seasonal, 6) AS resid
+  FROM tr JOIN se ON se.wd = isodow(tr.d)),
+md AS (SELECT median(resid) AS m FROM res),
+sc AS (
+  SELECT median(abs(resid - (SELECT m FROM md))) AS s FROM res)
+SELECT strftime(d, '%Y-%m-%d') AS d, v, resid,
+  round(abs(resid - (SELECT m FROM md))
+    / (CAST(1.4826 AS DOUBLE) * (SELECT s FROM sc)), 6) AS robust_z
+FROM res
+WHERE abs(resid - (SELECT m FROM md))
+  > 2.0 * (CAST(1.4826 AS DOUBLE) * (SELECT s FROM sc))
+""",
+)
+def q_seasonal_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Seasonality-AWARE anomaly flags: a weekly-pattern day is only
+    # anomalous relative to trend+seasonal, not raw level (zscore/mad
+    # anomalies both flag ordinary weekend dips). Composition of the
+    # graded decomposition with a MAD threshold on the RESIDUAL
+    # (median/1.4826-MAD robust z > 2). Residuals are 6dp-rounded
+    # BEFORE the median/MAD/threshold on both engines, so the flag
+    # decision compares identical doubles — the md5-threshold
+    # discipline applied to a derived float.
+    c = 1.4826
+    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
+    offs = spark.range(-3, 4).select(F.col("id").cast("int").alias("o"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    tr = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            F.broadcast(b),
+            F.col("b.d") == F.date_add(F.col("a.d"), F.col("o")),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.v").alias("v"))
+        .agg(
+            (F.sum(F.col("b.v")) / F.lit(7.0)).alias("trend"),
+            F.count(F.lit(1)).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+        .drop("n7")
+    )
+    wd = F.weekday("d") + 1
+    se = tr.groupBy(wd.alias("wd")).agg(
+        (F.sum(F.col("v") - F.col("trend")) / F.count(F.lit(1))).alias(
+            "seasonal"
+        )
+    )
+    res = (
+        tr.withColumn("wd", wd)
+        .join(F.broadcast(se), "wd")
+        .select(
+            "d",
+            "v",
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+    )
+    md = res.agg(F.median("resid").alias("m"))
+    sc = res.crossJoin(F.broadcast(md)).agg(
+        F.median(F.abs(F.col("resid") - F.col("m"))).alias("s")
+    )
+    out = res.crossJoin(F.broadcast(md)).crossJoin(F.broadcast(sc))
+    dev = F.abs(F.col("resid") - F.col("m"))
+    return out.filter(dev > 2.0 * (c * F.col("s"))).select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "v",
+        "resid",
+        F.round(dev / (c * F.col("s")), 6).alias("robust_z"),
+    )
+
+
 @_register(
     "benford_deviation",
     """
