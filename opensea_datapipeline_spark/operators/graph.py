@@ -276,12 +276,17 @@ def label_propagation(
     # pinned 32-partition layout stops AQE from sizing every downstream
     # exchange (SCALING.md §label-prop, negative result recorded).
     e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if undirected:
+        # after symmetrization every node appears as a src — skip the
+        # dst union (one less scan + smaller distinct)
+        nodes = e.select(F.col("src").alias("node")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
