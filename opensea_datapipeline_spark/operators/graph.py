@@ -379,12 +379,16 @@ def community_modularity(
         .groupBy(F.col("_la").alias("label"))
         .agg(F.count(F.lit(1)).alias("e_in"))
     )
+    # LEFT join: a community whose every node has zero canonical degree
+    # (isolated node, or only self-loops — dropped above) must still be
+    # scored as (n_nodes, e_in=0, deg_sum=0, q_part=0), not silently
+    # vanish from the per-community contract
     comm = (
-        lab.join(deg, "node")
+        lab.join(deg, "node", "left")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.sum("d").alias("deg_sum"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("deg_sum"),
         )
     )
     out = (
@@ -395,7 +399,7 @@ def community_modularity(
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
             F.col("deg_sum").cast("long").alias("deg_sum"),
-            (
+            F.when(F.col("m") > 0, (
                 F.round(
                     F.coalesce(F.col("e_in"), F.lit(0)) / F.col("m")
                     - (F.col("deg_sum") / (2 * F.col("m")))
@@ -405,7 +409,7 @@ def community_modularity(
                 + F.lit(0.0)  # -0.0 + 0.0 = 0.0: normalize negative zero
                 # (repr('-0.0') vs repr('0.0') breaks the hash compare;
                 # a zero-internal-edge singleton community rounds to -0.0)
-            ).alias("q_part"),
+            )).otherwise(F.lit(0.0)).alias("q_part"),  # m=0: ANSI /0 throws
         )
     )
     return out

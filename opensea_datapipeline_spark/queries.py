@@ -1996,9 +1996,13 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_hashes=8, band_size=2,
         jaccard_threshold=0.7,
     )
+    # checkpoint ONCE: label_propagation pins its own symmetrized copy,
+    # but modularity's ce/deg/intra subplans would otherwise re-run the
+    # whole LSH candidate join from raw lineage (2-4x the query's
+    # dominant cost)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     lp = gr.label_propagation(edges, iters=5, undirected=True)
     return gr.community_modularity(edges, lp)
 
@@ -7867,10 +7871,7 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "seasonal_decompose_daily",
-    """
-WITH daily AS (
+_SEASONAL_CTE = """daily AS (
   SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
   FROM events GROUP BY 1),
 off AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS o),
@@ -7880,24 +7881,18 @@ tr AS (
   GROUP BY 1, 2 HAVING count(*) = 7),
 se AS (
   SELECT isodow(d) AS wd, sum(v - trend) / count(*) AS seasonal
-  FROM tr GROUP BY 1)
-SELECT strftime(tr.d, '%Y-%m-%d') AS d, tr.v,
-  round(tr.trend, 6) AS trend,
-  round(se.seasonal, 6) AS seasonal,
-  round(tr.v - tr.trend - se.seasonal, 6) AS resid
-FROM tr JOIN se ON se.wd = isodow(tr.d)
-""",
-)
-def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Additive seasonal decomposition (classical, moving-average form):
-    # trend = centered 7-day CALENDAR mean (offset join on the bounded
-    # daily table — interior days only, HAVING count(*)=7, so edges and
-    # gap-adjacent days are excluded rather than silently averaged over
-    # fewer points); seasonal = per-ISO-weekday mean of the detrended
-    # series; resid = v - trend - seasonal. No global window — every
-    # step is an equi-join or grouped agg on the daily table. sum/7.0
-    # and sum/count spelled identically in both engines (avg()'s
-    # internal accumulation could differ in summation order).
+  FROM tr GROUP BY 1)"""
+# ONE copy of the decomposition core (SQL above, Spark below): the
+# decompose query and the anomaly query must stay bit-identical in
+# trend/seasonal arithmetic or their oracles drift apart — the
+# _label_prop_cte / functions-literals lesson applied here too.
+
+
+def _seasonal_frames(spark: SparkSession, sf_dir: str):
+    """(tr, seasonal_by_weekday) frames shared by the decomposition
+    queries: centered 7-day CALENDAR trend on interior days only, then
+    per-ISO-weekday seasonal means. sum/7.0 and sum/count spelled
+    identically to the SQL CTE (avg()'s accumulation could drift)."""
     e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
     offs = spark.range(-3, 4).select(F.col("id").cast("int").alias("o"))
@@ -7917,14 +7912,38 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n7") == 7)
         .drop("n7")
     )
-    # ISO weekday: Spark weekday() is 0=Mon..6=Sun; +1 matches DuckDB
-    # isodow (SURVEY trap 2, same as aggregates.weekday_rollup)
-    wd = F.weekday("d") + 1
+    wd = F.weekday("d") + 1  # ISO weekday (DuckDB isodow; SURVEY trap 2)
     se = tr.groupBy(wd.alias("wd")).agg(
         (F.sum(F.col("v") - F.col("trend")) / F.count(F.lit(1))).alias(
             "seasonal"
         )
     )
+    return tr, se
+
+
+@_register(
+    "seasonal_decompose_daily",
+    f"""
+WITH {_SEASONAL_CTE}
+SELECT strftime(tr.d, '%Y-%m-%d') AS d, tr.v,
+  round(tr.trend, 6) AS trend,
+  round(se.seasonal, 6) AS seasonal,
+  round(tr.v - tr.trend - se.seasonal, 6) AS resid
+FROM tr JOIN se ON se.wd = isodow(tr.d)
+""",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Additive seasonal decomposition (classical, moving-average form):
+    # trend = centered 7-day CALENDAR mean (offset join on the bounded
+    # daily table — interior days only, edges and gap-adjacent days
+    # excluded rather than silently averaged over fewer points);
+    # seasonal = per-ISO-weekday mean of the detrended series; resid =
+    # v - trend - seasonal. No global window — every step is an
+    # equi-join or grouped agg on the daily table. Core shared with
+    # seasonal_adjusted_anomalies via _SEASONAL_CTE/_seasonal_frames
+    # so the two graded copies cannot drift.
+    tr, se = _seasonal_frames(spark, sf_dir)
+    wd = F.weekday("d") + 1
     return (
         tr.withColumn("wd", wd)
         .join(F.broadcast(se), "wd")
@@ -8023,18 +8042,8 @@ def q_huber_location_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "seasonal_adjusted_anomalies",
-    """
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
-  FROM events GROUP BY 1),
-off AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS o),
-tr AS (
-  SELECT a.d, a.v, sum(b.v) / 7.0 AS trend
-  FROM daily a CROSS JOIN off JOIN daily b ON b.d = a.d + off.o
-  GROUP BY 1, 2 HAVING count(*) = 7),
-se AS (
-  SELECT isodow(d) AS wd, sum(v - trend) / count(*) AS seasonal
-  FROM tr GROUP BY 1),
+    f"""
+WITH {_SEASONAL_CTE},
 res AS (
   SELECT tr.d, tr.v, round(tr.v - tr.trend - se.seasonal, 6) AS resid
   FROM tr JOIN se ON se.wd = isodow(tr.d)),
@@ -8054,38 +8063,15 @@ def q_seasonal_adjusted_anomalies(
 ) -> DataFrame:
     # Seasonality-AWARE anomaly flags: a weekly-pattern day is only
     # anomalous relative to trend+seasonal, not raw level (zscore/mad
-    # anomalies both flag ordinary weekend dips). Composition of the
-    # graded decomposition with a MAD threshold on the RESIDUAL
-    # (median/1.4826-MAD robust z > 2). Residuals are 6dp-rounded
-    # BEFORE the median/MAD/threshold on both engines, so the flag
-    # decision compares identical doubles — the md5-threshold
-    # discipline applied to a derived float.
+    # anomalies both flag ordinary weekend dips). Decomposition core
+    # shared with seasonal_decompose_daily (_SEASONAL_CTE /
+    # _seasonal_frames — one copy, no drift), then a MAD threshold on
+    # the RESIDUAL (median/1.4826-MAD robust z > 2). Residuals are
+    # 6dp-rounded BEFORE the median/MAD/threshold on both engines, so
+    # the flag decision compares identical doubles.
     c = 1.4826
-    e = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
-    daily = e.groupBy("d").agg(F.round(F.sum("value"), 6).alias("v"))
-    offs = spark.range(-3, 4).select(F.col("id").cast("int").alias("o"))
-    a = daily.alias("a")
-    b = daily.alias("b")
-    tr = (
-        a.crossJoin(F.broadcast(offs))
-        .join(
-            F.broadcast(b),
-            F.col("b.d") == F.date_add(F.col("a.d"), F.col("o")),
-        )
-        .groupBy(F.col("a.d").alias("d"), F.col("a.v").alias("v"))
-        .agg(
-            (F.sum(F.col("b.v")) / F.lit(7.0)).alias("trend"),
-            F.count(F.lit(1)).alias("n7"),
-        )
-        .filter(F.col("n7") == 7)
-        .drop("n7")
-    )
+    tr, se = _seasonal_frames(spark, sf_dir)
     wd = F.weekday("d") + 1
-    se = tr.groupBy(wd.alias("wd")).agg(
-        (F.sum(F.col("v") - F.col("trend")) / F.count(F.lit(1))).alias(
-            "seasonal"
-        )
-    )
     res = (
         tr.withColumn("wd", wd)
         .join(F.broadcast(se), "wd")

@@ -68,7 +68,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     legs = []
     for mult in scales:
-        row = {"mult": mult, "n_nodes": BASE_NODES * mult, "ops": []}
+        row = {"mult": mult, "ops": []}
         for hub in (False, True):
             e = cluster_edges(spark, mult, hub).localCheckpoint(
                 eager=True
@@ -81,6 +81,8 @@ def main() -> None:
                         f"lpa3_{'hub' if hub else 'flat'}",
                     ),
                     "n_edges": e.count(),
+                    # hub graphs have one extra node (the star hub)
+                    "n_nodes": BASE_NODES * mult + (1 if hub else 0),
                 }
             )
         legs.append(row)

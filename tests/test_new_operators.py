@@ -2063,3 +2063,50 @@ def test_community_modularity_bridged_cliques(spark):
     one = lp.select("node", F.lit(0).alias("community"))
     rows1 = community_modularity(e, one).collect()
     assert abs(sum(r["q_part"] for r in rows1)) < 1e-9
+
+
+def test_community_modularity_zero_degree_community(spark):
+    # A community whose only node has no canonical edges (self-loop
+    # dropped by edge hygiene) must still be scored — (n_nodes=1,
+    # e_in=0, deg_sum=0, q_part=0.0) — not vanish from the output; and
+    # an entirely edge-free graph (m=0) must not divide by zero.
+    from opensea_datapipeline_spark.operators.graph import (
+        community_modularity,
+    )
+
+    e = spark.createDataFrame([(1, 1), (2, 3)], ["src", "dst"])
+    comm = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2)], ["node", "community"]
+    )
+    rows = {r["community"]: r for r in community_modularity(e, comm).collect()}
+    assert rows[1]["n_nodes"] == 1
+    assert rows[1]["e_in"] == 0 and rows[1]["deg_sum"] == 0
+    assert rows[1]["q_part"] == 0.0
+    assert rows[2]["e_in"] == 1
+
+    only_loops = spark.createDataFrame([(1, 1)], ["src", "dst"])
+    out = community_modularity(
+        only_loops, spark.createDataFrame([(1, 1)], ["node", "community"])
+    ).collect()
+    assert len(out) == 1 and out[0]["q_part"] == 0.0
+
+
+def test_label_propagation_weighted_directed(spark):
+    # The untested interaction: weighted votes through the directed
+    # keep-label path. Node 3 hears label 1 (via 2, weight 5.0) and
+    # label 4 (weight 0.5) — the heavier vote wins even though the
+    # count is tied; node 1 and 4 (no in-edges) keep their own labels.
+    from opensea_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 5.0), (4, 3, 0.5)], ["src", "dst", "w"]
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            e, iters=2, undirected=False, weight_col="w"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
