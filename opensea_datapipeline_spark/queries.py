@@ -7070,6 +7070,72 @@ def q_vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zipf_fit_tokens",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+      '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+rk AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE))
+    AS lx, ln(CAST(c AS DOUBLE)) AS ly
+  FROM vc),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(lx) AS sx, sum(ly) AS sy,
+    sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+  FROM rk)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    AS zipf_slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS intercept,
+  CAST(n AS BIGINT) AS n_ranks
+FROM s
+""",
+)
+def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf-law diagnostic of the token frequency distribution (the
+    # corpus-health check an LLM-data pipeline runs before trusting a
+    # vocabulary): OLS slope of ln(freq) on ln(rank) — natural text
+    # sits near -1; synthetic/templated corpora flatten. The OLS is
+    # spelled as the EXPLICIT sums formula on both engines (DuckDB's
+    # regr_slope internals could accumulate differently); the rank
+    # window runs over the COUNTED vocab table (bounded by distinct
+    # tokens, the build_vocab argument), never the token stream.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(tx._words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    rk = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.col("n").cast("long").alias("n_ranks"),
+    )
+
+
+@_register(
     "dup_ngram_fraction",
     """
 WITH toks AS (
