@@ -5707,6 +5707,57 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_rank_functions",
+    """
+WITH r AS (
+  SELECT event_type, value,
+    ntile(4) OVER w AS q,
+    percent_rank() OVER w AS pr,
+    cume_dist() OVER w AS cd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+SELECT event_type, CAST(q AS BIGINT) AS quartile,
+  CAST(count(*) AS BIGINT) AS n,
+  round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+  round(max(pr), 6) AS max_percent_rank,
+  round(max(cd), 6) AS max_cume_dist
+FROM r GROUP BY 1, 2
+""",
+)
+def q_value_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 ranking-window family parity: ntile / percent_rank /
+    # cume_dist in one keyed window. ntile's bucket boundaries depend
+    # on ROW ORDER, so the window orders by (value, event_id) — a total
+    # order; value alone would make tied rows' buckets partitioning-
+    # dependent and the hash compare flaky. percent_rank/cume_dist are
+    # exact rationals of ranks — identical cross-engine. Output is the
+    # bounded per-(type, quartile) summary, not 10k float rows. Scale
+    # note: a per-type ranking window sorts each type's full partition;
+    # the bucketed quantile forms (value_quartiles, group_p90) are the
+    # 100 TB path — this query grades API parity.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("q"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy(
+        "event_type", F.col("q").cast("long").alias("quartile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
+@_register(
     "value_quartiles",
     """
 SELECT event_type,
