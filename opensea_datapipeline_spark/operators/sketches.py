@@ -339,16 +339,23 @@ def bloom_mask_literal(
     semi-join prune: a 1 KiB literal riding the task binary instead of
     a shuffled key set.
     """
+    return pack_bits_literal(
+        (int(r["bit"]) for r in bits.collect()), m_bits
+    )
+
+
+def pack_bits_literal(positions, m_bits: int) -> "F.Column":
+    """Pack an iterable of bit positions into the literal long[] mask —
+    the one shared packer (bloom_mask_literal and the streaming
+    bloom-gate both use it; two copies would drift). Spark longs are
+    signed, so the top bit folds back into two's complement. ONE py4j
+    literal (see functions/literals.py — measured ~15 s at 8,192 words
+    via F.array(*lits), ~4 s via F.lit(list), milliseconds this way)."""
     n_words = (m_bits + 63) // 64
     words = [0] * n_words
-    for r in bits.collect():
-        b = int(r["bit"])
+    for b in positions:
         words[b >> 6] |= 1 << (b & 63)
-    # Spark longs are signed; fold the top bit back into two's complement
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    # ONE py4j literal (see functions/literals.py for why — measured
-    # ~15 s at 8,192 words via F.array(*lits), ~4 s via F.lit(list),
-    # milliseconds this way)
     return lit_long_array(signed)
 
 

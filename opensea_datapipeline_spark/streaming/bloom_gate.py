@@ -1,0 +1,113 @@
+"""Bloom-gated streaming dedup — the sketch family applied to state.
+
+`streaming/dedup.py` keeps the exact seen-key set in the state store and
+pays an exact lookup for EVERY arriving key. At 100 TB most arriving
+keys are NEW — and a Bloom filter answers "definitely not seen" for
+them without touching the key store at all (zero false negatives: a
+key the mask rejects cannot be in the seen set, because build and probe
+share the hash). Only the maybe-seen minority (true dups + the ~0.2%
+false positives at 16 bits/key) pays the exact anti-join against the
+persisted key table, which removes the false positives — the net result
+is EXACT, the same guarantee as `bloom_pruned_segment_revenue`'s
+broadcast join, applied per micro-batch.
+
+State shape per batch:
+- driver: the set-bit positions (≤ m_bits ints — bounded, independent
+  of corpus size), folded into a literal long[] mask per batch;
+- executors: the seen-key parquet table, touched only by the pruned
+  anti-join and the new-key append.
+
+This is the streaming form of the scan-side runtime filter: the 64 KiB
+mask rides each batch's task binary; the exact store is only consulted
+for candidates the mask could not reject.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketches as sk
+from ..sources.readers import ensure_reader_confs
+
+M_BITS = 1 << 19  # ~16 bits/key up to ~33k keys (the sizing rule)
+K_HASHES = 4
+
+
+
+
+def run_bloom_gated_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    key_cols: list[str],
+    seen_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Stream ``src_dir`` (AvailableNow, one file per trigger); per
+    batch: distinct keys → mask probe splits definitely-new from
+    maybe-seen → ONLY maybe-seen pays the exact anti-join against the
+    seen table → both groups of truly-new keys append to the seen
+    table and their bits join the driver mask. Returns the seen table
+    plus per-batch prune telemetry (how many keys skipped the exact
+    store — the measured value of the gate)."""
+    ensure_reader_confs(spark)
+    batch_src = spark.read.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    # key_cols are SQL EXPRESSIONS (column names work too) so derived
+    # keys like CAST(ts AS DATE) need no pre-projection
+    key_expr = F.md5(
+        F.concat_ws("\x1f", *[F.expr(c).cast("string") for c in key_cols])
+    )
+    bits: set[int] = set()
+    stats = {"batches": 0, "definitely_new": 0, "maybe_seen": 0}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(key_expr.alias("dedup_key")).distinct()
+        mask = sk.pack_bits_literal(bits, M_BITS)
+        might = sk.bloom_might_contain(
+            mask, F.col("dedup_key"), m_bits=M_BITS, k_hashes=K_HASHES
+        )
+        keys = keys.withColumn("_maybe", might).localCheckpoint(
+            eager=True
+        )
+        definitely_new = keys.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = keys.filter(F.col("_maybe")).drop("_maybe")
+        n_new = definitely_new.count()
+        n_maybe = maybe.count()
+        if os.path.exists(seen_dir) and n_maybe:
+            seen = spark.read.parquet(seen_dir)
+            # no forced broadcast: the seen table grows with the
+            # corpus — AQE broadcasts while it fits, shuffles after
+            verified_new = maybe.join(seen, "dedup_key", "left_anti")
+        else:
+            verified_new = maybe
+        # append stays distributed (keys grow with the corpus — never
+        # collect them); the ONLY driver action is the ≤ m_bits bit
+        # rows, the bloom_mask_literal bounded-collect discipline
+        fresh = definitely_new.unionByName(verified_new).localCheckpoint(
+            eager=True
+        )
+        fresh.write.mode("append").parquet(seen_dir)
+        for r in sk.bloom_bits(
+            fresh, "dedup_key", m_bits=M_BITS, k_hashes=K_HASHES
+        ).collect():
+            bits.add(int(r["bit"]))
+        stats["batches"] += 1
+        stats["definitely_new"] += n_new
+        stats["maybe_seen"] += n_maybe
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"seen": spark.read.parquet(seen_dir), "stats": stats}

@@ -2110,3 +2110,54 @@ def test_label_propagation_weighted_directed(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_bloom_gated_streaming_dedup_multibatch(spark, sf_dir, tmp_path):
+    # The cross-batch gate path: events split into 4 files (one per
+    # trigger). Batch 1 sees an empty mask (everything definitely-new,
+    # no anti-join); later batches re-encounter earlier keys, which the
+    # mask can NEVER miss (zero false negatives) — so every repeat key
+    # lands in maybe_seen and the exact anti-join removes it. Final
+    # accumulated set == batch distinct, and the telemetry proves the
+    # gate actually pruned (definitely_new > 0 AND maybe_seen > 0).
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.bloom_gate import (
+        run_bloom_gated_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    src = str(tmp_path / "src")
+    # order by ts so every user/type recurs across the 4 slices
+    e.orderBy("ts").coalesce(1).limit(100000).repartitionByRange(
+        4, "ts"
+    ).write.parquet(src)
+    out = run_bloom_gated_dedup(
+        spark,
+        src,
+        ["user_id", "event_type"],
+        seen_dir=str(tmp_path / "seen"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r["dedup_key"] for r in out["seen"].collect()}
+    want = {
+        r[0]
+        for r in e.select(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("user_id").cast("string"),
+                    F.col("event_type").cast("string"),
+                )
+            )
+        ).distinct().collect()
+    }
+    assert got == want
+    st = out["stats"]
+    assert st["batches"] == 4
+    assert st["definitely_new"] > 0 and st["maybe_seen"] > 0
+    # exactness implies no key was double-appended
+    assert out["seen"].count() == len(want)
