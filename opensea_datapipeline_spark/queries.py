@@ -2931,6 +2931,10 @@ def q_streaming_bloom_dedup_keys(
         ["user_id", "event_type", "CAST(ts AS DATE)"],
         seen_dir=os.path.join(work, "seen"),
         checkpoint_dir=os.path.join(work, "ckpt"),
+        # match the oracle's WHERE: concat_ws would otherwise SKIP a
+        # null user_id and emit md5(type\x1f date) keys the oracle
+        # never sees (latent: testdata has no null user_id today)
+        filter_expr="user_id IS NOT NULL",
     )
     return out["seen"].distinct()
 
@@ -5752,7 +5756,7 @@ WITH r AS (
     ntile(4) OVER w AS q,
     percent_rank() OVER w AS pr,
     cume_dist() OVER w AS cd
-  FROM events
+  FROM events WHERE value IS NOT NULL
   WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
 SELECT event_type, CAST(q AS BIGINT) AS quartile,
   CAST(count(*) AS BIGINT) AS n,
@@ -5775,7 +5779,10 @@ def q_value_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB path — this query grades API parity.
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "events")
+    # NULL values are filtered on BOTH sides: Spark ASC is NULLS FIRST,
+    # DuckDB's is NULLS LAST — one NULL would shift every rank/bucket
+    # in its partition (latent: testdata has no NULL values today)
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     r = e.select(
         "event_type",
@@ -8264,7 +8271,9 @@ hit AS (
 obs AS (
   SELECT u.user_id,
     CASE WHEN hit.h IS NULL
-      THEN date_diff('day', u.f, (SELECT CAST(max(ts) AS DATE) FROM events))
+      THEN date_diff('day', u.f,
+        (SELECT CAST(max(ts) AS DATE) FROM events
+         WHERE user_id IS NOT NULL))
       ELSE date_diff('day', u.f, hit.h) END AS dur,
     CAST(hit.h IS NULL AS INTEGER) AS censored
   FROM u LEFT JOIN hit ON hit.user_id = u.user_id),
@@ -8275,8 +8284,11 @@ risk AS (
   FROM ev JOIN obs ON obs.dur >= ev.t GROUP BY 1, 2),
 km AS (
   SELECT r.t, r.n, r.d,
-    exp((SELECT sum(ln(1.0 - CAST(r2.d AS DOUBLE) / r2.n))
-         FROM risk r2 WHERE r2.t <= r.t)) AS s
+    CASE WHEN (SELECT max(CASE WHEN r2.d = r2.n THEN 1 ELSE 0 END)
+               FROM risk r2 WHERE r2.t <= r.t) = 1
+      THEN CAST(0.0 AS DOUBLE)
+      ELSE exp((SELECT sum(ln(1.0 - CAST(r2.d AS DOUBLE) / r2.n))
+                FROM risk r2 WHERE r2.t <= r.t AND r2.d < r2.n)) END AS s
   FROM risk r)
 SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
   CAST(d AS BIGINT) AS d_hit, round(s, 6) AS survival
@@ -8329,14 +8341,26 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "d")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # d == n absorbs the curve to EXACTLY 0 (everyone at risk hit at
+    # t): neither engine may evaluate ln(0) — DuckDB hard-errors,
+    # Spark's NULL would silently DROP the term and report a wrong
+    # nonzero survival. Zero-flag + d<n-filtered log sum on both sides.
     r2 = risk.select(
         F.col("t").alias("t2"),
-        F.log(1.0 - F.col("d").cast("double") / F.col("n")).alias("lg"),
+        F.when(
+            F.col("d") < F.col("n"),
+            F.log(1.0 - F.col("d").cast("double") / F.col("n")),
+        ).otherwise(F.lit(0.0)).alias("lg"),
+        (F.col("d") == F.col("n")).cast("int").alias("zero"),
     )
     km = (
         risk.join(F.broadcast(r2), F.col("t2") <= F.col("t"))
         .groupBy("t", "n", "d")
-        .agg(F.exp(F.sum("lg")).alias("s"))
+        .agg(
+            F.when(
+                F.max("zero") == 1, F.lit(0.0)
+            ).otherwise(F.exp(F.sum("lg"))).alias("s")
+        )
     )
     return km.select(
         F.col("t").cast("long").alias("t_days"),

@@ -30,9 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketches as sk
-from ..sources.readers import ensure_reader_confs
+from ..sources.readers import ensure_reader_confs, normalize_event_time
 
-M_BITS = 1 << 19  # ~16 bits/key up to ~33k keys (the sizing rule)
+# defaults only — run_bloom_gated_dedup takes m_bits/k_hashes so callers
+# can size to THEIR key cardinality (~16 bits/key; an undersized mask
+# saturates and silently prunes nothing — sketches.bloom_bits docstring).
+# 2^21 covers ~130k keys; the sf0.1 soak already carries 80k.
+M_BITS = 1 << 21
 K_HASHES = 4
 
 
@@ -45,6 +49,9 @@ def run_bloom_gated_dedup(
     seen_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    filter_expr: str | None = None,
+    m_bits: int = M_BITS,
+    k_hashes: int = K_HASHES,
 ) -> dict:
     """Stream ``src_dir`` (AvailableNow, one file per trigger); per
     batch: distinct keys → mask probe splits definitely-new from
@@ -60,19 +67,34 @@ def run_bloom_gated_dedup(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
+    # same ns/NTZ normalization as run_streaming_dedup — a ns-encoded
+    # ts surfaces as bigint and a CAST(ts AS DATE) key would throw
+    stream = normalize_event_time(stream)
+    if filter_expr is not None:
+        stream = stream.filter(F.expr(filter_expr))
     # key_cols are SQL EXPRESSIONS (column names work too) so derived
     # keys like CAST(ts AS DATE) need no pre-projection
     key_expr = F.md5(
         F.concat_ws("\x1f", *[F.expr(c).cast("string") for c in key_cols])
     )
     bits: set[int] = set()
+    if os.path.exists(seen_dir):
+        # RESTART path: re-seed the mask from the persisted store, or
+        # the zero-false-negative invariant (mask-reject => not seen)
+        # breaks and previously-seen keys double-append. Bounded: the
+        # collect is the <= m_bits bit rows, never the keys.
+        for r in sk.bloom_bits(
+            spark.read.parquet(seen_dir), "dedup_key",
+            m_bits=m_bits, k_hashes=k_hashes,
+        ).collect():
+            bits.add(int(r["bit"]))
     stats = {"batches": 0, "definitely_new": 0, "maybe_seen": 0}
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         keys = batch_df.select(key_expr.alias("dedup_key")).distinct()
-        mask = sk.pack_bits_literal(bits, M_BITS)
+        mask = sk.pack_bits_literal(bits, m_bits)
         might = sk.bloom_might_contain(
-            mask, F.col("dedup_key"), m_bits=M_BITS, k_hashes=K_HASHES
+            mask, F.col("dedup_key"), m_bits=m_bits, k_hashes=k_hashes
         )
         keys = keys.withColumn("_maybe", might).localCheckpoint(
             eager=True
@@ -96,9 +118,15 @@ def run_bloom_gated_dedup(
         )
         fresh.write.mode("append").parquet(seen_dir)
         for r in sk.bloom_bits(
-            fresh, "dedup_key", m_bits=M_BITS, k_hashes=K_HASHES
+            fresh, "dedup_key", m_bits=m_bits, k_hashes=k_hashes
         ).collect():
             bits.add(int(r["bit"]))
+        # release the previous batch's rebound checkpoints (keys,
+        # fresh) — the dead-checkpoint accumulation the pagerank/LPA
+        # loops measured at 2x late-iteration cost
+        import gc
+
+        gc.collect()
         stats["batches"] += 1
         stats["definitely_new"] += n_new
         stats["maybe_seen"] += n_maybe

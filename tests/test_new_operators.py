@@ -2161,3 +2161,47 @@ def test_bloom_gated_streaming_dedup_multibatch(spark, sf_dir, tmp_path):
     assert st["definitely_new"] > 0 and st["maybe_seen"] > 0
     # exactness implies no key was double-appended
     assert out["seen"].count() == len(want)
+
+
+def test_bloom_gate_restart_reseeds_mask(spark, sf_dir, tmp_path):
+    # Restart invariant: a second run against an EXISTING seen store
+    # must re-seed the mask from it — otherwise previously-seen keys
+    # probe definitely-new, skip the anti-join, and double-append
+    # (breaking the exact contract). Run 1 ingests half the corpus;
+    # run 2 (fresh source dir, fresh checkpoint, SAME seen_dir) ingests
+    # the full corpus: every run-1 key must be maybe-seen in run 2 and
+    # the final store must equal the batch distinct with no dup rows.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.bloom_gate import (
+        run_bloom_gated_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    half = e.filter(F.col("event_id") % 2 == 0)
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    half.coalesce(2).write.parquet(src1)
+    e.coalesce(2).write.parquet(src2)
+    seen = str(tmp_path / "seen")
+    run_bloom_gated_dedup(
+        spark, src1, ["user_id", "event_type"], seen_dir=seen,
+        checkpoint_dir=str(tmp_path / "c1"),
+    )
+    out = run_bloom_gated_dedup(
+        spark, src2, ["user_id", "event_type"], seen_dir=seen,
+        checkpoint_dir=str(tmp_path / "c2"),
+    )
+    want = e.select(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("user_id").cast("string"),
+                F.col("event_type").cast("string"),
+            )
+        ).alias("k")
+    ).distinct().count()
+    assert out["seen"].count() == want  # no double-appends
+    assert out["seen"].distinct().count() == want
