@@ -72,31 +72,34 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 
 
 # Regraded ahead of everything: queries whose latest green row no longer
-# reflects the query. r5: streaming_daily_stats (NTZ fix) — green r5 row,
-# retired. r6: embedding_near_dup — green r7 row, retired. r8:
-# nation_trade_volume / psi_value_drift / media_dimensions /
-# media_knn_pipeline — all regraded green r09, retired. r9 rewrites
-# (VERDICT r9 #2): mann_whitney_value (distributed bucketed ranking),
-# ewma_daily (512-day segmented accumulation), kl_source_drift (broadcast
-# totals), heavy_hitter_users (Sum-eps certification + exact fallback),
-# association_rules (localCheckpoint swap) — their latest driver rows all
-# grade the pre-rewrite implementations; local oracle-parity covers them
-# but the driver row must grade the shipped code. r10: heavy_hitter_users
-# also changed again (localCheckpoint pin + frames split), and the gram
-# passes were rewritten to the codegen explode-index+slice projection
-# (511233f) — contamination_flags / repetition_scores / dup_ngram_fraction
-# / bigram_logprob_scores execute the new gram plan, so their rows must
-# regrade too.
+# reflects the query, or whose latest row is stale enough that rotation
+# alone won't reach it. History: r5 streaming_daily_stats (NTZ fix), r6
+# embedding_near_dup, r8 nation_trade_volume/psi_value_drift/
+# media_dimensions/media_knn_pipeline, r9 rewrites (mann_whitney_value,
+# ewma_daily, kl_source_drift, heavy_hitter_users, association_rules),
+# r10 gram-plan rewrites (contamination_flags, repetition_scores,
+# dup_ngram_fraction, bigram_logprob_scores) — ALL regraded green in r10
+# per VERDICT r10, retired. r11 (VERDICT r10 #2): the 15 queries whose
+# latest driver row is r03–r06 — local oracle-parity keeps them
+# value-verified, but the registry grew 23% in r10 and stalest-first
+# rotation alone no longer reaches them within a round; pin them ahead
+# of new registrations so no latest row predates r07 after r11.
 _REGRADE_FIRST = (
-    "mann_whitney_value",
-    "ewma_daily",
-    "kl_source_drift",
-    "heavy_hitter_users",
-    "association_rules",
-    "contamination_flags",
-    "repetition_scores",
-    "dup_ngram_fraction",
-    "bigram_logprob_scores",
+    "ann_index_lifecycle",
+    "anova_by_nation",
+    "domain_mix_resample",
+    "group_p90_distributed",
+    "group_regression",
+    "grouping_sets_stats",
+    "ivfpq_topk",
+    "pq_topk",
+    "rolling_std_7",
+    "spearman_daily",
+    "sql_daily_revenue",
+    "streaming_click_attribution",
+    "streaming_daily_stats",
+    "streaming_running_user_stats",
+    "training_shard_stats",
 )
 
 

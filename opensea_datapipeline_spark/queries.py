@@ -9,7 +9,11 @@ before value-hashing).
 Conventions (FIXTURES.md §5): UTC session tz; integer outputs cast to
 BIGINT; doubles left as-is (driver rounds); timestamps never returned raw
 (testdata is ns-precision, Spark truncates to µs — return dates / unix
-seconds instead); quantiles are continuous-interpolation on both engines.
+seconds instead); quantiles are continuous-interpolation on both engines;
+array columns never returned raw (the driver canonicalizer sorts via
+pandas, which cannot hash lists — join to a delimited string, e.g.
+``array_join(..., ' ')`` / ``string_agg(... ORDER BY pos)``, or return
+the exploded long form).
 """
 
 from __future__ import annotations
@@ -7144,7 +7148,7 @@ enc AS (
 SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_tokens,
   CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-  list(id ORDER BY pos) AS ids
+  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str
 FROM enc GROUP BY 1
 """,
 )
@@ -7157,12 +7161,22 @@ def q_vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Vocab ranking windows the COUNTED table (bounded), the id join is
     # broadcast, the ordered rebuild is one doc-keyed shuffle
     # (operators/text.py:build_vocab/encode_token_ids). Every id is an
-    # integer — the array hash compare has no float seam.
+    # integer, and the ids array is returned JOINED to a string (the
+    # conventions-header array rule: the driver canonicalizer cannot
+    # hash raw list cells — r10 err row).
     d = _t(spark, sf_dir, "documents")
     # top_v=24 < the corpus's 31 distinct tokens, so the OOV branch is
     # EXERCISED, not vacuously green (the 0=0 trap)
     vocab = tx.build_vocab(d, "text", top_v=24)
-    return tx.encode_token_ids(d, "doc_id", "text", vocab)
+    enc = tx.encode_token_ids(d, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.array_join(F.col("ids").cast("array<string>"), " ").alias(
+            "ids_str"
+        ),
+    )
 
 
 @_register(
