@@ -29,11 +29,28 @@ def lit_long_array(vals: Sequence[int]) -> F.Column:
     )
 
 
+def _double_repr(v: float) -> str:
+    """Spark-castable spelling of one double. repr() round-trips finite
+    IEEE doubles exactly, but repr(inf)/repr(nan) yield 'inf'/'nan',
+    which Spark's string→double cast does NOT accept ('Infinity'/'NaN'
+    are the castable spellings) — non-finite elements would throw under
+    ANSI or silently become NULL (r10 ADVICE)."""
+    f = float(v)
+    if f != f:
+        return "NaN"
+    if f == float("inf"):
+        return "Infinity"
+    if f == float("-inf"):
+        return "-Infinity"
+    return repr(f)
+
+
 def lit_double_array(vals: Sequence[float]) -> F.Column:
-    """One-literal array<double>; repr() round-trips IEEE doubles
-    exactly. Empty input folds to array()."""
+    """One-literal array<double>; finite values repr()-round-trip
+    exactly, non-finite values map to Spark-castable 'Infinity'/'NaN'
+    spellings. Empty input folds to array()."""
     if not len(vals):
         return F.array().cast(T.ArrayType(T.DoubleType()))
     return F.split(
-        F.lit(",".join(repr(float(v)) for v in vals)), ","
+        F.lit(",".join(_double_repr(v) for v in vals)), ","
     ).cast(T.ArrayType(T.DoubleType()))

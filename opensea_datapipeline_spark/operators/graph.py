@@ -64,7 +64,16 @@ def pagerank(
     then has outdeg ≥ 1, so there are no dangling nodes and the rank
     mass stays exactly 1 — callers feeding DIRECTED graphs with sinks
     should add their own dangling redistribution if they need mass
-    conservation). Returns (node, rank) with rank rounded to 6dp.
+    conservation). On the DIRECTED path the node set is src ∪ dst and
+    every iteration left-joins the new in-mass back onto the pinned
+    node table (coalesce to the (1-d)/N base), so source-only nodes
+    keep their base rank and sink-only nodes count toward N — without
+    that re-join the per-iteration groupBy(dst) silently drops any node
+    with no in-edges after round 1 (r10 ADVICE). Sinks still leak their
+    own mass (no dangling redistribution), as documented above. The
+    undirected path skips the re-join: symmetrization guarantees every
+    node has in-edges, so the joined form is identical and the extra
+    shuffle would be pure overhead. Returns (node, rank) rounded to 6dp.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -82,27 +91,56 @@ def pagerank(
         )
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     contrib = e.join(deg, "src").localCheckpoint(eager=True)
-    nodes = contrib.select(F.col("src").alias("node")).distinct()
+    nodes = contrib.select(F.col("src").alias("node"))
+    if not undirected:
+        # directed graphs: sink-only nodes never appear as a src but
+        # are real nodes — include them in N and in the rank table
+        nodes = nodes.unionByName(
+            contrib.select(F.col("dst").alias("node"))
+        )
+    nodes = nodes.distinct()
+    if not undirected:
+        # pinned: re-joined every iteration on the directed path
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / float(n)
     ranks = nodes.withColumn("rank", F.lit(1.0 / float(n)))
     for i in range(1, iters + 1):
-        ranks = (
+        in_mass = (
             contrib.join(
                 ranks.withColumnRenamed("node", "src"), "src"
             )
             .groupBy("dst")
             .agg(
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * F.sum(F.col("rank") * F.col("w") / F.col("outdeg"))
-                ).alias("rank")
+                F.sum(
+                    F.col("rank") * F.col("w") / F.col("outdeg")
+                ).alias("in_mass")
             )
             .withColumnRenamed("dst", "node")
         )
+        if undirected:
+            # every node has in-edges after symmetrization: in_mass
+            # already covers the full node set, no re-join needed
+            ranks = in_mass.select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias(
+                    "rank"
+                ),
+            )
+        else:
+            # directed: left-join onto the pinned node table so
+            # source-only nodes keep their (1-d)/N base instead of
+            # dropping out of the rank table after round 1
+            ranks = nodes.join(in_mass, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
         if i % checkpoint_every == 0 and i < iters:
             ranks = ranks.localCheckpoint(eager=True)
             # release the PREVIOUS checkpoint's blocks now: the old
@@ -395,7 +433,11 @@ def community_modularity(
         comm.join(intra, "label", "left")
         .crossJoin(F.broadcast(m_df))
         .select(
-            F.col("label").cast("long").alias("community"),
+            # preserve the label's SOURCE type: label_propagation emits
+            # node ids as labels, and node ids may be strings — a hard
+            # long cast would throw under ANSI (silent NULL otherwise)
+            # on non-numeric community ids (r10 ADVICE)
+            F.col("label").alias("community"),
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
             F.col("deg_sum").cast("long").alias("deg_sum"),

@@ -24,6 +24,7 @@ for candidates the mask could not reject.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,33 @@ from ..sources.readers import ensure_reader_confs, normalize_event_time
 # 2^21 covers ~130k keys; the sf0.1 soak already carries 80k.
 M_BITS = 1 << 21
 K_HASHES = 4
+
+# lives in CHECKPOINT_DIR, not seen_dir: batch ids are scoped to the
+# checkpoint lineage — a fresh checkpoint against an existing seen store
+# (the supported resume-with-new-source shape, test_bloom_gate_restart_
+# reseeds_mask) legitimately restarts ids at 0 and must NOT be skipped;
+# only a replay within the same checkpoint is.
+_META = "_bloom_gate_meta.json"
+
+
+def _read_last_batch_id(checkpoint_dir: str) -> int:
+    try:
+        with open(os.path.join(checkpoint_dir, _META)) as f:
+            return int(json.load(f).get("last_batch_id", -1))
+    except (OSError, ValueError):
+        return -1
+
+
+def _write_last_batch_id(checkpoint_dir: str, batch_id: int) -> None:
+    # atomic (the gold-table discipline): a truncated meta must read as
+    # "no meta" and fall back to the replay path, which is exact anyway
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = os.path.join(checkpoint_dir, _META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(checkpoint_dir, _META))
 
 
 
@@ -91,6 +119,15 @@ def run_bloom_gated_dedup(
     stats = {"batches": 0, "definitely_new": 0, "maybe_seen": 0}
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        # replay skip (the topk/gold batch-id discipline): dedup
+        # CORRECTNESS survives a replayed batch regardless — the
+        # restart-path mask re-seed routes already-appended keys to the
+        # exact anti-join, which drops them — but the stats dict would
+        # double-count the batch and overstate the prune share
+        # (r10 ADVICE). Meta is written only after the append, so a
+        # crash between append and meta replays into the exact path.
+        if batch_id <= _read_last_batch_id(checkpoint_dir):
+            return
         keys = batch_df.select(key_expr.alias("dedup_key")).distinct()
         mask = sk.pack_bits_literal(bits, m_bits)
         might = sk.bloom_might_contain(
@@ -127,6 +164,7 @@ def run_bloom_gated_dedup(
         import gc
 
         gc.collect()
+        _write_last_batch_id(checkpoint_dir, batch_id)
         stats["batches"] += 1
         stats["definitely_new"] += n_new
         stats["maybe_seen"] += n_maybe

@@ -2205,3 +2205,154 @@ def test_bloom_gate_restart_reseeds_mask(spark, sf_dir, tmp_path):
     ).distinct().count()
     assert out["seen"].count() == want  # no double-appends
     assert out["seen"].distinct().count() == want
+
+
+def test_pagerank_directed_keeps_source_and_sink_nodes(spark):
+    # Directed star 1->2<-3: without the pinned-node re-join, the
+    # per-iteration groupBy(dst) drops the source-only nodes 1 and 3
+    # after round 1 (they lose their (1-d)/N base) and the sink-only
+    # node 2 is excluded from N (r10 ADVICE). With the fix: N=3, all
+    # three nodes present every iteration, values equal a pure-Python
+    # power iteration (sink 2's own mass leaks — documented dangling
+    # behavior — so total mass < 1 is EXPECTED here).
+    from opensea_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iters=5, damping=0.85, undirected=False
+        ).collect()
+    }
+    nodes = [1, 2, 3]
+    n = 3
+    base = (1.0 - 0.85) / n
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        nxt = {v: base for v in nodes}
+        nxt[2] += 0.85 * (rank[1] / 1 + rank[3] / 1)  # sink leaks its own
+        rank = nxt
+    want = {v: round(r, 6) for v, r in rank.items()}
+    assert got == want
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[3] == round(base, 6)
+    assert got[2] > got[1]
+
+
+def test_pagerank_undirected_unchanged_by_directed_fix(spark):
+    # The directed-path fix must be a no-op on the undirected path: the
+    # symmetrized graph's per-iteration in-mass already covers every
+    # node, so results match the directed form run on the symmetrized
+    # edge list with the re-join.
+    from opensea_datapipeline_spark.operators.graph import pagerank
+
+    raw = [(0, 1), (1, 2), (3, 4)]
+    e = spark.createDataFrame(raw, "src long, dst long")
+    sym = e.unionByName(e.selectExpr("dst as src", "src as dst"))
+    und = {
+        r.node: r.rank
+        for r in pagerank(e, iters=6, undirected=True).collect()
+    }
+    dir_on_sym = {
+        r.node: r.rank
+        for r in pagerank(sym, iters=6, undirected=False).collect()
+    }
+    assert und == dir_on_sym
+
+
+def test_community_modularity_string_node_ids(spark):
+    # label_propagation emits node ids as labels; string node ids must
+    # flow through community_modularity without the long cast throwing
+    # under ANSI (r10 ADVICE). Triangle abc + isolated edge de:
+    # Q_abc = 3/4 - (6/8)^2, Q_de = 1/4 - (2/8)^2.
+    from opensea_datapipeline_spark.operators.graph import (
+        community_modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")],
+        "src string, dst string",
+    )
+    comm = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")],
+        "node string, community string",
+    )
+    out = {r.community: r for r in community_modularity(edges, comm).collect()}
+    assert dict(out["a"].asDict()) == {
+        "community": "a", "n_nodes": 3, "e_in": 3, "deg_sum": 6,
+        "q_part": round(3 / 4 - (6 / 8) ** 2, 6),
+    }
+    assert dict(out["d"].asDict()) == {
+        "community": "d", "n_nodes": 2, "e_in": 1, "deg_sum": 2,
+        "q_part": round(1 / 4 - (2 / 8) ** 2, 6),
+    }
+    # type preserved: string labels stay strings
+    sdf = community_modularity(edges, comm)
+    assert dict(sdf.dtypes)["community"] == "string"
+
+
+def test_lit_double_array_non_finite(spark):
+    # repr(inf)/repr(nan) are not Spark-castable ('inf' -> NULL under
+    # the string->double cast); the literal builder must map them to
+    # 'Infinity'/'NaN' so non-finite elements survive (r10 ADVICE).
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.functions.literals import (
+        lit_double_array,
+    )
+
+    vals = [1.5, float("inf"), float("-inf"), float("nan"), -0.25]
+    row = spark.range(1).select(
+        lit_double_array(vals).alias("arr")
+    ).head()
+    got = row["arr"]
+    assert got[0] == 1.5 and got[4] == -0.25
+    assert got[1] == float("inf") and got[2] == float("-inf")
+    assert math.isnan(got[3])
+    assert None not in got
+
+
+def test_bloom_gate_skips_replayed_batches(spark, sf_dir, tmp_path):
+    # Replay skip (r10 ADVICE): a batch id at or below the checkpoint
+    # lineage's recorded last_batch_id must be skipped entirely — no
+    # stats double-count, no re-append. Simulated by planting a meta
+    # claiming every batch was already processed into a FRESH
+    # checkpoint dir: the run must process nothing and leave the seen
+    # store untouched. (Dedup exactness never depended on the skip —
+    # the mask re-seed routes replayed keys to the exact anti-join —
+    # so this guards the TELEMETRY contract.)
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.sources.readers import load_table
+    from opensea_datapipeline_spark.streaming.bloom_gate import (
+        _read_last_batch_id,
+        _write_last_batch_id,
+        run_bloom_gated_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).limit(2000)
+    src = str(tmp_path / "src")
+    e.coalesce(2).write.parquet(src)
+    seen = str(tmp_path / "seen")
+    first = run_bloom_gated_dedup(
+        spark, src, ["user_id"], seen_dir=seen,
+        checkpoint_dir=str(tmp_path / "c1"),
+    )
+    n_seen = first["seen"].count()
+    assert first["stats"]["batches"] > 0
+    # meta recorded the last processed batch of lineage c1
+    assert _read_last_batch_id(str(tmp_path / "c1")) >= 0
+    # fresh lineage, planted "already processed" meta -> all skipped
+    c2 = str(tmp_path / "c2")
+    _write_last_batch_id(c2, 10**9)
+    replay = run_bloom_gated_dedup(
+        spark, src, ["user_id"], seen_dir=seen, checkpoint_dir=c2,
+    )
+    assert replay["stats"] == {
+        "batches": 0, "definitely_new": 0, "maybe_seen": 0,
+    }
+    assert replay["seen"].count() == n_seen
