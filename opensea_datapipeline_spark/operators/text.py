@@ -1225,6 +1225,288 @@ def bpe_pair_counts(
     )
 
 
+# BPE symbol-string encoding: each symbol rendered as ' ' + sym + US.
+# Space marks the symbol START (symbols are space-free by the _words
+# contract), US marks its END — so the literal pattern ' l<US> r<US>'
+# can only match a genuine adjacent symbol pair (never the tail of a
+# longer symbol, never a prefix: the US terminator pins r's end), and
+# consecutive matches share no characters. Left-to-right non-overlapping
+# replace() — the same semantics in Spark and DuckDB — is then EXACTLY
+# greedy BPE merge application (Sennrich et al. 2016 re.sub without
+# needing lookarounds, which DuckDB's RE2 lacks).
+_BPE_US = "\x1f"
+
+
+def _bpe_render_word(word_col) -> F.Column:
+    """word string -> initial symbol string (one char per symbol):
+    'ab' -> ' a<US> b<US>'. One codegen regexp, identical shape in
+    DuckDB (regexp_replace(w, '(.)', ' \\1<US>', 'g'))."""
+    return F.regexp_replace(word_col, "(.)", " $1" + _BPE_US)
+
+
+def _bpe_parse_syms(s_col) -> F.Column:
+    """symbol string -> array<string> of symbols (inverse of render):
+    strip the leading space and trailing US, split on '<US> '."""
+    trimmed = s_col.substr(F.lit(2), F.length(s_col) - 2)
+    return F.split(trimmed, _BPE_US + " ")
+
+
+def _bpe_word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt) word-frequency table — the ONE corpus pass BPE training
+    needs; every iteration after it runs over this table, whose size is
+    bounded by DISTINCT words, not corpus tokens. Words containing the
+    reserved US sentinel (corrupt bytes, never natural text) are out of
+    the training contract and filtered."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(text_col)).alias("w"))
+        .filter((F.length("w") >= 1) & (~F.col("w").contains(_BPE_US)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): start
+    from characters, then ``n_merges`` times (a) count corpus-wide
+    adjacent symbol pairs weighted by word frequency, (b) merge the
+    most frequent pair (ties: count desc, left asc, right asc —
+    deterministic cross-engine) greedily left-to-right in every word.
+    ``bpe_pair_counts`` mines ONE round of candidates; this applies the
+    top merge and re-counts N times — the loop a real tokenizer
+    pipeline runs. No end-of-word marker (GPT-style word-boundary
+    pretokenization via _words; words never merge across boundaries).
+
+    Scale discipline (the pagerank/LPA iterative playbook): the corpus
+    is scanned ONCE into the (word, cnt) table — every iteration after
+    that runs over distinct words, not tokens. The eagerly-checkpointed
+    state is re-checkpointed every ``checkpoint_every`` merges (dead
+    checkpoints released via gc — the measured 2x late-iteration trap);
+    between checkpoints the pending merges ride as chained codegen
+    replace() projections. The per-iteration argmax is a 1-ROW collect
+    — bounded, and inherent to BPE's sequential dependence (merge k+1's
+    counts depend on merge k having been applied). Pair counting is a
+    map-side-partial groupBy keyed on (l, r): bounded by the live
+    symbol-pair space. Stops early when the best pair's count falls
+    below ``min_count`` (a merge seen once generalizes to nothing).
+
+    Returns the ordered merge table (merge_rank, left_sym, right_sym,
+    merged, n) — all strings/ints, hash-exact cross-engine.
+    """
+    import gc
+
+    spark = docs.sparkSession
+    state = _bpe_word_freq(docs, text_col).select(
+        _bpe_render_word(F.col("w")).alias("s"), "cnt"
+    )
+    # pin: the loop below must never re-run the corpus pass
+    state = state.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        pairs = (
+            state.select("cnt", _bpe_parse_syms(F.col("s")).alias("ls"))
+            .filter(F.size("ls") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ls) - 1),"
+                        " i -> struct(ls[i - 1] AS l, ls[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top or int(top[0]["n"]) < min_count:
+            break
+        lft, rgt, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((k, lft, rgt, lft + rgt, n))
+        find = " " + lft + _BPE_US + " " + rgt + _BPE_US
+        repl = " " + lft + rgt + _BPE_US
+        state = state.select(
+            F.replace(F.col("s"), F.lit(find), F.lit(repl)).alias("s"),
+            "cnt",
+        )
+        if k % checkpoint_every == 0 and k < n_merges:
+            state = state.localCheckpoint(eager=True)
+            # release the superseded checkpoint's blocks now (pagerank
+            # discipline: late iterations otherwise pay 2x)
+            gc.collect()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, n long",
+    )
+
+
+def bpe_apply_merges(
+    words: DataFrame,
+    merge_rows: list,
+    *,
+    word_col: str = "w",
+) -> DataFrame:
+    """Segment each word into BPE symbols by applying ``merge_rows``
+    (ordered (left_sym, right_sym) pairs from ``bpe_train``) in rank
+    order. Sequential rank-order application equals the rank-priority
+    encoder for WELL-FORMED merge tables (every merge's operands are
+    base characters or earlier merges' outputs — true of any table
+    bpe_train produces), because a later merge can never create an
+    adjacency an earlier merge would have consumed.
+
+    The whole chain is ONE projection of nested codegen replace()
+    calls — no shuffle, no UDF; a production 32k-merge vocabulary
+    would segment the chain into checkpointed stages (or move to an
+    Arrow-batched Pandas UDF hosting a real tokenizer), but the
+    declarative form is exact at the merge-table sizes an in-plan
+    trainer produces. Returns (word_col, syms array<string>).
+    """
+    col = _bpe_render_word(F.col(word_col))
+    for m in merge_rows:
+        lft, rgt = m["left_sym"], m["right_sym"]
+        col = F.replace(
+            col,
+            F.lit(" " + lft + _BPE_US + " " + rgt + _BPE_US),
+            F.lit(" " + lft + rgt + _BPE_US),
+        )
+    return words.select(word_col, _bpe_parse_syms(col).alias("syms"))
+
+
+def bpe_alphabet(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Distinct characters of the corpus's words — the base-symbol half
+    of a BPE vocabulary, fixed at TRAINING time. One explode + distinct
+    over the word table (bounded by charset size). Returns (sym)."""
+    return (
+        _bpe_word_freq(docs, text_col)
+        .select(
+            F.explode(_bpe_parse_syms(_bpe_render_word(F.col("w")))).alias(
+                "sym"
+            )
+        )
+        .distinct()
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+    alphabet: DataFrame | None = None,
+) -> DataFrame:
+    """Tokenizer-apply with LEARNED MERGES (subword segmentation) — the
+    step between ``bpe_train`` and ``sequence_packing`` a pretraining
+    pipeline runs on every document, where ``encode_token_ids`` only
+    looked whole words up in a fixed vocab.
+
+    Ids: base alphabet (``alphabet`` = the TRAINING corpus's
+    ``bpe_alphabet``; ids must be stable across encoded corpora, so
+    pass it whenever encoding anything but the training corpus itself —
+    None derives it from ``docs``, the self-encode shape) sorted asc
+    gets 0..A-1; merge k's output symbol gets A+k-1 — deterministic and
+    replayable from the merge table + alphabet alone. Symbols outside
+    the vocab (characters unseen at train time) map to ``oov_id``.
+
+    Scale shape: merges are collected ONCE (a merge table is bounded by
+    construction — it IS the vocabulary); each DISTINCT word is
+    segmented once via the chained-replace projection and joined back
+    to the corpus token stream keyed by word (hot common words skew the
+    join — AQE skew-split territory; the join output is per-token
+    either way). The per-doc rebuild is the span_cut_corpus ordered
+    array pattern: one doc-keyed shuffle. Returns (id_col, n_tokens,
+    n_syms, ids_str) — ids_str space-joined per the FIXTURES array
+    rule, ordered by (word position, symbol position).
+    """
+    from pyspark.sql import Window
+
+    merge_rows = [
+        r.asDict()
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    words = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(text_col)).alias("w"))
+        .filter((F.length("w") >= 1) & (~F.col("w").contains(_BPE_US)))
+        .distinct()
+    )
+    seg = bpe_apply_merges(words, merge_rows)
+    # base alphabet ids by sort order — the window runs over the
+    # distinct-chars table (bounded by charset size), the build_vocab
+    # discipline
+    base = (
+        alphabet
+        if alphabet is not None
+        else words.select(
+            F.explode(_bpe_parse_syms(_bpe_render_word(F.col("w")))).alias(
+                "sym"
+            )
+        ).distinct()
+    )
+    alpha = base.select("sym").distinct().withColumn(
+        "id",
+        (
+            F.row_number().over(Window.orderBy(F.col("sym").asc())) - 1
+        ).cast("long"),
+    )
+    n_alpha = alpha.count()  # bounded: alphabet size
+    merged_vocab = merges.select(
+        F.col("merged").alias("sym"),
+        (F.lit(n_alpha) + F.col("merge_rank") - 1).cast("long").alias("id"),
+    )
+    vocab = alpha.unionByName(merged_vocab)
+    wid = (
+        seg.select("w", F.posexplode("syms").alias("spos", "sym"))
+        .join(F.broadcast(vocab), "sym", "left")
+        .groupBy("w")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(spos, id)))"
+                ", x -> x.id)"
+            ).alias("_ids"),
+            F.count(F.lit(1)).cast("long").alias("_n_syms"),
+        )
+        .select(
+            "w",
+            F.expr(
+                f"transform(_ids, x -> coalesce(x, {int(oov_id)}L))"
+            ).alias("_ids"),
+            "_n_syms",
+        )
+    )
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(_words(text_col)).alias("pos", "w")
+    ).filter((F.length("w") >= 1) & (~F.col("w").contains(_BPE_US)))
+    return (
+        tok.join(wid, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_n_syms").cast("long").alias("n_syms"),
+            F.array_join(
+                F.flatten(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(pos, _ids))), x -> x._ids)"
+                    )
+                ).cast("array<string>"),
+                " ",
+            ).alias("ids_str"),
+        )
+    )
+
+
 def span_cut_corpus(
     docs: DataFrame,
     *,

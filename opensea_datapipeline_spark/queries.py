@@ -7407,6 +7407,150 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_counts(d, top=25)
 
 
+_BPE_ORACLE_US = "\x1f"
+
+
+def _bpe_oracle_rounds(n_merges: int) -> str:
+    """CTE chain replaying bpe_train round-for-round in DuckDB: the
+    word-frequency table, then per merge round k the pair counts
+    (pc{k}), the argmax merge (m{k}, ties count desc / left asc /
+    right asc) and the post-merge word states (w{k}). Merge application
+    is the SAME left-to-right non-overlapping literal replace() on the
+    ' sym<US>' rendering as the Spark operator — the encoding makes
+    plain replace() exactly greedy BPE on both engines (see
+    operators/text.py _BPE_US note). Unrolled, not recursive: the CTE
+    chain is the pagerank-oracle discipline. Every chained CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default and each w{k-1} is
+    referenced twice, so an unhinted 12-round chain recomputes
+    exponentially (measured 247 s -> 0.1 s at sf0.01)."""
+    us = _BPE_ORACLE_US
+    ctes = [
+        """wf AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL) t
+  WHERE length(w) >= 1
+  GROUP BY w)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT w, regexp_replace(w, '(.)', ' \\1{us}', 'g') AS s, cnt
+  FROM wf)""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""pc{k} AS MATERIALIZED (
+  SELECT l, r, sum(cnt) AS n FROM (
+    SELECT cnt, ls[i] AS l, ls[i + 1] AS r FROM (
+      SELECT cnt, list_transform(list_filter(string_split(s, '{us}'),
+          x -> x <> ''), x -> substr(x, 2)) AS ls
+      FROM w{k - 1}) t, unnest(range(1, len(ls))) AS u(i)
+  ) p GROUP BY l, r)""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+  SELECT l, r, n FROM pc{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1)""")
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT w, replace(s, ' ' || m.l || '{us}' || ' ' || m.r || '{us}',
+      ' ' || m.l || m.r || '{us}') AS s, cnt
+  FROM w{k - 1}, m{k} m)""")
+    return ",\n".join(ctes)
+
+
+def _bpe_merge_table_select(n_merges: int) -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, CAST(n AS BIGINT) AS n"
+        f" FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return rows
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    return (
+        "WITH " + _bpe_oracle_rounds(n_merges) + "\n"
+        + _bpe_merge_table_select(n_merges)
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    us = _BPE_ORACLE_US
+    return f"""WITH {_bpe_oracle_rounds(n_merges)},
+mt AS ({_bpe_merge_table_select(n_merges)}),
+alpha AS (
+  SELECT sym,
+    CAST(row_number() OVER (ORDER BY sym ASC) - 1 AS BIGINT) AS id
+  FROM (
+    SELECT DISTINCT unnest(list_transform(list_filter(
+        string_split(regexp_replace(w, '(.)', ' \\1{us}', 'g'), '{us}'),
+        x -> x <> ''), x -> substr(x, 2))) AS sym
+    FROM wf)),
+na AS (SELECT CAST(count(*) AS BIGINT) AS a FROM alpha),
+mv AS (SELECT merged AS sym, a + merge_rank - 1 AS id FROM mt, na),
+vocab AS (
+  SELECT sym, id FROM alpha UNION ALL SELECT sym, id FROM mv),
+wsyms AS (
+  SELECT w, list_transform(list_filter(string_split(s, '{us}'),
+      x -> x <> ''), x -> substr(x, 2)) AS ls
+  FROM w{n_merges}),
+wsp AS (
+  SELECT w, i AS spos, ls[i] AS sym
+  FROM wsyms, unnest(range(1, len(ls) + 1)) AS u(i)),
+wids AS (
+  SELECT p.w, p.spos, COALESCE(v.id, -1) AS id
+  FROM wsp p LEFT JOIN vocab v ON v.sym = p.sym),
+wid_arr AS (
+  SELECT w, list(id ORDER BY spos) AS ids,
+    CAST(count(*) AS BIGINT) AS n_syms
+  FROM wids GROUP BY w),
+toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+      ' ') AS ts
+  FROM documents WHERE text IS NOT NULL),
+tp AS (
+  SELECT t.doc_id, t.ts[j + 1] AS w, CAST(j AS BIGINT) AS pos
+  FROM toks t, unnest(range(len(t.ts))) AS j(j)),
+dw AS (
+  SELECT t.doc_id, t.pos, a.ids FROM tp t JOIN wid_arr a ON a.w = t.w),
+flat AS (
+  SELECT doc_id, pos, qi, ids[qi] AS id
+  FROM dw, unnest(range(1, len(ids) + 1)) AS q(qi))
+SELECT doc_id,
+  CAST(count(DISTINCT pos) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_syms,
+  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, qi) AS ids_str
+FROM flat GROUP BY doc_id"""
+
+
+@_register("bpe_train_merges", _bpe_train_oracle(12))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full iterative BPE TRAINING loop (bpe_merge_candidates mines
+    # one round; this applies the winner and re-counts, 12 times): the
+    # corpus is scanned ONCE into the (word, cnt) table and every
+    # iteration runs over distinct words — at 100 TB the loop cost is
+    # bounded by vocabulary, not corpus. Per round: a map-side-partial
+    # pair-count agg + a 1-ROW argmax collect (inherent to BPE's
+    # sequential dependence) + one codegen replace() projection;
+    # state re-checkpointed every 4 merges with superseded-checkpoint
+    # release (the pagerank loop discipline). The oracle replays all
+    # 12 rounds as unrolled CTEs with the identical greedy-replace
+    # semantics (operators/text.py:bpe_train).
+    d = _t(spark, sf_dir, "documents")
+    return tx.bpe_train(d, n_merges=12, min_count=2)
+
+
+@_register("bpe_encode_documents", _bpe_encode_oracle(8))
+def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-APPLY with the learned merges (subword segmentation) —
+    # vocab_encode_documents looks whole words up; this segments each
+    # word by replaying the 8 trained merges in rank order (one nested
+    # codegen replace() projection over DISTINCT words, then a
+    # word-keyed join back to the token stream and the span_cut ordered
+    # rebuild — one doc-keyed shuffle). Ids: sorted base alphabet then
+    # merges by rank; ids_str space-joined per the FIXTURES array rule.
+    d = _t(spark, sf_dir, "documents")
+    merges = tx.bpe_train(d, n_merges=8, min_count=2)
+    return tx.bpe_encode(d, merges)
+
+
 @_register(
     "token_entropy",
     """

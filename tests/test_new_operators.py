@@ -2356,3 +2356,139 @@ def test_bloom_gate_skips_replayed_batches(spark, sf_dir, tmp_path):
         "batches": 0, "definitely_new": 0, "maybe_seen": 0,
     }
     assert replay["seen"].count() == n_seen
+
+
+def _py_bpe_train(word_freq, n_merges, min_count=2):
+    # pure-Python reference: Sennrich-style training over a word-freq
+    # dict, greedy left-to-right merge application
+    words = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for k in range(1, n_merges + 1):
+        counts = {}
+        for w, syms in words.items():
+            c = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < min_count:
+            break
+        merges.append((k, l, r, l + r, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == r
+                ):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_train_matches_pure_python(spark):
+    # The full iterative loop (not just one candidate round) must equal
+    # a pure-Python Sennrich trainer: same merges in the same order,
+    # including a run-of-identical-chars word where greedy
+    # left-to-right non-overlapping application matters ('aaaa' -> two
+    # 'aa', never three overlapping).
+    from opensea_datapipeline_spark.operators.text import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "aaaa aaaa aa",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.n)
+        for r in bpe_train(docs, n_merges=8, min_count=2).orderBy(
+            "merge_rank"
+        ).collect()
+    ]
+    wf = {}
+    for t in texts:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    want, _ = _py_bpe_train(wf, 8)
+    assert got == want
+
+
+def test_bpe_train_min_count_stops_early(spark):
+    # A corpus whose pairs all occur once must produce ZERO merges at
+    # min_count=2 (a merge seen once generalizes to nothing), and the
+    # same corpus at min_count=1 must keep merging.
+    from opensea_datapipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef")], "doc_id long, text string"
+    )
+    assert bpe_train(docs, n_merges=4, min_count=2).count() == 0
+    assert bpe_train(docs, n_merges=2, min_count=1).count() == 2
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    # End-to-end train -> encode: per-word segmentation must equal the
+    # reference trainer's final word states, ids must follow the
+    # alphabet-then-merges numbering, and a character unseen at train
+    # time must map to oov_id.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    train_texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6, min_count=2)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_syms, r.ids_str)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    wf = {}
+    for t in train_texts:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    py_merges, py_words = _py_bpe_train(wf, 6)
+    alpha = sorted({c for w in wf for c in w})
+    ids = {c: i for i, c in enumerate(alpha)}
+    for k, l, r, m, n in py_merges:
+        ids[m] = len(alpha) + k - 1
+    for i, t in enumerate(train_texts):
+        toks = t.split(" ")
+        flat = [ids[s] for w in toks for s in py_words[w]]
+        assert got[i] == (
+            len(toks), len(flat), " ".join(str(x) for x in flat)
+        ), f"doc {i}"
+    # unseen char -> oov
+    from opensea_datapipeline_spark.operators.text import bpe_alphabet
+
+    probe = spark.createDataFrame(
+        [(99, "low zzz?")], "doc_id long, text string"
+    )
+    enc = {
+        r.doc_id: r
+        for r in bpe_encode(
+            probe, merges, alphabet=bpe_alphabet(docs)
+        ).collect()
+    }
+    row = enc[99]
+    assert row.n_tokens == 2
+    # 'zzz?' has no trained chars 'z'/'?' -> every symbol oov (-1)
+    assert set(row.ids_str.split(" ")[-4:]) == {"-1"}
