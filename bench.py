@@ -131,6 +131,21 @@ HEADLINE = [
                                 # ordered id rebuild (r10)
     "jl_project_embeddings",    # JL sign projection: 16 literal codegen
                                 # dots per row (r10).
+    "streaming_topk_users",     # MG-merge state table across 3 availableNow
+                                # batches: versioned dir-swap state + replay
+                                # skip — the gold-pattern path that regresses
+                                # silently (r11; VERDICT r10 #5). Timed cost
+                                # includes the per-run source rewrite to a
+                                # fresh tmp dir (the streaming harness).
+    "streaming_kmv_distinct_users",  # bottom-k lossless-merge sketch state
+                                # across 3 batches (r11; same rationale).
+    "bpe_train_merges",         # iterative BPE training: 12 sequential
+                                # merge rounds over the word-freq table,
+                                # 1-row argmax collect per round (r11)
+    "bpe_encode_documents",     # subword encode: 8-merge nested-replace
+                                # segmentation of DISTINCT words + word-keyed
+                                # token join + ordered doc rebuild; cost
+                                # includes the in-plan 8-round train (r11)
                                 # containment_* queries are NOT headliners by
                                 # the corpus_curation_near_dup precedent: the
                                 # template corpus is ~33% true containment

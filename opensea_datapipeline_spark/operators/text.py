@@ -1237,10 +1237,17 @@ def bpe_pair_counts(
 _BPE_US = "\x1f"
 
 
-def _bpe_render_word(word_col) -> F.Column:
+def _bpe_render_word(word_col, marker: str | None = None) -> F.Column:
     """word string -> initial symbol string (one char per symbol):
     'ab' -> ' a<US> b<US>'. One codegen regexp, identical shape in
-    DuckDB (regexp_replace(w, '(.)', ' \\1<US>', 'g'))."""
+    DuckDB (regexp_replace(w, '(.)', ' \\1<US>', 'g')). With
+    ``marker`` (SentencePiece-style word-boundary symbol) the word is
+    prefixed first, so the marker becomes the word's leading base
+    symbol and merges can learn marker+char word-start units — the
+    property that makes decode (concat symbols, marker -> space)
+    exactly invert encode."""
+    if marker is not None:
+        word_col = F.concat(F.lit(marker), word_col)
     return F.regexp_replace(word_col, "(.)", " $1" + _BPE_US)
 
 
@@ -1251,16 +1258,22 @@ def _bpe_parse_syms(s_col) -> F.Column:
     return F.split(trimmed, _BPE_US + " ")
 
 
-def _bpe_word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+def _bpe_word_freq(
+    docs: DataFrame, text_col: str, marker: str | None = None
+) -> DataFrame:
     """(w, cnt) word-frequency table — the ONE corpus pass BPE training
     needs; every iteration after it runs over this table, whose size is
-    bounded by DISTINCT words, not corpus tokens. Words containing the
-    reserved US sentinel (corrupt bytes, never natural text) are out of
-    the training contract and filtered."""
+    bounded by DISTINCT words, not corpus tokens. Words containing a
+    reserved char (the US sentinel, or the boundary ``marker`` when one
+    is in use — corrupt bytes, never natural text) are out of the
+    training contract and filtered."""
+    keep = (F.length("w") >= 1) & (~F.col("w").contains(_BPE_US))
+    if marker is not None:
+        keep = keep & (~F.col("w").contains(marker))
     return (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(_words(text_col)).alias("w"))
-        .filter((F.length("w") >= 1) & (~F.col("w").contains(_BPE_US)))
+        .filter(keep)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -1273,6 +1286,7 @@ def bpe_train(
     min_count: int = 2,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    marker: str | None = None,
 ) -> DataFrame:
     """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): start
     from characters, then ``n_merges`` times (a) count corpus-wide
@@ -1281,8 +1295,10 @@ def bpe_train(
     deterministic cross-engine) greedily left-to-right in every word.
     ``bpe_pair_counts`` mines ONE round of candidates; this applies the
     top merge and re-counts N times — the loop a real tokenizer
-    pipeline runs. No end-of-word marker (GPT-style word-boundary
-    pretokenization via _words; words never merge across boundaries).
+    pipeline runs. Default has no boundary symbol (GPT-style word
+    pretokenization via _words; words never merge across boundaries);
+    pass ``marker`` (a reserved char) for the SentencePiece-style
+    word-start symbol that makes ``bpe_decode`` a lossless inverse.
 
     Scale discipline (the pagerank/LPA iterative playbook): the corpus
     is scanned ONCE into the (word, cnt) table — every iteration after
@@ -1303,8 +1319,8 @@ def bpe_train(
     import gc
 
     spark = docs.sparkSession
-    state = _bpe_word_freq(docs, text_col).select(
-        _bpe_render_word(F.col("w")).alias("s"), "cnt"
+    state = _bpe_word_freq(docs, text_col, marker).select(
+        _bpe_render_word(F.col("w"), marker).alias("s"), "cnt"
     )
     # pin: the loop below must never re-run the corpus pass
     state = state.localCheckpoint(eager=True)
@@ -1355,6 +1371,7 @@ def bpe_apply_merges(
     merge_rows: list,
     *,
     word_col: str = "w",
+    marker: str | None = None,
 ) -> DataFrame:
     """Segment each word into BPE symbols by applying ``merge_rows``
     (ordered (left_sym, right_sym) pairs from ``bpe_train``) in rank
@@ -1371,7 +1388,7 @@ def bpe_apply_merges(
     declarative form is exact at the merge-table sizes an in-plan
     trainer produces. Returns (word_col, syms array<string>).
     """
-    col = _bpe_render_word(F.col(word_col))
+    col = _bpe_render_word(F.col(word_col), marker)
     for m in merge_rows:
         lft, rgt = m["left_sym"], m["right_sym"]
         col = F.replace(
@@ -1382,16 +1399,23 @@ def bpe_apply_merges(
     return words.select(word_col, _bpe_parse_syms(col).alias("syms"))
 
 
-def bpe_alphabet(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+def bpe_alphabet(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    marker: str | None = None,
+) -> DataFrame:
     """Distinct characters of the corpus's words — the base-symbol half
-    of a BPE vocabulary, fixed at TRAINING time. One explode + distinct
-    over the word table (bounded by charset size). Returns (sym)."""
+    of a BPE vocabulary, fixed at TRAINING time (with ``marker``, the
+    marker char joins the alphabet as every word's leading symbol). One
+    explode + distinct over the word table (bounded by charset size).
+    Returns (sym)."""
     return (
-        _bpe_word_freq(docs, text_col)
+        _bpe_word_freq(docs, text_col, marker)
         .select(
-            F.explode(_bpe_parse_syms(_bpe_render_word(F.col("w")))).alias(
-                "sym"
-            )
+            F.explode(
+                _bpe_parse_syms(_bpe_render_word(F.col("w"), marker))
+            ).alias("sym")
         )
         .distinct()
     )
@@ -1405,6 +1429,7 @@ def bpe_encode(
     text_col: str = "text",
     oov_id: int = -1,
     alphabet: DataFrame | None = None,
+    marker: str | None = None,
 ) -> DataFrame:
     """Tokenizer-apply with LEARNED MERGES (subword segmentation) — the
     step between ``bpe_train`` and ``sequence_packing`` a pretraining
@@ -1429,43 +1454,30 @@ def bpe_encode(
     n_syms, ids_str) — ids_str space-joined per the FIXTURES array
     rule, ordered by (word position, symbol position).
     """
-    from pyspark.sql import Window
-
     merge_rows = [
         r.asDict()
         for r in merges.orderBy("merge_rank").collect()
     ]
+    keep = (F.length("w") >= 1) & (~F.col("w").contains(_BPE_US))
+    if marker is not None:
+        keep = keep & (~F.col("w").contains(marker))
     words = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(_words(text_col)).alias("w"))
-        .filter((F.length("w") >= 1) & (~F.col("w").contains(_BPE_US)))
+        .filter(keep)
         .distinct()
     )
-    seg = bpe_apply_merges(words, merge_rows)
-    # base alphabet ids by sort order — the window runs over the
-    # distinct-chars table (bounded by charset size), the build_vocab
-    # discipline
+    seg = bpe_apply_merges(words, merge_rows, marker=marker)
     base = (
         alphabet
         if alphabet is not None
         else words.select(
-            F.explode(_bpe_parse_syms(_bpe_render_word(F.col("w")))).alias(
-                "sym"
-            )
+            F.explode(
+                _bpe_parse_syms(_bpe_render_word(F.col("w"), marker))
+            ).alias("sym")
         ).distinct()
     )
-    alpha = base.select("sym").distinct().withColumn(
-        "id",
-        (
-            F.row_number().over(Window.orderBy(F.col("sym").asc())) - 1
-        ).cast("long"),
-    )
-    n_alpha = alpha.count()  # bounded: alphabet size
-    merged_vocab = merges.select(
-        F.col("merged").alias("sym"),
-        (F.lit(n_alpha) + F.col("merge_rank") - 1).cast("long").alias("id"),
-    )
-    vocab = alpha.unionByName(merged_vocab)
+    vocab = bpe_vocab(base, merges)
     wid = (
         seg.select("w", F.posexplode("syms").alias("spos", "sym"))
         .join(F.broadcast(vocab), "sym", "left")
@@ -1487,7 +1499,7 @@ def bpe_encode(
     )
     tok = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.posexplode(_words(text_col)).alias("pos", "w")
-    ).filter((F.length("w") >= 1) & (~F.col("w").contains(_BPE_US)))
+    ).filter(keep)
     return (
         tok.join(wid, "w")
         .groupBy(id_col)
@@ -1503,6 +1515,80 @@ def bpe_encode(
                 ).cast("array<string>"),
                 " ",
             ).alias("ids_str"),
+        )
+    )
+
+
+def bpe_vocab(alphabet: DataFrame, merges: DataFrame) -> DataFrame:
+    """(sym, id) vocabulary shared by encode and decode: base alphabet
+    symbols id'd 0..A-1 by sort order (the ranking window runs over the
+    bounded distinct-chars table), merge k's output symbol id'd A+k-1.
+    Deterministic and replayable from (alphabet, merges) alone."""
+    from pyspark.sql import Window
+
+    alpha = alphabet.select("sym").distinct().withColumn(
+        "id",
+        (
+            F.row_number().over(Window.orderBy(F.col("sym").asc())) - 1
+        ).cast("long"),
+    )
+    n_alpha = alpha.count()  # bounded: alphabet size
+    merged_vocab = merges.select(
+        F.col("merged").alias("sym"),
+        (F.lit(n_alpha) + F.col("merge_rank") - 1).cast("long").alias("id"),
+    )
+    return alpha.unionByName(merged_vocab)
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    merges: DataFrame,
+    alphabet: DataFrame,
+    *,
+    marker: str,
+    id_col: str = "doc_id",
+    ids_col: str = "ids_str",
+) -> DataFrame:
+    """Detokenize: invert ``bpe_encode`` from the id sequence alone.
+    Requires the ``marker`` boundary symbol to have been in use at
+    train/encode time — without it the flat id stream cannot recover
+    word boundaries (documented GPT-vs-SentencePiece trade-off in
+    ``bpe_train``). Every symbol string carries its word's leading
+    marker, so decode is: ids -> symbols (broadcast join on the
+    replayed (sym, id) vocab) -> in-order concat per doc -> marker
+    becomes space. Unknown ids (``oov_id`` from encode, or corruption)
+    decode to nothing and are COUNTED in n_unknown rather than guessed.
+
+    One corpus-sized explode of the id stream, a broadcast vocab join,
+    one doc-keyed shuffle for the ordered rebuild — the exact mirror of
+    the encode plan. Returns (id_col, text, n_unknown).
+    """
+    vocab = bpe_vocab(alphabet, merges)
+    ids = encoded.select(
+        id_col,
+        F.posexplode(F.split(F.col(ids_col), " ")).alias("pos", "_id_s"),
+    ).select(id_col, "pos", F.col("_id_s").cast("long").alias("id"))
+    syms = ids.join(F.broadcast(vocab), "id", "left")
+    return (
+        syms.groupBy(id_col)
+        .agg(
+            F.sum(F.col("sym").isNull().cast("long"))
+            .cast("long")
+            .alias("n_unknown"),
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, sym)))"
+                    ", x -> x.sym)"
+                ),
+            ).alias("_joined"),
+        )
+        .select(
+            id_col,
+            F.ltrim(
+                F.replace(F.col("_joined"), F.lit(marker), F.lit(" "))
+            ).alias("text"),
+            "n_unknown",
         )
     )
 

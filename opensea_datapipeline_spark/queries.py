@@ -7537,6 +7537,34 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_train(d, n_merges=12, min_count=2)
 
 
+@_register(
+    "bpe_roundtrip_documents",
+    """
+SELECT doc_id,
+  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text,
+  CAST(0 AS BIGINT) AS n_unknown
+FROM documents
+WHERE text IS NOT NULL
+  AND length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 1
+""",
+)
+def q_bpe_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer LOSSLESSNESS, end to end: train with the SentencePiece-
+    # style word-boundary marker, encode every document to subword ids,
+    # decode from the ids alone — the recovered text must equal the
+    # normalized corpus byte-for-byte (the oracle is the normalization
+    # itself; the value-hash covers every document's full text, so this
+    # is NOT a vacuous 0=0 grade) with zero unknown ids. This is the
+    # property a pretraining pipeline actually needs from its tokenizer
+    # pair (operators/text.py:bpe_train/bpe_encode/bpe_decode).
+    d = _t(spark, sf_dir, "documents")
+    marker = "\x11"
+    merges = tx.bpe_train(d, n_merges=8, min_count=2, marker=marker)
+    alpha = tx.bpe_alphabet(d, marker=marker)
+    enc = tx.bpe_encode(d, merges, marker=marker, alphabet=alpha)
+    return tx.bpe_decode(enc, merges, alpha, marker=marker)
+
+
 @_register("bpe_encode_documents", _bpe_encode_oracle(8))
 def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenizer-APPLY with the learned merges (subword segmentation) —

@@ -2492,3 +2492,71 @@ def test_bpe_encode_matches_pure_python(spark):
     assert row.n_tokens == 2
     # 'zzz?' has no trained chars 'z'/'?' -> every symbol oov (-1)
     assert set(row.ids_str.split(" ")[-4:]) == {"-1"}
+
+
+def test_bpe_marker_roundtrip_losslessly_decodes(spark):
+    # SentencePiece-style boundary marker: train+encode+decode must
+    # recover the NORMALIZED text of every document exactly (lowercase,
+    # collapsed whitespace — the _words contract), with zero unknown
+    # ids on the self-encoded corpus. Also pins that marker-prefixed
+    # merges actually fire (the learned table must contain at least one
+    # merge whose left symbol starts with the marker — word-start
+    # units, the thing the marker exists to learn).
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_alphabet,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    M = "\x11"
+    texts = [
+        "the cat sat on the mat",
+        "The  CAT\tsat",
+        "a aa aaa the thee",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=10, min_count=2, marker=M)
+    assert any(
+        r.left_sym.startswith(M) for r in merges.collect()
+    ), "no word-start merge learned"
+    alpha = bpe_alphabet(docs, marker=M)
+    enc = bpe_encode(docs, merges, marker=M, alphabet=alpha)
+    dec = {
+        r.doc_id: (r.text, r.n_unknown)
+        for r in bpe_decode(enc, merges, alpha, marker=M).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        want = re.sub(r"\s+", " ", t.lower()).strip()
+        assert dec[i] == (want, 0), f"doc {i}"
+
+
+def test_bpe_decode_counts_unknown_ids(spark):
+    # Corrupted / OOV ids must decode to nothing and be COUNTED, not
+    # guessed: decode a hand-built id stream containing an id far
+    # outside the vocab.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_alphabet,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    M = "\x11"
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=2, min_count=2, marker=M)
+    alpha = bpe_alphabet(docs, marker=M)
+    enc = bpe_encode(docs, merges, marker=M, alphabet=alpha)
+    good = enc.head().ids_str
+    bad = spark.createDataFrame(
+        [(0, good + " 9999")], "doc_id long, ids_str string"
+    )
+    row = bpe_decode(bad, merges, alpha, marker=M).head()
+    assert row.n_unknown == 1
+    assert row.text == "ab ab ab"
