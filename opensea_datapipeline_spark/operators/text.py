@@ -1461,12 +1461,14 @@ def bpe_encode(
     keep = (F.length("w") >= 1) & (~F.col("w").contains(_BPE_US))
     if marker is not None:
         keep = keep & (~F.col("w").contains(marker))
-    words = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.explode(_words(text_col)).alias("w"))
-        .filter(keep)
-        .distinct()
-    )
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(_words(text_col)).alias("pos", "w")
+    ).filter(keep)
+    # checkpointed ONCE (bounded by vocabulary size): the word table
+    # feeds both the segmentation and the derived alphabet — without
+    # the pin each consumer re-derives it from the corpus (an .explain
+    # audit showed TWO extra full scans + distinct shuffles)
+    words = tok.select("w").distinct().localCheckpoint(eager=True)
     seg = bpe_apply_merges(words, merge_rows, marker=marker)
     base = (
         alphabet
@@ -1497,9 +1499,6 @@ def bpe_encode(
             "_n_syms",
         )
     )
-    tok = docs.filter(F.col(text_col).isNotNull()).select(
-        id_col, F.posexplode(_words(text_col)).alias("pos", "w")
-    ).filter(keep)
     return (
         tok.join(wid, "w")
         .groupBy(id_col)
