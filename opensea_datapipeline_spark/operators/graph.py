@@ -455,3 +455,82 @@ def community_modularity(
         )
     )
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core of the undirected graph: the maximal subgraph where every
+    node keeps degree ≥ k, by iterative peeling (repeatedly drop nodes
+    with degree < k; dropping one node can push its neighbors under k,
+    hence the loop). On a near-dup graph the 2-core separates clique-ish
+    template FAMILIES from degree-1 chains of pairwise-coincidental
+    overlaps — the same curation signal family as triangle_stats, but
+    global (a long chain has clustering coefficient 0 everywhere yet
+    still links clusters; peeling actually removes it).
+
+    ``rounds`` fixed = deterministic, oracle-replayable (extra rounds
+    past the fixpoint are no-ops); None = run to fixpoint, checking
+    convergence with one bounded 1-row count per round (production
+    mode; peeling depth is typically small). Edges are canonicalized
+    (self-loops dropped, (a,b)/(b,a) collapsed — the triangle_stats
+    hygiene rule) and pinned once with localCheckpoint.
+
+    Plan per round: endpoint-union degree count (map-side partials,
+    keyed by node) → the REMOVED set (degree < k — usually small:
+    peeling strips the fringe, not the core) → two anti-joins of the
+    live edges against it (AQE broadcasts the removed side while it
+    fits). Periodic localCheckpoint + superseded-checkpoint release
+    (the pagerank discipline). Returns (node, degree) over the final
+    subgraph — after convergence every degree is ≥ k.
+    """
+    import gc
+
+    live = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_live = live.count() if rounds is None else None
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    r = 0
+    while rounds is None or r < rounds:
+        r += 1
+        removed = _deg(live).filter(F.col("deg") < k).select("node")
+        nxt = live.join(
+            removed.withColumnRenamed("node", "a"), "a", "left_anti"
+        ).join(removed.withColumnRenamed("node", "b"), "b", "left_anti")
+        if rounds is None:
+            nxt = nxt.localCheckpoint(eager=True)
+            gc.collect()
+            n_nxt = nxt.count()
+            live = nxt
+            if n_nxt == n_live:
+                break
+            n_live = n_nxt
+        else:
+            live = nxt
+            if r % checkpoint_every == 0 and r < rounds:
+                live = live.localCheckpoint(eager=True)
+                gc.collect()
+    return _deg(live).select(
+        "node", F.col("deg").cast("long").alias("degree")
+    )

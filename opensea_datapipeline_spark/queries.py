@@ -2011,6 +2011,62 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.community_modularity(edges, lp)
 
 
+def _kcore_near_dup_oracle(k: int = 2, rounds: int = 6,
+                           max_id: int = 200) -> str:
+    # Peeling rounds unrolled (pagerank-oracle discipline); extra rounds
+    # past the fixpoint are no-ops, so a fixed count safely over-covers.
+    # MATERIALIZED: each e{r} is referenced by d{r+1} and e{r+1} — the
+    # bpe-oracle exponential-inlining lesson.
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM pairs WHERE id_a <> id_b)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{r - 1}
+    UNION ALL SELECT b AS node FROM e{r - 1}) t
+  GROUP BY node)""")
+        ctes.append(f"""x{r} AS MATERIALIZED (
+  SELECT node FROM d{r} WHERE deg < {k})""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{r - 1}
+  WHERE a NOT IN (SELECT node FROM x{r})
+    AND b NOT IN (SELECT node FROM x{r}))""")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH pairs AS (
+{_minhash_lsh_oracle(8, 2, 0.7, max_id)}
+), {chain}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT a AS node FROM e{rounds}
+      UNION ALL SELECT b AS node FROM e{rounds}) t
+GROUP BY node
+"""
+
+
+@_register("kcore_near_dup", _kcore_near_dup_oracle(2, 6, 200))
+def q_kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2-core of the near-dup graph by iterative peeling (6 fixed rounds,
+    # over-covering the fixpoint — extra rounds are no-ops on both
+    # engines): strips degree-1 chains of pairwise-coincidental overlap
+    # INCLUDING cascades, leaving the clique-ish template families —
+    # the global density signal triangle_stats can't give (a long chain
+    # has zero clustering coefficient everywhere yet still rides along).
+    # Per round: endpoint-union degree count (map-side partials) + two
+    # anti-joins against the small REMOVED set (AQE broadcasts it);
+    # oracle unrolls the same rounds (operators/graph.py:k_core).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.7,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    core = gr.k_core(edges, 2, rounds=6)
+    return core.select(F.col("node").alias("doc_id"), "degree")
+
+
 @_register("pagerank_near_dup", _pagerank_near_dup_oracle(10, 0.85, 200))
 def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Numeric-iterative graph analytics with a FULL oracle: PageRank

@@ -2560,3 +2560,58 @@ def test_bpe_decode_counts_unknown_ids(spark):
     row = bpe_decode(bad, merges, alpha, marker=M).head()
     assert row.n_unknown == 1
     assert row.text == "ab ab ab"
+
+
+def _py_k_core(edge_list, k):
+    # pure-Python peeling reference
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        edges = {
+            (a, b) for a, b in edges if a not in drop and b not in drop
+        }
+
+
+def test_k_core_matches_pure_python_peeling(spark):
+    # Triangle + pendant chain + square with a tail: the 2-core must
+    # peel the chain AND the tail (cascading: removing the tail tip
+    # drops its neighbor under 2), keeping triangle + square. Fixpoint
+    # mode and a fixed-rounds run past convergence must agree.
+    from opensea_datapipeline_spark.operators.graph import k_core
+
+    raw = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5),                   # pendant chain off the triangle
+        (10, 11), (11, 12), (12, 13), (13, 10),  # square
+        (13, 14), (14, 15),               # tail off the square
+        (2, 1),                           # reverse dup (canonicalized)
+        (7, 7),                           # self-loop (dropped)
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    want = _py_k_core(raw, 2)
+    got_fix = {
+        r.node: r.degree
+        for r in k_core(edges, 2, rounds=None).collect()
+    }
+    got_fixed_rounds = {
+        r.node: r.degree for r in k_core(edges, 2, rounds=6).collect()
+    }
+    assert got_fix == want
+    assert got_fixed_rounds == want
+    assert set(want) == {1, 2, 3, 10, 11, 12, 13}
+
+
+def test_k_core_empty_result(spark):
+    # A bare chain has an empty 2-core.
+    from opensea_datapipeline_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert k_core(edges, 2, rounds=None).count() == 0
