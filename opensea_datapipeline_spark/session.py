@@ -74,4 +74,31 @@ def get_spark(
         configs.update(extra_configs)
     for k, v in configs.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _freeze_import_garbage()
+    return spark
+
+
+_FROZEN = False
+
+
+def _freeze_import_garbage() -> None:
+    """Move the already-imported, effectively-immortal object graph (the
+    query registry, pyspark, pandas) out of the cyclic GC's reach. The
+    iterative operators (connected components, pagerank, LPA, BPE,
+    k-core) call ``gc.collect()`` after releasing superseded
+    localCheckpoints — necessary (SCALING.md §r10 dead-checkpoint trap)
+    but a FULL collection traverses every tracked object, so its cost
+    grows with the size of the imported codebase: measured 0.4 ms on a
+    bare interpreter vs ~20 ms with the 206-query registry loaded,
+    i.e. a per-round tax on every loop. After freeze the same call is
+    ~0 ms. Runs once per process; a collect first so no pre-existing
+    cycle garbage is frozen alive."""
+    global _FROZEN
+    if _FROZEN:
+        return
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    _FROZEN = True
