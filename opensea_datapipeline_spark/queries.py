@@ -6885,6 +6885,56 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ddsketch_value_quantiles",
+    """
+WITH v AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND value > 0),
+b AS (
+  SELECT event_type,
+    CAST(ceil(round(ln(value) / ln(CAST(1.02 AS DOUBLE)), 9)) AS BIGINT)
+      AS bucket
+  FROM v),
+bc AS (SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket,
+    sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS n
+  FROM bc),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+hit AS (
+  SELECT c.event_type, q.q, c.bucket, c.n
+  FROM cum c, qs q
+  WHERE c.cum >= floor(q.q * (c.n - 1)) + 1),
+sel AS (
+  SELECT event_type, q, min(bucket) AS bucket, max(n) AS n
+  FROM hit GROUP BY 1, 2)
+SELECT event_type, q, bucket,
+  round(2.0 * power(CAST(1.02 AS DOUBLE), bucket)
+    / (CAST(1.02 AS DOUBLE) + 1.0), 6) AS estimate,
+  CAST(n AS BIGINT) AS n
+FROM sel
+""",
+)
+def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantile SKETCH per event type (DDSketch log buckets, Masson et
+    # al. VLDB'19) — the mergeable-summaries answer to percentiles,
+    # completing the sketch family (CM=frequency, KMV=cardinality,
+    # Bloom=membership): bucket counts are plain sums, state is bounded
+    # by the VALUE RANGE (~log_gamma(max/min) buckets), estimates are
+    # within (g-1)/(g+1) ≈ 0.99% relative error. The oracle REPLAYS the
+    # sketch (bucket assignment, rank walk, midpoint decode), not
+    # approx-vs-exact — the sketch-grading discipline. One corpus-sized
+    # partial-agg groupBy; every later stage runs over the bounded
+    # bucket table (operators/sketches.py:dd_quantile_sketch).
+    e = _t(spark, sf_dir, "events")
+    return sk.dd_quantile_sketch(
+        e, "value", [0.5, 0.9, 0.99], gamma=1.02,
+        group_cols=["event_type"],
+    )
+
+
+@_register(
     "countmin_user_frequency",
     """
 WITH ex AS (

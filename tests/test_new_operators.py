@@ -2615,3 +2615,69 @@ def test_k_core_empty_result(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert k_core(edges, 2, rounds=None).count() == 0
+
+
+def test_dd_quantile_sketch_error_bound_and_merge(spark):
+    # DDSketch guarantee: every estimate within (g-1)/(g+1) relative
+    # error of the exact rank-q value; and the sketch must be
+    # MERGEABLE — the sketch of A∪B equals the sketch built from the
+    # two halves' union (bucket counts are plain sums, so this is the
+    # whole point of the structure).
+    import math
+
+    from opensea_datapipeline_spark.operators.sketches import (
+        dd_quantile_sketch,
+    )
+
+    vals = [math.exp(i / 37.0) * 3.7 for i in range(1, 2001)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    g = 1.02
+    qs = [0.5, 0.9, 0.99]
+    out = {
+        r.q: r.estimate
+        for r in dd_quantile_sketch(df, "value", qs, gamma=g).collect()
+    }
+    svals = sorted(vals)
+    bound = (g - 1) / (g + 1)
+    for q in qs:
+        exact = svals[int(math.floor(q * (len(vals) - 1)))]
+        rel = abs(out[q] - exact) / exact
+        assert rel <= bound + 1e-9, (q, out[q], exact, rel)
+    # merge = union: same result from two shuffled halves
+    half1 = spark.createDataFrame(
+        [(v,) for v in vals[::2]], "value double"
+    )
+    half2 = spark.createDataFrame(
+        [(v,) for v in vals[1::2]], "value double"
+    )
+    merged = {
+        r.q: r.estimate
+        for r in dd_quantile_sketch(
+            half1.unionAll(half2), "value", qs, gamma=g
+        ).collect()
+    }
+    assert merged == out
+
+
+def test_dd_quantile_sketch_grouped(spark):
+    # Per-group quantiles from one bucket pass: two groups with
+    # disjoint ranges must get estimates near their own medians, and
+    # nonpositive/null values are out of contract (filtered).
+    from opensea_datapipeline_spark.operators.sketches import (
+        dd_quantile_sketch,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i) * 1000.0) for i in range(1, 101)
+    ] + [("a", -5.0), ("a", None)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        (r.grp, r.q): r
+        for r in dd_quantile_sketch(
+            df, "value", [0.5], group_cols=["grp"]
+        ).collect()
+    }
+    a, b = out[("a", 0.5)], out[("b", 0.5)]
+    assert a.n == 100 and b.n == 100  # filtered rows not counted
+    assert abs(a.estimate - 50.0) / 50.0 < 0.02
+    assert abs(b.estimate - 50000.0) / 50000.0 < 0.02
