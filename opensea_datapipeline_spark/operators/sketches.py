@@ -438,30 +438,68 @@ def dd_quantile_sketch(
     DDSketch positive-store contract). Returns
     (group_cols..., q, bucket, estimate, n).
     """
+    return dd_quantiles_from_buckets(
+        dd_bucket_counts(
+            df, value_col, gamma=gamma, group_cols=group_cols
+        ),
+        qs,
+        gamma=gamma,
+        group_cols=group_cols,
+    )
+
+
+def dd_bucket_counts(
+    df: DataFrame,
+    value_col: str,
+    *,
+    gamma: float = 1.02,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """The sketch STATE: (group_cols..., bucket, c) counts — plain sums,
+    so two states (or a state and a micro-batch) merge by unionAll +
+    re-groupBy with zero loss. This is the half a streaming monitor
+    persists."""
     gcols = list(group_cols or [])
     src = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
-    buckets = (
-        src.select(*gcols, dd_bucket(F.col(value_col), gamma=gamma).alias("bucket"))
+    return (
+        src.select(
+            *gcols, dd_bucket(F.col(value_col), gamma=gamma).alias("bucket")
+        )
         .groupBy(*gcols, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+
+
+def dd_quantiles_from_buckets(
+    buckets: DataFrame,
+    qs: "list[float]",
+    *,
+    gamma: float = 1.02,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Rank walk + midpoint decode over a (group, bucket, c) state —
+    every stage here runs over the BOUNDED bucket table (value-range-
+    sized, never row-count-sized; the heavy-hitters final-rank
+    argument), so the partition-less window on the ungrouped form is
+    safe."""
     from pyspark.sql import Window
 
+    gcols = list(group_cols or [])
     w = (
         Window.partitionBy(*gcols).orderBy("bucket")
         if gcols
         else Window.orderBy("bucket")
     )
-    # cumulative + totals over the BUCKET table (bounded by value
-    # range, not rows) — a partition-less window here is safe for the
-    # ungrouped form for the same reason as build_vocab's rank
     cum = buckets.withColumn("cum", F.sum("c").over(w)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        "n",
+        F.sum("c").over(
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ),
     )
     q_lits = ", ".join(repr(float(q)) for q in qs)
     qdf = cum.crossJoin(
         F.broadcast(
-            df.sparkSession.range(1).select(
+            buckets.sparkSession.range(1).select(
                 F.explode(
                     F.split(F.lit(q_lits), ", ").cast("array<double>")
                 ).alias("q")

@@ -3145,6 +3145,61 @@ def q_streaming_kmv_distinct_users(
     )
 
 
+@_register(
+    "streaming_ddsketch_value_quantiles",
+    """
+WITH v AS (
+  SELECT value FROM events WHERE value IS NOT NULL AND value > 0),
+b AS (
+  SELECT CAST(ceil(round(ln(value) / ln(CAST(1.02 AS DOUBLE)), 9))
+    AS BIGINT) AS bucket
+  FROM v),
+bc AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+cum AS (
+  SELECT bucket,
+    sum(c) OVER (ORDER BY bucket) AS cum,
+    sum(c) OVER () AS n
+  FROM bc),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+hit AS (
+  SELECT q.q, c.bucket, c.n
+  FROM cum c, qs q
+  WHERE c.cum >= floor(q.q * (c.n - 1)) + 1),
+sel AS (SELECT q, min(bucket) AS bucket, max(n) AS n FROM hit GROUP BY 1)
+SELECT q, bucket,
+  round(2.0 * power(CAST(1.02 AS DOUBLE), bucket)
+    / (CAST(1.02 AS DOUBLE) + 1.0), 6) AS estimate,
+  CAST(n AS BIGINT) AS n
+FROM sel
+""",
+)
+def q_streaming_ddsketch_value_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Streaming quantile monitor: the DDSketch bucket table maintained
+    # across 3 idempotent foreachBatch merges (streaming/sketch.py).
+    # Bucket counts are plain sums — the textbook mergeable summary —
+    # so the final extraction must equal the one-shot batch sketch
+    # EXACTLY under arbitrary batch slicing; the oracle replays the
+    # batch sketch over all events. State is bounded by the value
+    # range (~log_gamma(max/min) buckets), not the stream length.
+    import tempfile
+
+    from .sources.readers import load_table
+    from .streaming.sketch import run_streaming_ddsketch
+
+    src = tempfile.mkdtemp(prefix="dd_src_")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    return run_streaming_ddsketch(
+        spark, src,
+        tempfile.mkdtemp(prefix="dd_state_"),
+        tempfile.mkdtemp(prefix="dd_ckpt_"),
+        value_col="value", qs=[0.5, 0.9, 0.99], gamma=1.02,
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, sessionization, neighbor peer windows (operators Spark lacks,
 # composed from primitives — SURVEY.md §2.3 J7/J8 + streaming-shaped batch)

@@ -2681,3 +2681,61 @@ def test_dd_quantile_sketch_grouped(spark):
     assert a.n == 100 and b.n == 100  # filtered rows not counted
     assert abs(a.estimate - 50.0) / 50.0 < 0.02
     assert abs(b.estimate - 50000.0) / 50000.0 < 0.02
+
+
+def test_streaming_ddsketch_merge_equals_batch_and_replay_noop(
+    spark, tmp_path
+):
+    # Bucket counts are plain sums, so the streaming state after the
+    # micro-batches must yield IDENTICAL (bucket, estimate, n) rows to
+    # the one-shot batch sketch over the same rows; state stays bounded
+    # by the value range (every committed version <= #distinct buckets);
+    # replaying with the same state dir but a fresh checkpoint is a
+    # no-op.
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.sketches import (
+        dd_quantile_sketch,
+    )
+    from opensea_datapipeline_spark.streaming.sketch import (
+        run_streaming_ddsketch,
+    )
+
+    rows = [(i, float((i % 997) + 1) * 1.37) for i in range(6000)]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "user_id long, value double").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("user_id"))
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    state_dir = str(tmp_path / "state")
+    qs = [0.5, 0.9, 0.99]
+    stream_rows = {
+        r.q: (r.bucket, r.estimate, r.n)
+        for r in run_streaming_ddsketch(
+            spark, src, state_dir, str(tmp_path / "c1"), value_col="value",
+            qs=qs,
+        ).collect()
+    }
+    batch_rows = {
+        r.q: (r.bucket, r.estimate, r.n)
+        for r in dd_quantile_sketch(
+            spark.read.parquet(src), "value", qs
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+    n_buckets = len(
+        {b for b, _, _ in batch_rows.values()}
+    )  # sanity floor only
+    for vdir in _g.glob(state_dir + "/batch_*"):
+        cnt = spark.read.parquet(vdir).count()
+        assert cnt <= 997 and cnt >= n_buckets, vdir
+    replay = {
+        r.q: (r.bucket, r.estimate, r.n)
+        for r in run_streaming_ddsketch(
+            spark, src, state_dir, str(tmp_path / "c2"), value_col="value",
+            qs=qs,
+        ).collect()
+    }
+    assert replay == stream_rows
