@@ -2739,3 +2739,61 @@ def test_streaming_ddsketch_merge_equals_batch_and_replay_noop(
         ).collect()
     }
     assert replay == stream_rows
+
+
+def test_minhash_lsh_incremental_equals_full_minus_old_block(
+    spark, sf_dir
+):
+    # The incremental contract: pairs(old ∪ new) restricted to pairs
+    # touching a NEW doc — exactly the full-corpus LSH output minus the
+    # old×old block, row for row including jaccard values. Also pins
+    # the persisted-artifact path: probing a band table written to and
+    # read back from parquet gives the same pairs as deriving it.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from opensea_datapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    split = 100
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    kw = dict(num_hashes=8, band_size=2, jaccard_threshold=0.7)
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", **kw).collect()
+    }
+    want = {
+        p: j
+        for p, j in full.items()
+        if not (p[0] < split and p[1] < split)
+    }
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs_incremental(
+            old, new, "text", "doc_id", **kw
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0 and len(want) < len(full)  # both sides real
+    # persisted-artifact path
+    import tempfile
+
+    band_path = tempfile.mkdtemp(prefix="bands_")
+    minhash_band_table(
+        old, "text", "doc_id", num_hashes=8, band_size=2
+    ).write.mode("overwrite").parquet(band_path)
+    got2 = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs_incremental(
+            old, new, "text", "doc_id",
+            old_band_table=spark.read.parquet(band_path), **kw
+        ).collect()
+    }
+    assert got2 == want
