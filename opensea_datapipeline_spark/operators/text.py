@@ -1729,3 +1729,85 @@ def encode_token_ids(
             " x -> x.id)"
         ).alias("ids"),
     )
+
+
+def pack_token_ids(
+    enc: DataFrame,
+    *,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    n_col: str = "n_syms",
+    ids_col: str = "ids_str",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """GPT-style training-sequence packing over ENCODED ids (the step
+    after ``bpe_encode``): concatenate every document's id stream in
+    doc-id order and split every ``seq_len`` ids — documents MAY span
+    sequence boundaries (the standard pretraining packer;
+    ``pack_documents`` is the no-split bin variant over token counts).
+
+    The global token offset of each doc is a distributed TWO-PHASE
+    prefix sum, never a single global window: docs bucket by
+    ``id_col // bucket_size`` (deterministic ranges, unlike sampled
+    repartitionByRange); phase 1 is a bucket-partitioned cumsum window
+    (each partition ≤ bucket_size rows); phase 2 adds the cumulative
+    bucket totals, a window over the BOUNDED bucket table. After that:
+    one posexplode of the id stream (inherent — the output IS the id
+    stream), seq_id = floor(global_pos / seq_len) as pure arithmetic,
+    and one seq-keyed shuffle for the ordered rebuild. Returns
+    (seq_id, n_ids, n_docs, ids_str) — every sequence holds exactly
+    seq_len ids except the last; ids_str per the FIXTURES array rule.
+    """
+    from pyspark.sql import Window
+
+    doc = enc.select(
+        F.col(id_col).alias("_doc"),
+        F.col(n_col).cast("long").alias("_n"),
+        F.col(ids_col).alias("_ids"),
+    ).withColumn("_bkt", F.floor(F.col("_doc") / bucket_size))
+    intra_w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    doc = doc.withColumn(
+        "_local_off", F.coalesce(F.sum("_n").over(intra_w), F.lit(0))
+    )
+    btot = doc.groupBy("_bkt").agg(F.sum("_n").alias("_bn"))
+    boff_w = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bounded: one row per bucket — the build_vocab single-partition
+    # window argument
+    boff = btot.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(boff_w), F.lit(0))
+    ).select("_bkt", "_boff")
+    doc = doc.join(F.broadcast(boff), "_bkt").withColumn(
+        "_off", F.col("_local_off") + F.col("_boff")
+    )
+    ids = doc.select(
+        "_doc",
+        "_off",
+        F.posexplode(F.split(F.col("_ids"), " ")).alias("_spos", "_id"),
+    ).select(
+        "_doc",
+        (F.col("_off") + F.col("_spos")).alias("_gpos"),
+        "_id",
+    )
+    return (
+        ids.withColumn(
+            "seq_id", F.floor(F.col("_gpos") / seq_len).cast("long")
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.countDistinct("_doc").cast("long").alias("n_docs"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_gpos, _id)))"
+                    ", x -> x._id)"
+                ),
+                " ",
+            ).alias("ids_str"),
+        )
+    )

@@ -7661,8 +7661,46 @@ def _bpe_train_oracle(n_merges: int) -> str:
 
 
 def _bpe_encode_oracle(n_merges: int) -> str:
+    return f"""WITH {_bpe_flat_ctes(n_merges)}
+SELECT doc_id,
+  CAST(count(DISTINCT pos) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_syms,
+  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, qi) AS ids_str
+FROM flat GROUP BY doc_id"""
+
+
+def _bpe_pack_oracle(n_merges: int, seq_len: int) -> str:
+    # GPT-style packing over the encoded id stream: global symbol
+    # position = per-doc offset (plain cumsum in doc order) + intra-doc
+    # rank; sequences tile the flat stream every seq_len ids. The
+    # Spark side computes the same offsets with a distributed two-phase
+    # bucketed prefix sum — identical values by construction.
+    return f"""WITH {_bpe_flat_ctes(n_merges)},
+doclen AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM flat GROUP BY 1),
+off AS MATERIALIZED (
+  SELECT doc_id, COALESCE(sum(n) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM doclen),
+g AS MATERIALIZED (
+  SELECT f.doc_id,
+    o.off + row_number() OVER (
+      PARTITION BY f.doc_id ORDER BY f.pos, f.qi) - 1 AS gpos,
+    f.id
+  FROM flat f JOIN off o USING (doc_id))
+SELECT CAST(floor(gpos / CAST({seq_len} AS DOUBLE)) AS BIGINT) AS seq_id,
+  CAST(count(*) AS BIGINT) AS n_ids,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+FROM g GROUP BY 1"""
+
+
+def _bpe_flat_ctes(n_merges: int) -> str:
+    """The shared encode chain up to ``flat`` (doc_id, pos, qi, id) —
+    one row per emitted symbol, consumed by both the per-doc encode
+    oracle and the packing oracle."""
     us = _BPE_ORACLE_US
-    return f"""WITH {_bpe_oracle_rounds(n_merges)},
+    return f"""{_bpe_oracle_rounds(n_merges)},
 mt AS ({_bpe_merge_table_select(n_merges)}),
 alpha AS (
   SELECT sym,
@@ -7700,14 +7738,9 @@ tp AS (
   FROM toks t, unnest(range(len(t.ts))) AS j(j)),
 dw AS (
   SELECT t.doc_id, t.pos, a.ids FROM tp t JOIN wid_arr a ON a.w = t.w),
-flat AS (
+flat AS MATERIALIZED (
   SELECT doc_id, pos, qi, ids[qi] AS id
-  FROM dw, unnest(range(1, len(ids) + 1)) AS q(qi))
-SELECT doc_id,
-  CAST(count(DISTINCT pos) AS BIGINT) AS n_tokens,
-  CAST(count(*) AS BIGINT) AS n_syms,
-  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, qi) AS ids_str
-FROM flat GROUP BY doc_id"""
+  FROM dw, unnest(range(1, len(ids) + 1)) AS q(qi))"""
 
 
 @_register("bpe_train_merges", _bpe_train_oracle(12))
@@ -7753,6 +7786,23 @@ def q_bpe_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = tx.bpe_alphabet(d, marker=marker)
     enc = tx.bpe_encode(d, merges, marker=marker, alphabet=alpha)
     return tx.bpe_decode(enc, merges, alpha, marker=marker)
+
+
+@_register("bpe_pack_sequences", _bpe_pack_oracle(8, 512))
+def q_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The last step of the pretraining chain (train → encode → PACK):
+    # GPT-style packing of the encoded id stream into 512-id training
+    # sequences, documents spanning boundaries. The global offset is a
+    # distributed two-phase bucketed prefix sum (bucket-local cumsum
+    # windows over ≤ 4096-row partitions + a bounded bucket-offset
+    # table) — never a single global window; one posexplode of the id
+    # stream (inherent: the output IS the stream) and one seq-keyed
+    # shuffle (operators/text.py:pack_token_ids). Every sequence's
+    # full id content is hash-compared via ids_str.
+    d = _t(spark, sf_dir, "documents")
+    merges = tx.bpe_train(d, n_merges=8, min_count=2)
+    enc = tx.bpe_encode(d, merges)
+    return tx.pack_token_ids(enc, seq_len=512)
 
 
 @_register("bpe_encode_documents", _bpe_encode_oracle(8))

@@ -2797,3 +2797,38 @@ def test_minhash_lsh_incremental_equals_full_minus_old_block(
         ).collect()
     }
     assert got2 == want
+
+
+def test_pack_token_ids_gpt_style_split(spark):
+    # Concatenate-all then split every L: sequences must tile the flat
+    # id stream exactly (full except last), docs span boundaries, and
+    # the bucketed two-phase prefix sum must agree with a single
+    # pure-Python cumsum regardless of bucket boundaries (bucket_size
+    # smaller than the doc count forces multi-bucket offsets).
+    from opensea_datapipeline_spark.operators.text import pack_token_ids
+
+    docs = [(i, 3 + (i % 4)) for i in range(10)]  # doc -> n ids
+    rows = []
+    flat = []
+    for d, n in docs:
+        ids = [d * 100 + j for j in range(n)]
+        flat.extend(ids)
+        rows.append((d, n, " ".join(map(str, ids))))
+    enc = spark.createDataFrame(
+        rows, "doc_id long, n_syms long, ids_str string"
+    )
+    L = 7
+    out = {
+        r.seq_id: r
+        for r in pack_token_ids(
+            enc, seq_len=L, bucket_size=3
+        ).collect()
+    }
+    want_seqs = [flat[i : i + L] for i in range(0, len(flat), L)]
+    assert len(out) == len(want_seqs)
+    for s, ids in enumerate(want_seqs):
+        got = out[s]
+        assert got.n_ids == len(ids)
+        assert got.ids_str == " ".join(map(str, ids)), s
+    # a doc of 3-6 ids inside L=7 sequences must span boundaries
+    assert any(out[s].n_docs >= 2 for s in out)
