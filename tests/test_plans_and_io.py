@@ -1029,6 +1029,10 @@ def test_no_ungated_global_windows_in_source():
         ("operators/aggregates.py", "population_stability"),  # bounded: <=10 buckets
         ("operators/mlstats.py", "chisq_independence"),       # bounded: a x b cells
         ("operators/text.py", "pack_documents"),              # gated: allow_global
+        # bounded: runs over the DD bucket table (~log_gamma(max/min)
+        # rows, value-range-sized — SCALING §ddsketch measured 399
+        # buckets flat under rows x10), never the value stream
+        ("operators/sketches.py", "dd_quantiles_from_buckets"),
     }
     hits = []
     for path in sorted(root.rglob("*.py")):
