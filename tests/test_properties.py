@@ -377,3 +377,118 @@ def test_streaming_bottom_k_merge_lossless_any_slicing(spark, stream, cuts, k):
         r.h for r in whole.distinct().orderBy("h").limit(k).collect()
     )
     assert got == want
+
+
+def _py_bpe(word_freq, n_merges, min_count):
+    words = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for k in range(1, n_merges + 1):
+        counts = {}
+        for w, syms in words.items():
+            c = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((k, l, r, l + r, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet forces pathological shapes: runs, symbols
+            # that are prefixes of other symbols, repeated merges
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(1, 5),
+)
+@SETTINGS
+def test_bpe_train_and_segmentation_match_reference(spark, docs, n_merges):
+    # The greedy-replace ' sym<US>' encoding must equal a pure-Python
+    # Sennrich trainer on ARBITRARY corpora — merge order AND the
+    # final per-word segmentation (which is what encode consumes).
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_merges = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.n)
+        for r in bpe_train(df, n_merges=n_merges, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    wf = {}
+    for t in texts:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    want_merges, want_words = _py_bpe(wf, n_merges, 2)
+    assert got_merges == want_merges
+    words_df = spark.createDataFrame([(w,) for w in wf], "w string")
+    got_seg = {
+        r.w: list(r.syms)
+        for r in bpe_apply_merges(
+            words_df,
+            [
+                {"left_sym": l, "right_sym": r}
+                for (_, l, r, _, _) in want_merges
+            ],
+        ).collect()
+    }
+    assert got_seg == want_words
+
+
+@given(
+    lens=st.lists(st.integers(1, 9), min_size=1, max_size=12),
+    seq_len=st.integers(2, 11),
+    bucket_size=st.integers(1, 6),
+)
+@SETTINGS
+def test_pack_token_ids_tiles_flat_stream(spark, lens, seq_len, bucket_size):
+    # The two-phase bucketed prefix sum must tile the flat id stream
+    # exactly for ANY doc-length pattern, seq_len, and bucket size.
+    from opensea_datapipeline_spark.operators.text import pack_token_ids
+
+    rows, flat = [], []
+    for d, n in enumerate(lens):
+        ids = [d * 100 + j for j in range(n)]
+        flat.extend(ids)
+        rows.append((d, n, " ".join(map(str, ids))))
+    enc = spark.createDataFrame(
+        rows, "doc_id long, n_syms long, ids_str string"
+    )
+    out = {
+        r.seq_id: r.ids_str
+        for r in pack_token_ids(
+            enc, seq_len=seq_len, bucket_size=bucket_size
+        ).collect()
+    }
+    want = {
+        s: " ".join(map(str, flat[i : i + seq_len]))
+        for s, i in enumerate(range(0, len(flat), seq_len))
+    }
+    assert out == want
