@@ -45,6 +45,7 @@ def pagerank(
     undirected: bool = False,
     checkpoint_every: int = 3,
     weight_col: str | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Synchronous PageRank after exactly ``iters`` power iterations
     (fixed-count, so the result is deterministic and SQL-replayable —
@@ -69,11 +70,17 @@ def pagerank(
     node table (coalesce to the (1-d)/N base), so source-only nodes
     keep their base rank and sink-only nodes count toward N — without
     that re-join the per-iteration groupBy(dst) silently drops any node
-    with no in-edges after round 1 (r10 ADVICE). Sinks still leak their
-    own mass (no dangling redistribution), as documented above. The
-    undirected path skips the re-join: symmetrization guarantees every
-    node has in-edges, so the joined form is identical and the extra
-    shuffle would be pure overhead. Returns (node, rank) rounded to 6dp.
+    with no in-edges after round 1 (r10 ADVICE). By default sinks leak
+    their own mass; ``redistribute_dangling=True`` (directed path only)
+    adds the canonical fix — each iteration the summed rank of nodes
+    with no out-edges is redistributed uniformly (d·dangling/N to every
+    node), restoring Σrank = 1 exactly, the proper-Markov-chain form an
+    absorbing-state analysis needs. The dangling total rides the plan
+    as a broadcast 1-row aggregate (the community_modularity m
+    pattern), never a driver collect. The undirected path skips the
+    re-join: symmetrization guarantees every node has in-edges, so the
+    joined form is identical and the extra shuffle would be pure
+    overhead. Returns (node, rank) rounded to 6dp.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -102,6 +109,11 @@ def pagerank(
     if not undirected:
         # pinned: re-joined every iteration on the directed path
         nodes = nodes.localCheckpoint(eager=True)
+    src_nodes = None
+    if redistribute_dangling and not undirected:
+        src_nodes = contrib.select(
+            F.col("src").alias("node")
+        ).distinct().localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -133,13 +145,25 @@ def pagerank(
             # directed: left-join onto the pinned node table so
             # source-only nodes keep their (1-d)/N base instead of
             # dropping out of the rank table after round 1
-            ranks = nodes.join(in_mass, "node", "left").select(
+            joined = nodes.join(in_mass, "node", "left")
+            incoming = F.coalesce(F.col("in_mass"), F.lit(0.0))
+            if src_nodes is not None:
+                # dangling total as a broadcast 1-row aggregate riding
+                # the plan (no driver action): the summed rank of nodes
+                # with no out-edges, shared uniformly
+                dang = (
+                    ranks.join(src_nodes, "node", "left_anti")
+                    .agg(
+                        F.coalesce(F.sum("rank"), F.lit(0.0)).alias(
+                            "_dang"
+                        )
+                    )
+                )
+                joined = joined.crossJoin(F.broadcast(dang))
+                incoming = incoming + F.col("_dang") / F.lit(float(n))
+            ranks = joined.select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(base) + F.lit(damping) * incoming).alias("rank"),
             )
         if i % checkpoint_every == 0 and i < iters:
             ranks = ranks.localCheckpoint(eager=True)

@@ -2096,6 +2096,94 @@ def q_kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.select(F.col("node").alias("doc_id"), "degree")
 
 
+def _transition_pagerank_oracle(iters: int = 8,
+                                damping: float = 0.85) -> str:
+    # Directed + dangling-redistribution power iteration, unrolled (the
+    # pagerank-oracle discipline). All literals CAST to DOUBLE (DuckDB
+    # decimal trap). The dangling total is a scalar subquery per round.
+    d = f"CAST({damping} AS DOUBLE)"
+    steps = []
+    for i in range(iters):
+        steps.append(f"""dg{i + 1} AS (
+  SELECT COALESCE(sum(rank), CAST(0 AS DOUBLE)) AS dang
+  FROM pr{i} WHERE node NOT IN (SELECT src FROM deg))""")
+        steps.append(f"""pr{i + 1} AS MATERIALIZED (
+  SELECT nd.node,
+    (1 - {d}) / (SELECT n FROM nn)
+      + {d} * (COALESCE(m.mass, CAST(0 AS DOUBLE))
+               + (SELECT dang FROM dg{i + 1}) / (SELECT n FROM nn))
+      AS rank
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank * e.w / dgr.outdeg) AS mass
+    FROM pr{i} p
+    JOIN edges e ON p.node = e.src
+    JOIN deg dgr ON dgr.src = p.node
+    GROUP BY e.dst) m ON m.node = nd.node)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+nxt AS (
+  SELECT event_type AS src,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      AS dst
+  FROM ev),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM nxt WHERE dst IS NOT NULL AND src <> 'purchase'
+  GROUP BY 1, 2),
+deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM nodes),
+{chain}
+SELECT node AS event_type, CAST(round(rank, 6) AS DOUBLE) AS rank
+FROM pr{iters}
+"""
+
+
+@_register("event_transition_pagerank", _transition_pagerank_oracle(8, 0.85))
+def q_event_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DIRECTED PageRank with dangling-mass redistribution over the
+    # per-user event-type transition graph, 'purchase' treated as an
+    # ABSORBING state (its outgoing transitions removed) — the
+    # Markov-chain stationary-weight analysis of a funnel, and the
+    # graded pin for the r10-ADVICE directed path: purchase is a real
+    # sink, so the dangling branch is EXERCISED (Σrank = 1 only because
+    # its mass is redistributed each round; without the fix the sink
+    # would be dropped from N and sources would lose their base). The
+    # dangling total rides the plan as a broadcast 1-row aggregate —
+    # no driver action; transitions order by event_id (unique), never
+    # raw ns timestamps (the µs-truncation tie seam).
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    nxt = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("event_id"))
+        .alias("dst"),
+    )
+    edges = (
+        nxt.filter(F.col("dst").isNotNull() & (F.col("src") != "purchase"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = gr.pagerank(
+        edges, iters=8, damping=0.85, undirected=False,
+        weight_col="w", redistribute_dangling=True,
+    )
+    return pr.select(F.col("node").alias("event_type"), "rank")
+
+
 @_register("pagerank_near_dup", _pagerank_near_dup_oracle(10, 0.85, 200))
 def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Numeric-iterative graph analytics with a FULL oracle: PageRank

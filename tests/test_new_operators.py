@@ -2832,3 +2832,32 @@ def test_pack_token_ids_gpt_style_split(spark):
         assert got.ids_str == " ".join(map(str, ids)), s
     # a doc of 3-6 ids inside L=7 sequences must span boundaries
     assert any(out[s].n_docs >= 2 for s in out)
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    # Directed star 1->2<-3 with sink 2: with redistribute_dangling the
+    # sink's mass is shared uniformly each iteration, so total mass
+    # stays exactly 1 and values equal a pure-Python power iteration
+    # with the same redistribution.
+    from opensea_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2)], "src long, dst long"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iters=6, damping=0.85, undirected=False,
+            redistribute_dangling=True,
+        ).collect()
+    }
+    nodes, n, d = [1, 2, 3], 3, 0.85
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        dang = rank[2]  # only node 2 has no out-edges
+        nxt = {v: (1 - d) / n + d * (dang / n) for v in nodes}
+        nxt[2] += d * (rank[1] + rank[3])
+        rank = nxt
+    want = {v: round(r, 6) for v, r in rank.items()}
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-5
