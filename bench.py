@@ -258,7 +258,7 @@ def _prev_queries(recs: list[dict], paths: list[str] | None = None) -> dict:
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_start = os.getloadavg()
-    spark = get_spark("bench")
+    spark = get_spark("bench", freeze_gc=True)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/parquet-datasource path outside measurement.

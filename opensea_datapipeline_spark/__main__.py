@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     # any live session (embedded/test use), and stopping a borrowed one
     # would kill the caller's context
     borrowed = SparkSession.getActiveSession() is not None
-    spark = get_spark("opensea-cli")
+    spark = get_spark("opensea-cli", freeze_gc=True)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         if args.cmd == "run":

@@ -1522,7 +1522,17 @@ def bpe_vocab(alphabet: DataFrame, merges: DataFrame) -> DataFrame:
     """(sym, id) vocabulary shared by encode and decode: base alphabet
     symbols id'd 0..A-1 by sort order (the ranking window runs over the
     bounded distinct-chars table), merge k's output symbol id'd A+k-1.
-    Deterministic and replayable from (alphabet, merges) alone."""
+    Deterministic and replayable from (alphabet, merges) alone.
+
+    Deduplicated on sym keeping the LOWEST id (ADVICE r11): two
+    distinct merges can emit the same merged string ('a'+'bc' and
+    'ab'+'c' both yield 'abc'), and a duplicate sym row would fan out
+    the sym-keyed encode join, inflating n_syms/ids on both engines at
+    once — green but semantically wrong. Keeping min(id) makes each
+    symbol encode as its FIRST (highest-priority) vocabulary entry; the
+    dropped duplicate ids are simply never emitted, so decode's
+    id-keyed join stays total over real encoder output. The dedupe agg
+    runs over the bounded vocab table, never the corpus."""
     from pyspark.sql import Window
 
     alpha = alphabet.select("sym").distinct().withColumn(
@@ -1536,7 +1546,11 @@ def bpe_vocab(alphabet: DataFrame, merges: DataFrame) -> DataFrame:
         F.col("merged").alias("sym"),
         (F.lit(n_alpha) + F.col("merge_rank") - 1).cast("long").alias("id"),
     )
-    return alpha.unionByName(merged_vocab)
+    return (
+        alpha.unionByName(merged_vocab)
+        .groupBy("sym")
+        .agg(F.min("id").alias("id"))
+    )
 
 
 def bpe_decode(

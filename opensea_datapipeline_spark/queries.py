@@ -1832,7 +1832,10 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate work is proportional to the SHARD (two band equi-joins:
     # new×old, new×new); old token sets are read semi-join-restricted
     # to candidate ids (operators/dedup.py:minhash_lsh_pairs_incremental).
-    docs = _t(spark, sf_dir, "documents")
+    # The corpus is pinned to doc_id < 500 on BOTH sides (the oracle's
+    # max_id) so grading stays exact at any fixture size, matching the
+    # sibling queries' explicit pins (ADVICE r11).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
     return dd.minhash_lsh_pairs_incremental(
@@ -7688,7 +7691,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ORACLE_US = "\x1f"
 
 
-def _bpe_oracle_rounds(n_merges: int) -> str:
+def _bpe_oracle_rounds(n_merges: int, min_count: int = 2) -> str:
     """CTE chain replaying bpe_train round-for-round in DuckDB: the
     word-frequency table, then per merge round k the pair counts
     (pc{k}), the argmax merge (m{k}, ties count desc / left asc /
@@ -7700,7 +7703,16 @@ def _bpe_oracle_rounds(n_merges: int) -> str:
     chain is the pagerank-oracle discipline. Every chained CTE is
     MATERIALIZED: DuckDB inlines CTEs by default and each w{k-1} is
     referenced twice, so an unhinted 12-round chain recomputes
-    exponentially (measured 247 s -> 0.1 s at sf0.01)."""
+    exponentially (measured 247 s -> 0.1 s at sf0.01).
+
+    Stop semantics mirror the operator exactly (ADVICE r11): m{k}
+    keeps only pairs with n >= min_count, and w{k} LEFT-joins m{k} so
+    an empty round leaves the word states unchanged — and once a round
+    is empty every later pc{k} is identical, so all later m{k} stay
+    empty, which is precisely bpe_train's early break. The wf filter
+    also excludes words containing the US sentinel, mirroring
+    _bpe_word_freq's contract (the train oracles are only used for the
+    marker-less GPT-style shape, so no marker filter is needed)."""
     us = _BPE_ORACLE_US
     ctes = [
         """wf AS MATERIALIZED (
@@ -7708,7 +7720,7 @@ def _bpe_oracle_rounds(n_merges: int) -> str:
     SELECT unnest(string_split(trim(regexp_replace(lower(text),
         '\\s+', ' ', 'g')), ' ')) AS w
     FROM documents WHERE text IS NOT NULL) t
-  WHERE length(w) >= 1
+  WHERE length(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
   GROUP BY w)""",
         f"""w0 AS MATERIALIZED (
   SELECT w, regexp_replace(w, '(.)', ' \\1{us}', 'g') AS s, cnt
@@ -7723,11 +7735,14 @@ def _bpe_oracle_rounds(n_merges: int) -> str:
       FROM w{k - 1}) t, unnest(range(1, len(ls))) AS u(i)
   ) p GROUP BY l, r)""")
         ctes.append(f"""m{k} AS MATERIALIZED (
-  SELECT l, r, n FROM pc{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1)""")
+  SELECT l, r, n FROM pc{k} WHERE n >= {int(min_count)}
+  ORDER BY n DESC, l ASC, r ASC LIMIT 1)""")
         ctes.append(f"""w{k} AS MATERIALIZED (
-  SELECT w, replace(s, ' ' || m.l || '{us}' || ' ' || m.r || '{us}',
-      ' ' || m.l || m.r || '{us}') AS s, cnt
-  FROM w{k - 1}, m{k} m)""")
+  SELECT w, CASE WHEN m.l IS NOT NULL THEN
+      replace(s, ' ' || m.l || '{us}' || ' ' || m.r || '{us}',
+          ' ' || m.l || m.r || '{us}')
+    ELSE s END AS s, cnt
+  FROM w{k - 1} LEFT JOIN m{k} m ON TRUE)""")
     return ",\n".join(ctes)
 
 
@@ -7801,7 +7816,11 @@ alpha AS (
 na AS (SELECT CAST(count(*) AS BIGINT) AS a FROM alpha),
 mv AS (SELECT merged AS sym, a + merge_rank - 1 AS id FROM mt, na),
 vocab AS (
-  SELECT sym, id FROM alpha UNION ALL SELECT sym, id FROM mv),
+  -- dedup on sym keeping the lowest id: distinct merges can emit the
+  -- same merged string; mirrors bpe_vocab (ADVICE r11)
+  SELECT sym, min(id) AS id FROM (
+    SELECT sym, id FROM alpha UNION ALL SELECT sym, id FROM mv) u
+  GROUP BY sym),
 wsyms AS (
   SELECT w, list_transform(list_filter(string_split(s, '{us}'),
       x -> x <> ''), x -> substr(x, 2)) AS ls

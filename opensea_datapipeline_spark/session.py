@@ -57,11 +57,20 @@ def get_spark(
     app_name: str = "opensea-datapipeline-spark",
     master: str | None = None,
     extra_configs: dict[str, str] | None = None,
+    freeze_gc: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
     cluster, leave it unset and submit with ``spark-submit --master ...``.
+
+    ``freeze_gc`` opts in to :func:`_freeze_import_garbage` — an
+    irreversible, process-global ``gc.freeze()`` that speeds up the
+    iterative operators' checkpoint-release collections. Batch entry
+    points (bench, CLI, the test harness) pass ``True``; the default
+    (``None`` → ``$SPARK_GRAFT_GC_FREEZE``, off) leaves library
+    embedders unfrozen so pre-session cyclic garbage stays collectable
+    for the life of their process (ADVICE r11).
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and not os.environ.get("SPARK_MASTER"):
@@ -75,7 +84,10 @@ def get_spark(
     for k, v in configs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    _freeze_import_garbage()
+    if freeze_gc is None:
+        freeze_gc = os.environ.get("SPARK_GRAFT_GC_FREEZE", "0") == "1"
+    if freeze_gc:
+        _freeze_import_garbage()
     return spark
 
 
@@ -93,7 +105,11 @@ def _freeze_import_garbage() -> None:
     bare interpreter vs ~20 ms with the 206-query registry loaded,
     i.e. a per-round tax on every loop. After freeze the same call is
     ~0 ms. Runs once per process; a collect first so no pre-existing
-    cycle garbage is frozen alive."""
+    cycle garbage is frozen alive. OPT-IN (``get_spark(freeze_gc=...)``):
+    the freeze is irreversible and process-global, so objects allocated
+    before it that later join a cycle are never collected — fine for a
+    batch process that exits, wrong to impose on a library embedder
+    (ADVICE r11)."""
     global _FROZEN
     if _FROZEN:
         return

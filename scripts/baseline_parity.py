@@ -86,7 +86,7 @@ def build_raw_events(spark, raw_dir: str) -> int:
 
 def main() -> None:
     keep = "--keep" in sys.argv
-    spark = get_spark("baseline-parity")
+    spark = get_spark("baseline-parity", freeze_gc=True)
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="baseline_parity_")
     raw_dir = os.path.join(work, "raw_events")

@@ -44,7 +44,7 @@ def main() -> None:
     import __spark_entry__ as entry
     from opensea_datapipeline_spark.session import get_spark
 
-    spark = get_spark("driver-prefix-check")
+    spark = get_spark("driver-prefix-check", freeze_gc=True)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     oracles = entry.oracle_sql()

@@ -14,6 +14,7 @@ def spark():
     s = get_spark(
         "tests",
         master="local[4]",
+        freeze_gc=True,
         extra_configs={
             "spark.sql.shuffle.partitions": "4",
             "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
