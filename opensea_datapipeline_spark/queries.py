@@ -7690,6 +7690,17 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ORACLE_US = "\x1f"
 
+# The ONE corpus pass every BPE oracle starts from — mirrors
+# _bpe_word_freq (marker-less shape): normalized whitespace words,
+# length >= 1, US-sentinel words out of contract (ADVICE r11).
+_BPE_WF_CTE = """wf AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL) t
+  WHERE length(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
+  GROUP BY w)"""
+
 
 def _bpe_oracle_rounds(n_merges: int, min_count: int = 2) -> str:
     """CTE chain replaying bpe_train round-for-round in DuckDB: the
@@ -7715,13 +7726,7 @@ def _bpe_oracle_rounds(n_merges: int, min_count: int = 2) -> str:
     marker-less GPT-style shape, so no marker filter is needed)."""
     us = _BPE_ORACLE_US
     ctes = [
-        """wf AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-    SELECT unnest(string_split(trim(regexp_replace(lower(text),
-        '\\s+', ' ', 'g')), ' ')) AS w
-    FROM documents WHERE text IS NOT NULL) t
-  WHERE length(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
-  GROUP BY w)""",
+        _BPE_WF_CTE,
         f"""w0 AS MATERIALIZED (
   SELECT w, regexp_replace(w, '(.)', ' \\1{us}', 'g') AS s, cnt
   FROM wf)""",
@@ -7765,11 +7770,7 @@ def _bpe_train_oracle(n_merges: int) -> str:
 
 def _bpe_encode_oracle(n_merges: int) -> str:
     return f"""WITH {_bpe_flat_ctes(n_merges)}
-SELECT doc_id,
-  CAST(count(DISTINCT pos) AS BIGINT) AS n_tokens,
-  CAST(count(*) AS BIGINT) AS n_syms,
-  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, qi) AS ids_str
-FROM flat GROUP BY doc_id"""
+{_BPE_ENCODE_SELECT}"""
 
 
 def _bpe_pack_oracle(n_merges: int, seq_len: int) -> str:
@@ -7802,10 +7803,19 @@ def _bpe_flat_ctes(n_merges: int) -> str:
     """The shared encode chain up to ``flat`` (doc_id, pos, qi, id) —
     one row per emitted symbol, consumed by both the per-doc encode
     oracle and the packing oracle."""
-    us = _BPE_ORACLE_US
     return f"""{_bpe_oracle_rounds(n_merges)},
 mt AS ({_bpe_merge_table_select(n_merges)}),
-alpha AS (
+{_bpe_flat_tail(f"w{n_merges}")}"""
+
+
+def _bpe_flat_tail(seg_cte: str) -> str:
+    """alpha..flat CTEs shared by every encode oracle: vocabulary ids
+    (sorted base alphabet then merges by rank, deduped on sym keeping
+    the lowest id — mirrors bpe_vocab, ADVICE r11), the segmented-word
+    id arrays, and the per-symbol flat stream. Expects ``wf``, ``mt``
+    and ``{seg_cte}`` (w, s = final symbol string) upstream."""
+    us = _BPE_ORACLE_US
+    return f"""alpha AS (
   SELECT sym,
     CAST(row_number() OVER (ORDER BY sym ASC) - 1 AS BIGINT) AS id
   FROM (
@@ -7824,7 +7834,7 @@ vocab AS (
 wsyms AS (
   SELECT w, list_transform(list_filter(string_split(s, '{us}'),
       x -> x <> ''), x -> substr(x, 2)) AS ls
-  FROM w{n_merges}),
+  FROM {seg_cte}),
 wsp AS (
   SELECT w, i AS spos, ls[i] AS sym
   FROM wsyms, unnest(range(1, len(ls) + 1)) AS u(i)),
@@ -7848,6 +7858,66 @@ dw AS (
 flat AS MATERIALIZED (
   SELECT doc_id, pos, qi, ids[qi] AS id
   FROM dw, unnest(range(1, len(ids) + 1)) AS q(qi))"""
+
+
+_BPE_ENCODE_SELECT = """SELECT doc_id,
+  CAST(count(DISTINCT pos) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_syms,
+  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, qi) AS ids_str
+FROM flat GROUP BY doc_id"""
+
+
+def _bpe_grid_encode_oracle(max_merges: int) -> str:
+    """Encode oracle for the CONSTRUCTED production-size merge table
+    (operators/text.py:bpe_grid_merge_table): the mt CTE builds the
+    same alphabet-grid merges (pairs then triples, (i,j,k)-ranked,
+    capped), and — the part the unrolled trained-merge oracles cannot
+    do at this depth — a RECURSIVE CTE replays the sequential
+    rank-order replace chain, one iteration per merge, joining on
+    merge_rank = k + 1 so iteration k applies exactly merge k. The
+    recursion's working set is the bounded distinct-word table; the
+    chain terminates when the join finds no merge_rank = k + 1. The
+    flat tail (vocab ids, per-doc rebuild) is shared verbatim with the
+    trained-merge oracles."""
+    us = _BPE_ORACLE_US
+    return f"""WITH RECURSIVE {_BPE_WF_CTE},
+al AS MATERIALIZED (
+  SELECT sym, row_number() OVER (ORDER BY sym ASC) AS aid FROM (
+    SELECT DISTINCT unnest(list_transform(list_filter(
+        string_split(regexp_replace(w, '(.)', ' \\1{us}', 'g'), '{us}'),
+        x -> x <> ''), x -> substr(x, 2))) AS sym
+    FROM wf)),
+grid AS (
+  SELECT 0 AS tier, a1.aid AS i1, a2.aid AS i2, 0 AS i3,
+    a1.sym AS l, a2.sym AS r, a1.sym || a2.sym AS m
+  FROM al a1, al a2
+  UNION ALL
+  SELECT 1 AS tier, a1.aid, a2.aid, a3.aid,
+    a1.sym || a2.sym AS l, a3.sym AS r,
+    a1.sym || a2.sym || a3.sym AS m
+  FROM al a1, al a2, al a3),
+mt AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY tier, i1, i2, i3) AS BIGINT)
+      AS merge_rank,
+    l AS left_sym, r AS right_sym, m AS merged, CAST(0 AS BIGINT) AS n
+  FROM grid
+  QUALIFY row_number() OVER (ORDER BY tier, i1, i2, i3)
+      <= {int(max_merges)}),
+nmt AS (SELECT CAST(count(*) AS BIGINT) AS nmr FROM mt),
+w0g AS MATERIALIZED (
+  SELECT w, regexp_replace(w, '(.)', ' \\1{us}', 'g') AS s FROM wf),
+seg AS (
+  SELECT w, s, CAST(0 AS BIGINT) AS k FROM w0g
+  UNION ALL
+  SELECT seg.w,
+    replace(seg.s, ' ' || m.left_sym || '{us}' || ' ' || m.right_sym
+        || '{us}', ' ' || m.left_sym || m.right_sym || '{us}') AS s,
+    seg.k + 1 AS k
+  FROM seg JOIN mt m ON m.merge_rank = seg.k + 1),
+segf AS MATERIALIZED (
+  SELECT seg.w, seg.s FROM seg, nmt WHERE seg.k = nmt.nmr),
+{_bpe_flat_tail("segf")}
+{_BPE_ENCODE_SELECT}"""
 
 
 @_register("bpe_train_merges", _bpe_train_oracle(12))
@@ -7924,6 +7994,66 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     merges = tx.bpe_train(d, n_merges=8, min_count=2)
     return tx.bpe_encode(d, merges)
+
+
+@_register("bpe_encode_staged_2k", _bpe_grid_encode_oracle(2048))
+def q_bpe_encode_staged_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production-vocab scale path GRADED AT DEPTH (VERDICT r11 #1):
+    # a constructed 2048-merge table (alphabet-grid pairs + triples —
+    # in-plan training cannot reach this depth on a 31-word graded
+    # vocabulary, see bpe_grid_merge_table) is applied by the STAGED
+    # segmenter: 16 checkpointed stages of 128 codegen replaces over
+    # the distinct-words table, never one 2048-deep expression tree
+    # (which Catalyst cannot compile — the r11 depth-ceiling finding).
+    # The oracle replays all 2048 merges one-per-iteration via a
+    # recursive CTE, so every stage boundary is value-verified.
+    d = _t(spark, sf_dir, "documents")
+    mt = tx.bpe_grid_merge_table(d, max_merges=2048)
+    return tx.bpe_encode(d, mt, merge_applier="staged", stage_size=128)
+
+
+@_register("bpe_encode_arrow_2k", _bpe_grid_encode_oracle(2048))
+def q_bpe_encode_arrow_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SERVING-path segmenter at the same 2048-merge depth: an
+    # Arrow-batched mapInPandas applies the ordered replaces per
+    # partition of the distinct-words table (the merge table rides the
+    # closure — it IS the vocabulary), no shuffle, no per-row Python.
+    # Same recursive-CTE oracle as the staged form: both appliers are
+    # graded equal to the replayed chain, not merely to each other.
+    d = _t(spark, sf_dir, "documents")
+    mt = tx.bpe_grid_merge_table(d, max_merges=2048)
+    return tx.bpe_encode(d, mt, merge_applier="arrow")
+
+
+# one persisted tokenizer artifact per (process, sf_dir): the bench and
+# the grading driver pay train+write once, every later call is
+# read+encode — the ann_persisted_probe economics applied to the
+# tokenizer (VERDICT r11 #2)
+_BPE_TOKENIZER_ARTIFACT: dict[str, str] = {}
+
+
+@_register("bpe_encode_from_artifact", _bpe_encode_oracle(8))
+def q_bpe_encode_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Production encodes from a SAVED tokenizer, not an in-query
+    # training chain: train once per process, persist (merges,
+    # alphabet, marker) as parquet (operators/text.py:
+    # bpe_write_tokenizer), then read the artifact and encode. Graded
+    # against the SAME oracle as bpe_encode_documents — the artifact
+    # round-trip must be byte-identical to the in-query chain (the
+    # alphabet travels with the artifact precisely so ids stay stable
+    # across encoded corpora).
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    path = _BPE_TOKENIZER_ARTIFACT.get(sf_dir)
+    if path is None:
+        merges = tx.bpe_train(d, n_merges=8, min_count=2)
+        alpha = tx.bpe_alphabet(d)
+        path = tempfile.mkdtemp(prefix="bpe_tokenizer_")
+        tx.bpe_write_tokenizer(merges, alpha, path)
+        _BPE_TOKENIZER_ARTIFACT[sf_dir] = path
+    merges, alpha, marker = tx.bpe_read_tokenizer(spark, path)
+    return tx.bpe_encode(d, merges, alphabet=alpha, marker=marker)
 
 
 @_register(

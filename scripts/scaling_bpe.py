@@ -128,14 +128,67 @@ def synth_vocab_docs(spark, n_words):
     )
 
 
+def run_staged_leg(spark, docs, depths):
+    """r12 (VERDICT r11 #1): staged-segmentation cost must be LINEAR in
+    merge count — (depth / stage_size) passes over the bounded
+    distinct-words table — where the single-projection form stops
+    compiling long before production depth. The synthetic 100k-word
+    corpus's 16-char hex alphabet yields a 256-pair + 4096-triple grid,
+    so every probed depth applies real merges. The Arrow serving
+    applier is timed at max depth for comparison."""
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges_arrow,
+        bpe_apply_merges_staged,
+        bpe_grid_merge_table,
+    )
+
+    words = (
+        _bpe_word_freq(docs, "text").select("w").localCheckpoint(eager=True)
+    )
+    leg = {"leg": "staged_depth", "n_words": words.count(), "ops": []}
+    rows = [
+        r.asDict()
+        for r in bpe_grid_merge_table(docs, max_merges=max(depths))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    for depth in depths:
+        sub = rows[:depth]
+        _, m = timed(
+            spark,
+            f"staged_{depth}",
+            lambda: bpe_apply_merges_staged(words, sub, stage_size=128)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        m["stages"] = -(-depth // 128)
+        leg["ops"].append(m)
+    _, m = timed(
+        spark,
+        f"arrow_{max(depths)}",
+        lambda: bpe_apply_merges_arrow(words, rows)
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    leg["ops"].append(m)
+    return leg
+
+
 def main() -> None:
     scales = [1, 10]
     vocab_sizes = [10_000, 100_000]
+    depths = [512, 1024, 2048, 4096]
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
         if a.startswith("--vocab"):
-            vocab_sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+            v = a.split("=", 1)[1]
+            vocab_sizes = [int(x) for x in v.split(",")] if v else []
+        if a.startswith("--depths"):
+            v = a.split("=", 1)[1]
+            depths = [int(x) for x in v.split(",")] if v else []
     spark = get_spark(
         "scaling-bpe", extra_configs={"spark.ui.enabled": "true"}
     )
@@ -153,6 +206,12 @@ def main() -> None:
     for n in vocab_sizes:
         leg = run_leg(
             spark, synth_vocab_docs(spark, n), f"synth_vocab_{n}"
+        )
+        print(json.dumps(leg))
+        legs.append(leg)
+    if depths:
+        leg = run_staged_leg(
+            spark, synth_vocab_docs(spark, 100_000), depths
         )
         print(json.dumps(leg))
         legs.append(leg)

@@ -2861,3 +2861,142 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     want = {v: round(r, 6) for v, r in rank.items()}
     assert got == want
     assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# r12: production-vocab BPE appliers + tokenizer artifact
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_appliers_identical_on_grid_table(spark):
+    # The three merge appliers (single projection, checkpointed stages,
+    # Arrow mapInPandas) are the SAME sequential replace chain in three
+    # execution strategies — their segmentations must be identical for
+    # an arbitrary merge table. stage_size=3 forces many stage
+    # boundaries; the grid table exercises pair+triple tiers.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_apply_merges_arrow,
+        bpe_apply_merges_staged,
+        bpe_grid_merge_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abab banana cabbage"), (1, "baa abba cab abc")],
+        "doc_id long, text string",
+    )
+    mt = bpe_grid_merge_table(docs, max_merges=40)
+    rows = [r.asDict() for r in mt.orderBy("merge_rank").collect()]
+    assert 0 < len(rows) <= 40
+    words = spark.createDataFrame(
+        [("abab",), ("banana",), ("cabbage",), ("baa",), ("abba",),
+         ("cab",), ("abc",), ("x",)],
+        "w string",
+    )
+    base = {
+        r.w: r.syms for r in bpe_apply_merges(words, rows).collect()
+    }
+    staged = {
+        r.w: r.syms
+        for r in bpe_apply_merges_staged(
+            words, rows, stage_size=3
+        ).collect()
+    }
+    arrow = {
+        r.w: r.syms
+        for r in bpe_apply_merges_arrow(words, rows).collect()
+    }
+    assert staged == base
+    assert arrow == base
+    # every word's symbols reassemble to the word (segmentation is a
+    # partition, never lossy)
+    assert all("".join(s) == w for w, s in base.items())
+
+
+def test_bpe_grid_merge_table_well_formed(spark):
+    # Grid table contract: dense 1..N ranks, all pairs before any
+    # triple, and WELL-FORMED — every triple's left operand is the
+    # merged output of an earlier pair merge.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_grid_merge_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ba cc abc")], "doc_id long, text string"
+    )
+    rows = bpe_grid_merge_table(docs, max_merges=1000).orderBy(
+        "merge_rank"
+    ).collect()
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    # alphabet {a,b,c} -> 9 pairs + 27 triples
+    assert len(rows) == 36
+    pair_outputs = {}
+    for r in rows:
+        if len(r.merged) == 2:
+            assert len(r.left_sym) == 1 and len(r.right_sym) == 1
+            pair_outputs[r.merged] = r.merge_rank
+        else:
+            assert r.left_sym in pair_outputs
+            assert pair_outputs[r.left_sym] < r.merge_rank
+
+
+def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
+    # Persisted-tokenizer economics (VERDICT r11 #2): write (merges,
+    # alphabet, marker) as parquet, read back, encode — byte-identical
+    # to encoding with the in-memory chain, and the artifact's alphabet
+    # keeps ids stable when encoding a DIFFERENT corpus.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_alphabet,
+        bpe_encode,
+        bpe_read_tokenizer,
+        bpe_train,
+        bpe_write_tokenizer,
+    )
+
+    marker = "\x11"
+    train = spark.createDataFrame(
+        [(0, "low low low lower"), (1, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train, n_merges=6, min_count=2, marker=marker)
+    alpha = bpe_alphabet(train, marker=marker)
+    path = str(tmp_path / "tok")
+    bpe_write_tokenizer(merges, alpha, path, marker=marker)
+    m2, a2, marker2 = bpe_read_tokenizer(spark, path)
+    assert marker2 == marker
+
+    other = spark.createDataFrame(
+        [(7, "lowest newest low")], "doc_id long, text string"
+    )
+    want = {
+        r.doc_id: (r.n_tokens, r.n_syms, r.ids_str)
+        for r in bpe_encode(
+            other, merges, alphabet=alpha, marker=marker
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_syms, r.ids_str)
+        for r in bpe_encode(
+            other, m2, alphabet=a2, marker=marker2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bpe_vocab_dedupes_duplicate_merged_output(spark):
+    # ADVICE r11: 'a'+'bc' and 'ab'+'c' both emit 'abc'; the vocab must
+    # keep ONE row per sym (the lowest id) so the sym-keyed encode join
+    # never fans out.
+    from opensea_datapipeline_spark.operators.text import bpe_vocab
+
+    alpha = spark.createDataFrame([("a",), ("b",), ("c",)], "sym string")
+    merges = spark.createDataFrame(
+        [(1, "a", "b", "ab", 5), (2, "b", "c", "bc", 4),
+         (3, "a", "bc", "abc", 3), (4, "ab", "c", "abc", 2)],
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, n long",
+    )
+    rows = {r.sym: r.id for r in bpe_vocab(alpha, merges).collect()}
+    # alphabet a/b/c -> 0/1/2, merge ids 3..6; 'abc' collapses to the
+    # LOWER of its two candidate ids (rank-3 merge = id 5, not 6)
+    assert rows == {"a": 0, "b": 1, "c": 2, "ab": 3, "bc": 4, "abc": 5}
