@@ -2037,12 +2037,26 @@ def pack_token_ids(
     n_col: str = "n_syms",
     ids_col: str = "ids_str",
     bucket_size: int = 4096,
+    eos_id: int | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """GPT-style training-sequence packing over ENCODED ids (the step
     after ``bpe_encode``): concatenate every document's id stream in
     doc-id order and split every ``seq_len`` ids — documents MAY span
     sequence boundaries (the standard pretraining packer;
     ``pack_documents`` is the no-split bin variant over token counts).
+
+    ``eos_id`` (VERDICT r11 #4): when set, every document's stream gets
+    the EOS id APPENDED before concatenation — the document separator a
+    real GPT-style packer inserts. Implemented as a constant-suffix
+    projection on (ids_str, n), so the packing plan is unchanged.
+    ``with_boundaries``: additionally emit ``boundaries_str`` — the
+    sorted within-sequence offsets (0-based) where a document STARTS,
+    i.e. the attention-reset spans a boundary-aware trainer masks on; a
+    sequence fully inside one document gets ''. Boundaries derive from
+    the already-computed per-doc global offsets (one bounded groupBy on
+    seq id + a broadcast-size join), never a second pass over the id
+    stream.
 
     The global token offset of each doc is a distributed TWO-PHASE
     prefix sum, never a single global window: docs bucket by
@@ -2062,7 +2076,16 @@ def pack_token_ids(
         F.col(id_col).alias("_doc"),
         F.col(n_col).cast("long").alias("_n"),
         F.col(ids_col).alias("_ids"),
-    ).withColumn("_bkt", F.floor(F.col("_doc") / bucket_size))
+    )
+    if eos_id is not None:
+        doc = doc.select(
+            "_doc",
+            (F.col("_n") + 1).alias("_n"),
+            F.concat(F.col("_ids"), F.lit(" " + str(int(eos_id)))).alias(
+                "_ids"
+            ),
+        )
+    doc = doc.withColumn("_bkt", F.floor(F.col("_doc") / bucket_size))
     intra_w = (
         Window.partitionBy("_bkt")
         .orderBy("_doc")
@@ -2092,7 +2115,7 @@ def pack_token_ids(
         (F.col("_off") + F.col("_spos")).alias("_gpos"),
         "_id",
     )
-    return (
+    packed = (
         ids.withColumn(
             "seq_id", F.floor(F.col("_gpos") / seq_len).cast("long")
         )
@@ -2108,4 +2131,32 @@ def pack_token_ids(
                 " ",
             ).alias("ids_str"),
         )
+    )
+    if not with_boundaries:
+        return packed
+    # doc-start offsets are already on the bounded doc table: one
+    # groupBy over (sequences containing a doc start) + a join that is
+    # doc-table-sized, never id-stream-sized
+    bnd = (
+        doc.select(
+            F.floor(F.col("_off") / seq_len).cast("long").alias("seq_id"),
+            (F.col("_off") % seq_len).alias("_lpos"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(_lpos)),"
+                    " x -> cast(x as string))"
+                ),
+                " ",
+            ).alias("boundaries_str")
+        )
+    )
+    return packed.join(bnd, "seq_id", "left").select(
+        "seq_id",
+        "n_ids",
+        "n_docs",
+        "ids_str",
+        F.coalesce("boundaries_str", F.lit("")).alias("boundaries_str"),
     )

