@@ -146,6 +146,21 @@ HEADLINE = [
                                 # segmentation of DISTINCT words + word-keyed
                                 # token join + ordered doc rebuild; cost
                                 # includes the in-plan 8-round train (r11)
+    "bpe_encode_staged_2k",     # production-vocab scale path: 16
+                                # checkpointed stages of 128 replaces over a
+                                # constructed 2048-merge grid table (r12)
+    "bpe_encode_from_artifact", # serving economics: tokenizer trained+
+                                # persisted once per process, every pass is
+                                # read-artifact + encode (r12)
+    "band_table_append_probe",  # incremental-dedup serving probe against
+                                # the appended two-generation band-table
+                                # snapshot (build memoized per process; r12)
+                                # NOT headliners: bpe_encode_arrow_2k (same
+                                # seam+cost as staged_2k), incremental_dedup_
+                                # groups (two CC runs = inherent checkpoint
+                                # job overhead, ~17 s of fixed cost that
+                                # would drown the suite signal; graded for
+                                # correctness every round regardless)
                                 # containment_* queries are NOT headliners by
                                 # the corpus_curation_near_dup precedent: the
                                 # template corpus is ~33% true containment

@@ -1632,7 +1632,12 @@ def bpe_encode(
             ).alias("sym")
         ).distinct()
     )
-    vocab = bpe_vocab(base, merges)
+    # pinned: the vocab is bounded (alphabet + merge table) but its
+    # LINEAGE may not be — a constructed merge table (bpe_grid_merge_
+    # table) or a corpus-derived alphabet would otherwise re-run its
+    # corpus scan inside the final plan (the r11 .explain-audit lesson,
+    # re-caught here for the staged_2k shape: 6 parquet scans -> 1)
+    vocab = bpe_vocab(base, merges).localCheckpoint(eager=True)
     wid = (
         seg.select("w", F.posexplode("syms").alias("spos", "sym"))
         .join(F.broadcast(vocab), "sym", "left")
@@ -1860,7 +1865,9 @@ def bpe_decode(
     one doc-keyed shuffle for the ordered rebuild — the exact mirror of
     the encode plan. Returns (id_col, text, n_unknown).
     """
-    vocab = bpe_vocab(alphabet, merges)
+    # pinned for the same reason as encode's vocab: a corpus-derived
+    # alphabet would re-run its scan inside the decode plan
+    vocab = bpe_vocab(alphabet, merges).localCheckpoint(eager=True)
     ids = encoded.select(
         id_col,
         F.posexplode(F.split(F.col(ids_col), " ")).alias("pos", "_id_s"),
