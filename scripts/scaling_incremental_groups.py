@@ -1,0 +1,105 @@
+"""Incremental GROUPS update: cost proportional to the shard, not the
+corpus (r12; the groups-side completion of r11's incremental-pairs leg).
+
+Production shape under test: the old corpus's group assignment and band
+table are PERSISTED parquet artifacts; a fixed 500-doc shard arrives.
+The update = incremental pairs (band probes against the artifact) +
+`incremental_dedup_groups` (contract old clusters to min-id super-nodes,
+components over the shard-proportional contracted graph, re-label).
+Growing the OLD corpus 10x (word-tagged replicas, so bands/vocabulary
+genuinely grow) must leave the update wall ~flat — the only
+corpus-sized touches are two linear scans of the assignment artifact
+(endpoint mapping + re-label), no re-pairing, no corpus-sized CC.
+
+Run:  python scripts/scaling_incremental_groups.py [--scales=1,10]
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opensea_datapipeline_spark.operators import dedup as dd  # noqa: E402
+from opensea_datapipeline_spark.session import get_spark  # noqa: E402
+from opensea_datapipeline_spark.sources.readers import load_table  # noqa: E402
+from scaling_hashed_grams import shuffle_bytes_snapshot  # noqa: E402
+from scaling_llm_paths import scaled_docs  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LSH = dict(num_hashes=8, band_size=2, jaccard_threshold=0.7)
+
+
+def run_leg(spark, mult):
+    base = load_table(spark, SF_DIR, "documents")
+    shard = base.filter(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+    )
+    old = scaled_docs(base, mult) if mult > 1 else base.select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix=f"incgrp_{mult}_")
+    old_dir = os.path.join(work, "old_docs")
+    old.write.mode("overwrite").parquet(old_dir)
+    old = spark.read.parquet(old_dir)
+    n_old = old.count()
+
+    # persisted artifacts (built once per snapshot in production — the
+    # build is NOT the thing under test)
+    bands_dir = os.path.join(work, "bands")
+    dd.minhash_band_table(old, "text", "doc_id", num_hashes=8,
+                          band_size=2).write.parquet(bands_dir)
+    old_pairs = dd.minhash_lsh_pairs(old, "text", "doc_id", **LSH)
+    groups_dir = os.path.join(work, "groups")
+    dd.connected_components_auto(
+        old.select(F.col("doc_id").alias("id")), old_pairs,
+        id_col="id", assume_distinct=True,
+    ).write.mode("overwrite").parquet(groups_dir)
+
+    # the UPDATE under test: pairs against the band artifact + groups
+    # fold against the assignment artifact
+    before = shuffle_bytes_snapshot(spark)
+    t0 = time.time()
+    inc = dd.minhash_lsh_pairs_incremental(
+        old, shard, "text", "doc_id",
+        old_band_table=dd.read_band_table(spark, bands_dir), **LSH,
+    )
+    updated = dd.incremental_dedup_groups(
+        spark.read.parquet(groups_dir), inc,
+        shard.select(F.col("doc_id").alias("id")),
+    )
+    n_rows = updated.count()
+    wall = time.time() - t0
+    after = shuffle_bytes_snapshot(spark)
+    return {
+        "mult": mult,
+        "n_old": n_old,
+        "n_shard": 500,
+        "update_wall_s": round(wall, 3),
+        "update_shuffle_mb": round((after["w"] - before["w"]) / 1e6, 2),
+        "assignment_rows_out": n_rows,
+    }
+
+
+def main() -> None:
+    scales = [1, 10]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+    spark = get_spark(
+        "scaling-incremental-groups",
+        extra_configs={"spark.ui.enabled": "true"},
+        freeze_gc=True,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    legs = [run_leg(spark, m) for m in scales]
+    print(json.dumps({"legs": legs}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

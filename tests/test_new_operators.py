@@ -3107,3 +3107,52 @@ def test_band_table_append_never_rewrites_old_files(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_bpe_appliers_identical_with_marker(spark):
+    # The SentencePiece-style boundary marker flows through all three
+    # appliers identically (the marker becomes each word's leading base
+    # symbol before the replace chain runs).
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_apply_merges_arrow,
+        bpe_apply_merges_staged,
+        bpe_train,
+    )
+
+    marker = "\x11"
+    docs = spark.createDataFrame(
+        [(0, "low low low lower"), (1, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    rows = [
+        r.asDict()
+        for r in bpe_train(
+            docs, n_merges=6, min_count=2, marker=marker
+        ).orderBy("merge_rank").collect()
+    ]
+    assert rows
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("newest",), ("widest",), ("unseen",)],
+        "w string",
+    )
+    base = {
+        r.w: r.syms
+        for r in bpe_apply_merges(words, rows, marker=marker).collect()
+    }
+    staged = {
+        r.w: r.syms
+        for r in bpe_apply_merges_staged(
+            words, rows, marker=marker, stage_size=2
+        ).collect()
+    }
+    arrow = {
+        r.w: r.syms
+        for r in bpe_apply_merges_arrow(
+            words, rows, marker=marker
+        ).collect()
+    }
+    assert staged == base
+    assert arrow == base
+    # marker-led reassembly: symbols concat back to marker + word
+    assert all("".join(s) == marker + w for w, s in base.items())

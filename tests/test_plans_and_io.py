@@ -1033,6 +1033,9 @@ def test_no_ungated_global_windows_in_source():
         # rows, value-range-sized — SCALING §ddsketch measured 399
         # buckets flat under rows x10), never the value stream
         ("operators/sketches.py", "dd_quantiles_from_buckets"),
+        # bounded: same DD bucket table; the collapse rule exists
+        # precisely to make it even smaller (<= max_buckets)
+        ("operators/sketches.py", "dd_collapse_buckets"),
     }
     hits = []
     for path in sorted(root.rglob("*.py")):
