@@ -35,6 +35,8 @@ LSH = dict(num_hashes=8, band_size=2, jaccard_threshold=0.7)
 
 
 def run_leg(spark, mult):
+    from scaling_llm_paths import REP_OFFSET
+
     base = load_table(spark, SF_DIR, "documents")
     shard = base.filter(F.col("doc_id") < 500).select(
         (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
@@ -49,16 +51,27 @@ def run_leg(spark, mult):
     n_old = old.count()
 
     # persisted artifacts (built once per snapshot in production — the
-    # build is NOT the thing under test)
+    # build is NOT the thing under test). The x-mult assignment is
+    # constructed by replicating the base assignment: scaled_docs
+    # word-tags every replica, so no pair can span replicas and the
+    # true x-mult groups ARE the base groups shifted by rep*REP_OFFSET
+    # — this sidesteps paying the (measured-elsewhere, r11: 206 s) full
+    # old-x-old re-pair just to set the stage.
     bands_dir = os.path.join(work, "bands")
     dd.minhash_band_table(old, "text", "doc_id", num_hashes=8,
                           band_size=2).write.parquet(bands_dir)
-    old_pairs = dd.minhash_lsh_pairs(old, "text", "doc_id", **LSH)
-    groups_dir = os.path.join(work, "groups")
-    dd.connected_components_auto(
-        old.select(F.col("doc_id").alias("id")), old_pairs,
+    base_pairs = dd.minhash_lsh_pairs(base, "text", "doc_id", **LSH)
+    base_groups = dd.connected_components_auto(
+        base.select(F.col("doc_id").alias("id")), base_pairs,
         id_col="id", assume_distinct=True,
-    ).write.mode("overwrite").parquet(groups_dir)
+    )
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    groups = base_groups.crossJoin(reps).select(
+        (F.col("id") + F.col("rep") * REP_OFFSET).alias("id"),
+        (F.col("group_id") + F.col("rep") * REP_OFFSET).alias("group_id"),
+    )
+    groups_dir = os.path.join(work, "groups")
+    groups.write.mode("overwrite").parquet(groups_dir)
 
     # the UPDATE under test: pairs against the band artifact + groups
     # fold against the assignment artifact
