@@ -1534,6 +1534,18 @@ _BPE_APPLIERS = {
     "arrow": lambda w, m, marker, stage_size: bpe_apply_merges_arrow(
         w, m, marker=marker
     ),
+    # the default: the single projection is cheapest while it stays
+    # comfortably inside what Catalyst/codegen compile (one stage's
+    # worth of replaces); past that the staged form takes over, so the
+    # DEFAULT path extends to a production 32k-merge vocabulary instead
+    # of hitting the expression-depth ceiling (the r11 finding)
+    "auto": lambda w, m, marker, stage_size: (
+        bpe_apply_merges(w, m, marker=marker)
+        if len(m) <= stage_size
+        else bpe_apply_merges_staged(
+            w, m, marker=marker, stage_size=stage_size
+        )
+    ),
 }
 
 
@@ -1568,7 +1580,7 @@ def bpe_encode(
     oov_id: int = -1,
     alphabet: DataFrame | None = None,
     marker: str | None = None,
-    merge_applier: str = "project",
+    merge_applier: str = "auto",
     stage_size: int = 128,
 ) -> DataFrame:
     """Tokenizer-apply with LEARNED MERGES (subword segmentation) — the
@@ -1576,13 +1588,16 @@ def bpe_encode(
     pipeline runs on every document, where ``encode_token_ids`` only
     looked whole words up in a fixed vocab.
 
-    ``merge_applier`` picks the segmentation strategy — all three are
+    ``merge_applier`` picks the segmentation strategy — all are
     output-identical by construction (same ordered replaces): "project"
     (one nested-replace codegen projection; exact and cheapest at
     in-plan trainer sizes, but a 32k-merge vocabulary would exceed what
     Catalyst can compile), "staged" (checkpointed stages of
     ``stage_size`` replaces — the production-vocab scale path, linear
-    in merges), "arrow" (Arrow-batched mapInPandas — the serving path).
+    in merges), "arrow" (Arrow-batched mapInPandas — the serving path),
+    "auto" (the default: project up to one stage's worth of merges,
+    staged beyond — the default path therefore extends to production
+    vocabulary sizes instead of hitting the depth ceiling).
 
     Ids: base alphabet (``alphabet`` = the TRAINING corpus's
     ``bpe_alphabet``; ids must be stable across encoded corpora, so

@@ -3156,3 +3156,58 @@ def test_bpe_appliers_identical_with_marker(spark):
     assert arrow == base
     # marker-led reassembly: symbols concat back to marker + word
     assert all("".join(s) == marker + w for w, s in base.items())
+
+
+def test_bpe_train_oracle_early_stop_on_sparse_corpus(spark):
+    # ADVICE r11 #1 regression test: on a SPARSE corpus the trainer
+    # stops early (best pair count < min_count), and the oracle's m{k}
+    # guard + w{k} LEFT JOIN must replay that — before the fix an empty
+    # merge round emptied every later word state via the cross join and
+    # the unrolled oracle diverged. 'zz zz' supports exactly ONE merge
+    # at min_count=2; rounds 2..6 must be empty on both engines.
+    import duckdb
+
+    from opensea_datapipeline_spark.operators.text import bpe_train
+    from opensea_datapipeline_spark.queries import _bpe_train_oracle
+
+    texts = [(0, "zz zz ab"), (1, "cd ef gh")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.n)
+        for r in bpe_train(docs, n_merges=6, min_count=2)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, "z", "z", "zz", 2)]  # early stop after round 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    want = [tuple(r) for r in con.execute(_bpe_train_oracle(6)).fetchall()]
+    assert [tuple(g) for g in got] == want
+
+
+def test_bpe_encode_auto_applier_switches_to_staged(spark):
+    # The default applier must extend past the expression-depth
+    # ceiling: beyond one stage's worth of merges "auto" routes to the
+    # staged form, and the encode output is identical either way.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_grid_merge_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abab banana cabbage"), (1, "baa abba cab abc")],
+        "doc_id long, text string",
+    )
+    mt = bpe_grid_merge_table(docs, max_merges=30)
+
+    def rows(**kw):
+        return sorted(
+            (r.doc_id, r.n_tokens, r.n_syms, r.ids_str)
+            for r in bpe_encode(docs, mt, **kw).collect()
+        )
+
+    # stage_size 8 < 30 merges -> auto goes staged; both equal project
+    want = rows(merge_applier="project")
+    assert rows(merge_applier="auto", stage_size=8) == want
+    assert rows(merge_applier="staged", stage_size=8) == want
