@@ -1405,7 +1405,7 @@ def bpe_apply_merges_staged(
     *,
     word_col: str = "w",
     marker: str | None = None,
-    stage_size: int = 128,
+    stage_size: int = 256,
 ) -> DataFrame:
     """``bpe_apply_merges`` for PRODUCTION-size merge tables (VERDICT
     r11 #1): the single-projection form chains one codegen replace()
@@ -1427,6 +1427,12 @@ def bpe_apply_merges_staged(
     per the dead-checkpoint discipline. Output is identical to
     ``bpe_apply_merges`` by construction (same replaces, same order;
     pinned by test + the shared graded oracle).
+
+    ``stage_size`` default is the measured optimum: a 2048-merge sweep
+    at sf0.1 read 1.34 s at 128, **1.21 s at 256**, 1.76 s at 512 and
+    2.99 s at 1024 — per-stage job latency falls with fewer stages
+    until whole-stage-codegen compilation of the deeper expression
+    grows superlinearly and dominates (SCALING §bpe-staged).
     """
     import gc
 
@@ -1581,7 +1587,7 @@ def bpe_encode(
     alphabet: DataFrame | None = None,
     marker: str | None = None,
     merge_applier: str = "auto",
-    stage_size: int = 128,
+    stage_size: int = 256,
 ) -> DataFrame:
     """Tokenizer-apply with LEARNED MERGES (subword segmentation) — the
     step between ``bpe_train`` and ``sequence_packing`` a pretraining
