@@ -277,13 +277,31 @@ def minhash_lsh_pairs_incremental(
     )
 
 
-def append_band_table(band_df: DataFrame, path: str) -> None:
+def append_band_table(
+    band_df: DataFrame, path: str, *, skip_existing_ids: bool = False
+) -> None:
     """The snapshot-update step of the incremental dedup pipeline
     (VERDICT r11 #6): after a shard is deduped, its band rows JOIN the
     persisted band table so the next shard probes against them.
     ``mode('append')`` adds only the new rows' parquet files — the old
     snapshot's files are never read, rewritten, or recomputed (the
-    ann_index append economics; pinned by the file-listing test)."""
+    ann_index append economics; pinned by the file-listing test).
+
+    ``skip_existing_ids=True`` makes a re-append of the same shard a
+    no-op (the ann_index idempotent-re-append contract): new rows are
+    anti-joined against the snapshot's distinct ids first — a READ of
+    the old table, never a recompute of its signatures. The default
+    stays a blind file append (the cheapest correct form: duplicate
+    band rows only inflate candidate generation, which dedups pairs via
+    DISTINCT, so results are unchanged — state size is the only cost).
+    """
+    if skip_existing_ids:
+        existing = (
+            band_df.sparkSession.read.parquet(path)
+            .select("id")
+            .distinct()
+        )
+        band_df = band_df.join(existing, "id", "left_anti")
     band_df.write.mode("append").parquet(path)
 
 
@@ -303,7 +321,10 @@ def incremental_dedup_groups(
     src_col: str = "id_a",
     dst_col: str = "id_b",
 ) -> DataFrame:
-    """Fold a shard's incremental near-dup pairs into a PERSISTED group
+    """(``new_ids`` must carry its doc ids in a column named
+    ``id_col``, like ``old_groups``.)
+
+    Fold a shard's incremental near-dup pairs into a PERSISTED group
     assignment (VERDICT r11 #5) — the production loop after
     ``minhash_lsh_pairs_incremental``: a new doc may join an existing
     cluster, and two OLD clusters may merge through a bridging new doc
@@ -354,8 +375,9 @@ def incremental_dedup_groups(
         )
         .filter(F.col("src") != F.col("dst"))
     )
+    nids = new_ids.select(F.col(id_col).alias("id"))
     nodes = (
-        new_ids.select(F.col(new_ids.columns[0]).alias("id"))
+        nids
         .unionByName(mapped.select(F.col("src").alias("id")))
         .unionByName(mapped.select(F.col("dst").alias("id")))
         .distinct()
@@ -363,11 +385,7 @@ def incremental_dedup_groups(
     comps = connected_components_auto(
         nodes, mapped, id_col="id", src_col="src", dst_col="dst"
     )
-    new_assign = (
-        new_ids.select(F.col(new_ids.columns[0]).alias("id"))
-        .join(comps, "id")
-        .select("id", "group_id")
-    )
+    new_assign = nids.join(comps, "id").select("id", "group_id")
     old_assign = (
         og.join(
             comps.select(F.col("id").alias("_og"), "group_id"),

@@ -3211,3 +3211,40 @@ def test_bpe_encode_auto_applier_switches_to_staged(spark):
     want = rows(merge_applier="project")
     assert rows(merge_applier="auto", stage_size=8) == want
     assert rows(merge_applier="staged", stage_size=8) == want
+
+
+def test_band_table_reappend_idempotent(spark, tmp_path):
+    # skip_existing_ids: re-appending the same shard adds nothing (the
+    # ann_index idempotent-re-append contract) — and a genuinely new
+    # doc in the same call still lands.
+    from opensea_datapipeline_spark.operators.dedup import (
+        append_band_table,
+        minhash_band_table,
+        read_band_table,
+    )
+
+    w0 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands")
+    minhash_band_table(w0, "text", "doc_id").write.parquet(path)
+    n0 = read_band_table(spark, path).count()
+    # replay of the same shard: no-op
+    append_band_table(
+        minhash_band_table(w0, "text", "doc_id"), path,
+        skip_existing_ids=True,
+    )
+    assert read_band_table(spark, path).count() == n0
+    # overlap + one new doc: only the new doc's rows land
+    mixed = spark.createDataFrame(
+        [(1, "gamma delta"), (2, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    append_band_table(
+        minhash_band_table(mixed, "text", "doc_id"), path,
+        skip_existing_ids=True,
+    )
+    got = read_band_table(spark, path)
+    assert got.count() == n0 + n0 // 2
+    assert got.filter("id = 2").count() == n0 // 2
