@@ -6,6 +6,8 @@
     python -m opensea_datapipeline_spark list
     python -m opensea_datapipeline_spark index build|append|probe \
         --kind lsh|ivf|pq|ivfpq --path <dir> [--embeddings|--queries ...]
+    python -m opensea_datapipeline_spark tokenizer train|encode|decode \
+        --path <artifact-dir> [--docs|--encoded <parquet>] [--marker C]
     python -m opensea_datapipeline_spark monitor --stream <glob> \
         --reference <parquet> --monitor-out <dir> --checkpoint <dir>
     python -m opensea_datapipeline_spark layout range|zorder|shards \
@@ -79,6 +81,30 @@ def main(argv: list[str] | None = None) -> int:
     p_l.add_argument("--num-files", type=int, default=32)
     p_l.add_argument("--bits", type=int, default=8,
                      help="zorder: bits per column in the Morton code")
+
+    p_t = sub.add_parser(
+        "tokenizer",
+        help="tokenizer artifact lifecycle: train / encode / decode",
+    )
+    p_t.add_argument("action", choices=["train", "encode", "decode"])
+    p_t.add_argument("--path", required=True, help="tokenizer artifact dir")
+    p_t.add_argument("--docs",
+                     help="documents parquet (train/encode input; decode "
+                          "reads --encoded instead)")
+    p_t.add_argument("--encoded",
+                     help="encoded parquet (decode input: doc_id, ids_str)")
+    p_t.add_argument("--id-col", default="doc_id")
+    p_t.add_argument("--text-col", default="text")
+    p_t.add_argument("--n-merges", type=int, default=64)
+    p_t.add_argument("--min-count", type=int, default=2)
+    p_t.add_argument("--marker", default=None,
+                     help="boundary marker char (SentencePiece-style; "
+                          "required at train time for decode to invert "
+                          "encode)")
+    p_t.add_argument("--stage-size", type=int, default=256,
+                     help="encode: merges per checkpointed segmentation "
+                          "stage (auto applier)")
+    p_t.add_argument("--out", help="output parquet (default: show)")
 
     p_m = sub.add_parser(
         "monitor", help="streaming PSI drift gate against a reference"
@@ -255,6 +281,63 @@ def main(argv: list[str] | None = None) -> int:
                     res.write.mode("overwrite").parquet(args.out)
                 else:
                     res.show(50, truncate=False)
+            return 0
+
+        if args.cmd == "tokenizer":
+            from .operators import text as tx
+
+            if args.action == "train":
+                if not args.docs:
+                    print("--docs is required for train", file=sys.stderr)
+                    return 2
+                docs = spark.read.parquet(args.docs)
+                merges = tx.bpe_train(
+                    docs, n_merges=args.n_merges,
+                    min_count=args.min_count, text_col=args.text_col,
+                    marker=args.marker,
+                )
+                alpha = tx.bpe_alphabet(
+                    docs, text_col=args.text_col, marker=args.marker
+                )
+                tx.bpe_write_tokenizer(
+                    merges, alpha, args.path, marker=args.marker
+                )
+                print(json.dumps({
+                    "path": args.path,
+                    "n_merges": merges.count(),
+                    "alphabet_size": alpha.count(),
+                    "marker": args.marker,
+                }))
+                return 0
+            merges, alpha, marker = tx.bpe_read_tokenizer(spark, args.path)
+            if args.action == "encode":
+                if not args.docs:
+                    print("--docs is required for encode", file=sys.stderr)
+                    return 2
+                res = tx.bpe_encode(
+                    spark.read.parquet(args.docs), merges,
+                    id_col=args.id_col, text_col=args.text_col,
+                    alphabet=alpha, marker=marker,
+                    stage_size=args.stage_size,
+                )
+            else:  # decode
+                if not args.encoded:
+                    print("--encoded is required for decode",
+                          file=sys.stderr)
+                    return 2
+                if marker is None:
+                    print("decode needs a tokenizer trained with --marker "
+                          "(the GPT-style shape cannot recover word "
+                          "boundaries)", file=sys.stderr)
+                    return 2
+                res = tx.bpe_decode(
+                    spark.read.parquet(args.encoded), merges, alpha,
+                    marker=marker, id_col=args.id_col,
+                )
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+            else:
+                res.show(20, truncate=False)
             return 0
 
         if args.cmd == "monitor":
