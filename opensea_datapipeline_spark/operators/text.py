@@ -1382,11 +1382,14 @@ def bpe_apply_merges(
     adjacency an earlier merge would have consumed.
 
     The whole chain is ONE projection of nested codegen replace()
-    calls — no shuffle, no UDF; a production 32k-merge vocabulary
-    would segment the chain into checkpointed stages (or move to an
-    Arrow-batched Pandas UDF hosting a real tokenizer), but the
-    declarative form is exact at the merge-table sizes an in-plan
-    trainer produces. Returns (word_col, syms array<string>).
+    calls — no shuffle, no UDF — exact and cheapest at the merge-table
+    sizes an in-plan trainer produces, but bounded by what Catalyst
+    can compile (~one stage's worth of replaces). The production-vocab
+    forms are ``bpe_apply_merges_staged`` (checkpointed stages, linear
+    in merges) and ``bpe_apply_merges_arrow`` (the serving seam);
+    ``bpe_encode``'s default "auto" applier routes between this and
+    staged on merge count, so no caller needs to know the ceiling.
+    Returns (word_col, syms array<string>).
     """
     col = _bpe_render_word(F.col(word_col), marker)
     for m in merge_rows:

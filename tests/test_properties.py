@@ -555,3 +555,112 @@ def test_ddsketch_collapse_bounds_state_and_keeps_top_quantiles(
         assert abs(r.estimate - exact) <= rel * exact * 1.05 + 1e-12, (
             r.q, r.estimate, exact
         )
+
+
+# ---------------------------------------------------------------------------
+# r12: incremental groups == full recompute; staged-applier SQL escaping
+# ---------------------------------------------------------------------------
+
+# node universe: old ids 0..7, new ids 10..13 (the raw draw 8..11 maps
+# to 10..13 so every edge endpoint is a REAL node — both the operator
+# and connected_components require endpoints ⊆ nodes)
+_node = st.integers(0, 11).map(lambda v: v if v < 8 else v + 2)
+graph_strategy = st.tuples(
+    # old edges over old ids only; new-doc edges attach a new id to any
+    # node (old or new)
+    st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+             max_size=10),
+    st.lists(
+        st.tuples(st.integers(8, 11).map(lambda v: v + 2), _node),
+        max_size=8,
+    ),
+)
+
+
+@given(g=graph_strategy)
+@settings(max_examples=8, deadline=None)
+def test_incremental_groups_equal_full_recompute(spark, g):
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components_auto,
+        incremental_dedup_groups,
+    )
+
+    old_edges, new_edges = g
+    old_ids = list(range(8))
+    new_ids = list(range(10, 14))
+    old_pairs = [(a, b) for a, b in old_edges if a != b]
+    inc_pairs = [(a, b) for a, b in new_edges if a != b]
+
+    def df_pairs(pairs):
+        return spark.createDataFrame(
+            pairs or [(None, None)], "id_a long, id_b long"
+        ).filter("id_a IS NOT NULL")
+
+    old_nodes = spark.createDataFrame([(i,) for i in old_ids], "id long")
+    old_groups = connected_components_auto(
+        old_nodes, df_pairs(old_pairs), id_col="id"
+    )
+    got = {
+        r.id: r.group_id
+        for r in incremental_dedup_groups(
+            old_groups,
+            df_pairs(inc_pairs),
+            spark.createDataFrame([(i,) for i in new_ids], "id long"),
+        ).collect()
+    }
+    # full recompute over everything
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in old_ids + new_ids], "id long"
+    )
+    want = {
+        r.id: r.group_id
+        for r in connected_components_auto(
+            all_nodes, df_pairs(old_pairs + inc_pairs), id_col="id"
+        ).collect()
+    }
+    assert got == want
+
+
+sym_strategy = st.text(
+    alphabet=list("ab'\\$%_"), min_size=1, max_size=2
+)
+
+
+@given(
+    merges=st.lists(st.tuples(sym_strategy, sym_strategy),
+                    min_size=1, max_size=12),
+    words=st.lists(
+        st.text(alphabet=list("ab'\\$%_"), min_size=1, max_size=6),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_staged_applier_survives_hostile_symbols(spark, merges, words):
+    # The staged applier builds SQL string literals from merge symbols
+    # (_bpe_sql_str): quotes, backslashes and regex/SQL metachars in
+    # symbols must produce the same segmentation as the F.lit-based
+    # single projection for ARBITRARY (even non-well-formed) tables.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_apply_merges_arrow,
+        bpe_apply_merges_staged,
+    )
+
+    rows = [
+        {"left_sym": l, "right_sym": r, "merged": l + r}
+        for l, r in merges
+    ]
+    wdf = spark.createDataFrame(
+        [(w,) for w in set(words)], "w string"
+    )
+    base = {r.w: r.syms for r in bpe_apply_merges(wdf, rows).collect()}
+    staged = {
+        r.w: r.syms
+        for r in bpe_apply_merges_staged(wdf, rows, stage_size=3).collect()
+    }
+    arrow = {
+        r.w: r.syms
+        for r in bpe_apply_merges_arrow(wdf, rows).collect()
+    }
+    assert staged == base
+    assert arrow == base
