@@ -1895,6 +1895,60 @@ def q_incremental_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_incremental_dedup_groups",
+    # same full-corpus transitive-closure oracle as
+    # incremental_dedup_groups: the streaming fold must land on the
+    # identical assignment no matter how the stream was sliced
+    f"""
+WITH RECURSIVE
+pairs AS ({_minhash_lsh_oracle(8, 2, 0.7, 500)}),
+nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id
+""",
+)
+def q_streaming_incremental_dedup_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # The r12 capstone: the incremental pieces composed into the ONE
+    # streaming job an ingest tier runs (streaming/corpus_dedup.py) —
+    # per micro-batch of arriving documents: probe the persisted band
+    # artifact, fold the pairs into the persisted assignment, append
+    # bands/corpus, version-swap the groups (gold-pattern replay skip +
+    # atomic swap; appends idempotent via anti-join so every crash
+    # window replays clean). The corpus is split into 3 ARBITRARY
+    # hash-partition batches — the final assignment must equal the
+    # full-corpus closure regardless of slicing, the strongest
+    # invariant in the streaming family.
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    src = tempfile.mkdtemp(prefix="cdedup_src_")
+    docs.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    from .streaming.corpus_dedup import run_streaming_corpus_dedup
+
+    out = run_streaming_corpus_dedup(
+        spark, src,
+        tempfile.mkdtemp(prefix="cdedup_state_"),
+        tempfile.mkdtemp(prefix="cdedup_ckpt_"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.7,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
 # one persisted band-table snapshot per (process, sf_dir): wave-0 bands
 # written once, wave-1 bands APPENDED once (the snapshot-update step);
 # every later call re-probes the artifact (VERDICT r11 #6)

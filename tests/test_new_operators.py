@@ -3248,3 +3248,68 @@ def test_band_table_reappend_idempotent(spark, tmp_path):
     got = read_band_table(spark, path)
     assert got.count() == n0 + n0 // 2
     assert got.filter("id = 2").count() == n0 // 2
+
+
+def test_streaming_corpus_dedup_matches_batch_and_replays_clean(
+    spark, tmp_path
+):
+    # The composed production loop: three single-file micro-batches,
+    # where batch 3's doc 6 BRIDGES two clusters formed from earlier
+    # batches — the final assignment must equal a one-shot batch
+    # components run over all pairs; a restart with no new files must
+    # change nothing (replay skip).
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components_auto,
+        minhash_lsh_pairs,
+    )
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        1: "alpha beta gamma delta zeta",      # ~ doc 0
+        2: "one two three four five six",
+        3: "one two three four five seven",    # ~ doc 2
+        4: "completely different words here entirely",
+        5: "alpha beta gamma delta epsilon",   # = doc 0 (batch 2)
+        6: "alpha beta gamma delta one two three four five",  # bridge?
+    }
+    batches = [[0, 1, 2], [3, 4], [5, 6]]
+    src = str(tmp_path / "src")
+    for i, ids in enumerate(batches):
+        spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+    got_df = run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    got = {r.id: r.group_id for r in got_df.collect()}
+
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    )
+    want = {
+        r.id: r.group_id
+        for r in connected_components_auto(
+            docs.select(F.col("doc_id").alias("id")), pairs,
+            id_col="id", assume_distinct=True,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 7
+    # non-vacuous: at least one multi-doc group formed
+    assert len(set(got.values())) < 7
+
+    # restart with no new files: replay-skip leaves the state unchanged
+    again = run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    assert {r.id: r.group_id for r in again.collect()} == got
