@@ -1446,24 +1446,41 @@ def bpe_apply_merges_staged(
     )
     n = len(merge_rows)
     for start in range(0, n, stage_size):
-        # ONE F.expr per stage, not one F.replace per merge: py4j
-        # plan-construction cost is per-call (the _lit_str_array
-        # lesson), and 2048 nested F.replace(F.lit, F.lit) calls cost
-        # whole seconds of pure driver chatter before any work runs
-        cur = cur.select(
-            word_col,
-            F.expr(
-                _bpe_replace_chain_sql(
-                    "_s", merge_rows[start : start + stage_size]
-                )
-            ).alias("_s"),
-        )
+        # F.expr in SHALLOW chunks, chained as consecutive selects that
+        # CollapseProject fuses back into one projection per stage: a
+        # deep nested-replace SQL string overflows the JVM thread stack
+        # in ANTLR (parserStackOverflow → FAILED_TO_PARSE_TOO_COMPLEX)
+        # NONDETERMINISTICALLY — depth 256 parsed on one thread and
+        # blew on another — so parser recursion is capped at
+        # _PARSE_CHUNK while the optimizer, whose trees are data not
+        # recursion-parsed, builds the same per-stage expression. Still
+        # one F.expr per chunk, never one F.replace per merge (the
+        # _lit_str_array py4j lesson: ~2 s of driver chatter at 2048).
+        stage = merge_rows[start : start + stage_size]
+        for cstart in range(0, len(stage), _PARSE_CHUNK):
+            cur = cur.select(
+                word_col,
+                F.expr(
+                    _bpe_replace_chain_sql(
+                        "_s", stage[cstart : cstart + _PARSE_CHUNK]
+                    )
+                ).alias("_s"),
+            )
         if start + stage_size < n:
             cur = cur.localCheckpoint(eager=True)
             gc.collect()
     return cur.select(
         word_col, _bpe_parse_syms(F.col("_s")).alias("syms")
     )
+
+
+# max nested replace() calls per F.expr parse: ANTLR consumes ~15 JVM
+# stack frames per nesting level, and the available stack depends on
+# which thread parses — 256 deep worked on one call path and overflowed
+# on another. 16 keeps parser recursion an order of magnitude below the
+# flaky zone; CollapseProject fuses the chunks so the EXECUTED plan is
+# identical to a single deep projection.
+_PARSE_CHUNK = 16
 
 
 def _bpe_sql_str(s: str) -> str:

@@ -128,6 +128,54 @@ def synth_vocab_docs(spark, n_words):
     )
 
 
+def synth_merge_rows(n):
+    """n deterministic merge rows over the hex alphabet (md5-derived
+    2-4 char symbols). NOT well-formed — irrelevant for applier cost:
+    every replace() scans every word string whether or not it fires, so
+    the per-merge cost is the scan, and an arbitrary table measures the
+    same work a trained 32k vocabulary would."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"m{i}".encode()).hexdigest()
+        l_len = 2 + (i % 3)
+        rows.append({
+            "left_sym": h[:l_len],
+            "right_sym": h[l_len:l_len + 1 + (i % 2)],
+        })
+    return rows
+
+
+def run_production_depth_leg(spark, docs, depth):
+    """The 32k claim, measured (r12): apply a production-vocabulary-size
+    merge table through the staged and Arrow appliers over the bounded
+    word table. The single-projection form is not even attempted — it
+    is the documented non-option this leg exists to replace."""
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges_arrow,
+        bpe_apply_merges_staged,
+    )
+
+    words = (
+        _bpe_word_freq(docs, "text").select("w").localCheckpoint(eager=True)
+    )
+    rows = synth_merge_rows(depth)
+    leg = {"leg": f"production_depth_{depth}",
+           "n_words": words.count(), "ops": []}
+    for tag, fn in (
+        ("staged", lambda: bpe_apply_merges_staged(words, rows)),
+        ("arrow", lambda: bpe_apply_merges_arrow(words, rows)),
+    ):
+        _, m = timed(
+            spark,
+            f"{tag}_{depth}",
+            lambda: fn().write.mode("overwrite").format("noop").save(),
+        )
+        leg["ops"].append(m)
+    return leg
+
+
 def run_staged_leg(spark, docs, depths):
     """r12 (VERDICT r11 #1): staged-segmentation cost must be LINEAR in
     merge count — (depth / stage_size) passes over the bounded
@@ -182,7 +230,8 @@ def main() -> None:
     depths = [512, 1024, 2048, 4096]
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
-            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+            v = a.split("=", 1)[1]
+            scales = [int(x) for x in v.split(",")] if v else []
         if a.startswith("--vocab"):
             v = a.split("=", 1)[1]
             vocab_sizes = [int(x) for x in v.split(",")] if v else []
@@ -212,6 +261,16 @@ def main() -> None:
     if depths:
         leg = run_staged_leg(
             spark, synth_vocab_docs(spark, 100_000), depths
+        )
+        print(json.dumps(leg))
+        legs.append(leg)
+    prod_depth = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--production-depth"):
+            prod_depth = int(a.split("=", 1)[1])
+    if prod_depth:
+        leg = run_production_depth_leg(
+            spark, synth_vocab_docs(spark, 20_000), prod_depth
         )
         print(json.dumps(leg))
         legs.append(leg)
