@@ -1775,13 +1775,23 @@ def bpe_grid_merge_table(
     a genuine greedy segmenter: after the pair tier every word is
     chunked into rank-greedy 2-char symbols, and the triple tier
     extends chunks where its adjacencies survive — real per-merge work
-    for the appliers, exactly replayable in SQL. Every stage runs over
-    the charset-bounded alphabet (two cross joins of a ~30-row table +
-    a window over the ≤ |A|²+|A|³ candidate table — bounded, the
-    build_vocab single-partition argument). Returns the bpe_train
-    schema (merge_rank, left_sym, right_sym, merged, n) with n = 0
-    (no training count exists for a constructed merge).
+    for the appliers, exactly replayable in SQL.
+
+    Candidate production is O(max_merges), never O(|A|³): the kept
+    merges are a PREFIX of the (tier, i1, i2, i3) order, so the
+    leading-index ranges that can contribute are computable from the
+    alphabet size alone (one bounded count) and the cross joins are
+    pre-pruned to them — a 5,000-char CJK alphabet at max_merges=32k
+    produces ~35k pair candidates instead of the naive 1.25e11 triples
+    (pairs alone cover the cap whenever |A|² ≥ max_merges; the triple
+    tier only exists for |A| < √max_merges, where its pruned size is
+    ≤ max_merges + |A|²). The rank window then runs over the
+    ≤ ~2·max_merges survivor table. Returns the bpe_train schema
+    (merge_rank, left_sym, right_sym, merged, n) with n = 0 (no
+    training count exists for a constructed merge).
     """
+    import math
+
     from pyspark.sql import Window
 
     a = (
@@ -1790,15 +1800,29 @@ def bpe_grid_merge_table(
             "aid",
             F.row_number().over(Window.orderBy(F.col("sym").asc())),
         )
+        # bounded (charset-sized) and read 2-5 times below
+        .localCheckpoint(eager=True)
     )
+    n_alpha = a.count()  # bounded: alphabet size
+    if n_alpha == 0:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "merge_rank long, left_sym string, right_sym string,"
+            " merged string, n long",
+        )
 
-    def al(name: str) -> DataFrame:
-        return a.select(
+    def al(name: str, max_i1: "int | None" = None) -> DataFrame:
+        src = a if max_i1 is None else a.filter(F.col("aid") <= max_i1)
+        return src.select(
             F.col("sym").alias(f"s{name}"), F.col("aid").alias(f"i{name}")
         )
 
+    # prefix-safe leading-index caps: the first p_need pairs in (i1,i2)
+    # order all have i1 <= ceil(p_need/|A|); same arithmetic per tier
+    p_need = min(max_merges, n_alpha * n_alpha)
+    k1_pairs = math.ceil(p_need / n_alpha)
     pairs = (
-        al("1")
+        al("1", k1_pairs)
         .crossJoin(al("2"))
         .select(
             F.lit(0).alias("tier"),
@@ -1810,21 +1834,27 @@ def bpe_grid_merge_table(
             F.concat("s1", "s2").alias("merged"),
         )
     )
-    triples = (
-        al("1")
-        .crossJoin(al("2"))
-        .crossJoin(al("3"))
-        .select(
-            F.lit(1).alias("tier"),
-            F.col("i1"),
-            F.col("i2"),
-            F.col("i3"),
-            F.concat("s1", "s2").alias("left_sym"),
-            F.col("s3").alias("right_sym"),
-            F.concat("s1", "s2", "s3").alias("merged"),
+    t_need = max(0, max_merges - n_alpha * n_alpha)
+    if t_need > 0:
+        k1_triples = math.ceil(t_need / (n_alpha * n_alpha))
+        triples = (
+            al("1", k1_triples)
+            .crossJoin(al("2"))
+            .crossJoin(al("3"))
+            .select(
+                F.lit(1).alias("tier"),
+                F.col("i1"),
+                F.col("i2"),
+                F.col("i3"),
+                F.concat("s1", "s2").alias("left_sym"),
+                F.col("s3").alias("right_sym"),
+                F.concat("s1", "s2", "s3").alias("merged"),
+            )
         )
-    )
-    ranked = pairs.unionByName(triples).withColumn(
+        cand = pairs.unionByName(triples)
+    else:
+        cand = pairs
+    ranked = cand.withColumn(
         "merge_rank",
         F.row_number()
         .over(Window.orderBy("tier", "i1", "i2", "i3"))
