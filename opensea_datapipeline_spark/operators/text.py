@@ -1535,9 +1535,15 @@ def bpe_apply_merges_arrow(
         for pdf in batches:
             w = pdf[word_col]
             # render: 'ab' -> ' a<US> b<US>' (marker prefixes the word
-            # first) — mirrors _bpe_render_word
+            # first) — mirrors _bpe_render_word. The character class
+            # matches Java regex '.' semantics EXACTLY (Java dot skips
+            # all the line terminators \n \r U+0085 U+2028 U+2029;
+            # Python re's '.' skips only \n), so a word carrying a
+            # Unicode line separator — which Java \s+ normalization
+            # does NOT strip — renders identically across appliers,
+            # preserving the output-identical-by-construction contract.
             s = (prefix + w).str.replace(
-                r"(.)", " \\1" + us, regex=True
+                "([^\\n\\r\\u0085\\u2028\\u2029])", " \\1" + us, regex=True
             )
             for find, repl in reps:
                 s = s.str.replace(find, repl, regex=False)
@@ -2157,12 +2163,22 @@ def pack_token_ids(
         F.col(ids_col).alias("_ids"),
     )
     if eos_id is not None:
+        # empty-stream guard (public API; unreachable via bpe_encode):
+        # concat('', ' <eos>') would yield ' <eos>', which split(' ')
+        # explodes into a bogus '' token while _n says 1 — shifting
+        # every later doc's global offset. An empty stream gets the
+        # bare EOS id instead.
         doc = doc.select(
             "_doc",
             (F.col("_n") + 1).alias("_n"),
-            F.concat(F.col("_ids"), F.lit(" " + str(int(eos_id)))).alias(
-                "_ids"
-            ),
+            F.when(
+                F.col("_n") > 0,
+                F.concat(
+                    F.col("_ids"), F.lit(" " + str(int(eos_id)))
+                ),
+            )
+            .otherwise(F.lit(str(int(eos_id))))
+            .alias("_ids"),
         )
     doc = doc.withColumn("_bkt", F.floor(F.col("_doc") / bucket_size))
     intra_w = (

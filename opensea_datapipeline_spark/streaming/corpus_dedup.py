@@ -98,7 +98,13 @@ def run_streaming_corpus_dedup(
         ss = batch_df.sparkSession
         batch = (
             batch_df.select(id_col, text_col)
-            .filter(F.col(text_col).isNotNull())
+            # null-text docs STAY in the batch: they produce no
+            # shingles, hence no bands and no candidate pairs, and the
+            # fold labels them singletons — exactly what the batch path
+            # (q_incremental_dedup_groups) and the transitive-closure
+            # oracle do. Filtering them here would silently drop them
+            # from the final assignment and break the
+            # slicing-independence invariant on real data with nulls.
             # pin ONE execution: the batch feeds bands, wordsets, the
             # groups fold and two appends — unpinned, each consumer
             # re-reads the source files (the merge_mg_state lesson)
