@@ -80,46 +80,41 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # r10 gram-plan rewrites (contamination_flags, repetition_scores,
 # dup_ngram_fraction, bigram_logprob_scores) — ALL regraded green in r10
 # per VERDICT r10, retired. r11's 15 r03–r06 pins — ALL regraded green
-# in r11 per VERDICT r11, retired. r12 (VERDICT r11 #3): the 25 queries
-# whose latest driver row is r07 (local oracle-parity keeps them
-# value-verified — bookkeeping freshness, not correctness), plus the 5
-# whose query or oracle changed this round (BPE min_count/sentinel
-# oracle guards + vocab sym-dedupe, ADVICE r11; incremental_lsh_dedup's
-# doc_id<500 pin). Remaining prefix slots rotate stalest-first into the
-# r08 tail automatically.
+# in r11 per VERDICT r11, retired. r12's 25 r07-stale + 5
+# query/oracle-changed pins — ALL regraded green in r12 per VERDICT
+# r12, retired. r13 (VERDICT r12 #3): the 26 queries whose latest
+# driver row is r08 (local oracle-parity keeps them value-verified —
+# bookkeeping freshness, not correctness); after this batch nothing in
+# the r01–r13 union is older than r09. New registrations (ungraded)
+# still sort ahead of every graded query automatically.
 _REGRADE_FIRST = (
-    # --- latest driver row r07 ---
-    "ann_persisted_probe",
-    "clean_events_pipeline",
-    "datetime_functions",
-    "document_fingerprints",
-    "embedding_near_dup",
-    "event_type_canonicalization",
-    "exact_dedup",
-    "group_centroids",
-    "json_extraction",
-    "knn_topk",
-    "language_id",
-    "language_id_cjk",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "pricing_summary",
-    "quality_scores",
-    "quantile_filter_agg",
-    "quantile_filter_agg_approx",
-    "regex_filtering",
-    "segment_revenue",
-    "semdedup_keep",
-    "semdedup_pairs",
-    "string_functions",
-    "token_stats",
-    "validate_events_report",
-    # --- query/oracle changed in r12 ---
-    "bpe_train_merges",
-    "bpe_encode_documents",
-    "bpe_pack_sequences",
-    "bpe_roundtrip_documents",
-    "incremental_lsh_dedup",
+    # --- latest driver row r08 ---
+    "benford_deviation",
+    "chisq_type_weekday",
+    "cohort_retention",
+    "containment_dedup_counts",
+    "corpus_curation_near_dup",
+    "cusum_changepoint",
+    "discounted_revenue",
+    "dormant_high_value_customers",
+    "event_state_intervals",
+    "event_transitions",
+    "excess_suppliers",
+    "forecast_revenue",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "important_stock",
+    "late_priority_mix",
+    "llm_corpus_pipeline",
+    "locf_gap_fill",
+    "mad_anomalies",
+    "retention_matrix",
+    "rolling_active_users",
+    "rolling_wau_sketch",
+    "session_window_stats",
+    "streaming_funnel_stages",
+    "token_entropy",
+    "weighted_sample_docs",
 )
 
 
