@@ -116,3 +116,85 @@ def test_streaming_corpus_dedup_keeps_null_text_singletons(
     )
     got = {r.id: r.group_id for r in got_df.collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 3}
+
+
+def test_tokenizer_artifact_integrity_roundtrip_and_tamper(
+    spark, tmp_path
+):
+    # VERDICT r12 #5: the artifact meta carries merge count, alphabet
+    # size and an order-free content hash; read verifies them. A
+    # clean round-trip loads; an out-of-band edit of either table
+    # raises; a legacy meta (marker only) loads unverified.
+    from opensea_datapipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cdcd"), (1, "abab cdcd cdcd")],
+        "doc_id long, text string",
+    )
+    merges = tx.bpe_train(docs, n_merges=3, min_count=2)
+    alpha = tx.bpe_alphabet(docs)
+    path = str(tmp_path / "tok")
+    tx.bpe_write_tokenizer(merges, alpha, path)
+
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    assert meta.n_merges == merges.count()
+    assert meta.alphabet_size == alpha.count()
+    assert meta.content_hash is not None
+
+    m2, a2, marker = tx.bpe_read_tokenizer(spark, path)  # verifies
+    assert marker is None
+    assert m2.count() == meta.n_merges
+
+    # tamper: drop one merge row out-of-band -> read must refuse
+    # (materialize before overwriting the path being read)
+    kept = spark.read.parquet(path + "/merges").filter(
+        F.col("merge_rank") > 1
+    )
+    tampered = spark.createDataFrame(kept.collect(), kept.schema)
+    tampered.coalesce(1).write.mode("overwrite").parquet(
+        path + "/merges"
+    )
+    with pytest.raises(ValueError, match="integrity"):
+        tx.bpe_read_tokenizer(spark, path)
+    # verify=False still loads (the escape hatch)
+    m3, _, _ = tx.bpe_read_tokenizer(spark, path, verify=False)
+    assert m3.count() == meta.n_merges - 1
+
+    # legacy artifact: meta with only the marker column loads clean
+    legacy = str(tmp_path / "legacy")
+    tx.bpe_write_tokenizer(merges, alpha, legacy)
+    spark.createDataFrame([(None,)], "marker string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(legacy + "/meta")
+    lm, la, lmk = tx.bpe_read_tokenizer(spark, legacy)
+    assert lm.count() == merges.count() and lmk is None
+
+
+def test_tokenizer_staleness_oov_retrain_trigger(spark):
+    # VERDICT r12 #5: the retrain trigger is the OOV rate of a newly
+    # encoded corpus. Self-encode -> rate 0, no retrain; encoding a
+    # corpus with a character the training alphabet never saw ->
+    # positive rate, retrain recommended.
+    from opensea_datapipeline_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(0, "abab abab cdcd"), (1, "abab cdcd cdcd")],
+        "doc_id long, text string",
+    )
+    merges = tx.bpe_train(train, n_merges=2, min_count=2)
+    alpha = tx.bpe_alphabet(train)
+
+    self_enc = tx.bpe_encode(train, merges, alphabet=alpha)
+    rep = tx.tokenizer_staleness(self_enc)
+    assert rep["n_oov"] == 0 and not rep["retrain_recommended"]
+    assert rep["n_syms"] > 0
+
+    drifted = spark.createDataFrame(
+        [(10, "abab xyxy"), (11, "cdcd xy")],
+        "doc_id long, text string",
+    )
+    enc = tx.bpe_encode(drifted, merges, alphabet=alpha)
+    rep2 = tx.tokenizer_staleness(enc)
+    assert rep2["n_oov"] > 0
+    assert rep2["oov_rate"] == rep2["n_oov"] / rep2["n_syms"]
+    assert rep2["retrain_recommended"]
