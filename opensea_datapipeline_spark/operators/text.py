@@ -1557,6 +1557,35 @@ def bpe_apply_merges_arrow(
     )
 
 
+# Measured staged→arrow crossover in MERGE COUNT (VERDICT r12 #4;
+# scripts/scaling_bpe.py --crossover, warm, raw legs in
+# SCALING_RUN_r13.json): at 2048 merges the Arrow applier already wins
+# ~2× at BOTH word scales (20k words: 1.6 s vs 3.4 s; 100k words:
+# 2.8 s vs 5.6 s) and the gap widens with depth (8192: 8.0 s vs
+# 21.9 s at 100k words; 32k regime: 28.1 s vs 62.8 s, r12) — staged's
+# per-stage plan/optimize/codegen cost is fixed per stage while
+# arrow's replaces are vectorized. Below ~8 stages the two are within
+# ~2 s of each other, so the JVM-only staged path keeps the mid band
+# (no Python workers at modest vocabulary sizes) and "auto" switches
+# to arrow past this depth.
+_BPE_ARROW_CROSSOVER = 2048
+
+
+def _bpe_auto_applier(w, m, marker, stage_size):
+    if len(m) <= stage_size:
+        # cheapest while one stage's worth of replaces stays inside
+        # what Catalyst/codegen compile
+        return bpe_apply_merges(w, m, marker=marker)
+    if len(m) <= _BPE_ARROW_CROSSOVER:
+        # mid band: JVM-only exact path, within ~2 s of arrow
+        return bpe_apply_merges_staged(
+            w, m, marker=marker, stage_size=stage_size
+        )
+    # production depth: the Arrow serving applier wins ≥2× (measured,
+    # see _BPE_ARROW_CROSSOVER) and the win grows with merge count
+    return bpe_apply_merges_arrow(w, m, marker=marker)
+
+
 _BPE_APPLIERS = {
     "project": lambda w, m, marker, stage_size: bpe_apply_merges(
         w, m, marker=marker
@@ -1567,18 +1596,12 @@ _BPE_APPLIERS = {
     "arrow": lambda w, m, marker, stage_size: bpe_apply_merges_arrow(
         w, m, marker=marker
     ),
-    # the default: the single projection is cheapest while it stays
-    # comfortably inside what Catalyst/codegen compile (one stage's
-    # worth of replaces); past that the staged form takes over, so the
-    # DEFAULT path extends to a production 32k-merge vocabulary instead
-    # of hitting the expression-depth ceiling (the r11 finding)
-    "auto": lambda w, m, marker, stage_size: (
-        bpe_apply_merges(w, m, marker=marker)
-        if len(m) <= stage_size
-        else bpe_apply_merges_staged(
-            w, m, marker=marker, stage_size=stage_size
-        )
-    ),
+    # the default: project while the single projection compiles (one
+    # stage's worth of replaces), staged through the JVM-only mid band,
+    # arrow past the measured crossover — so the DEFAULT path extends
+    # to a production 32k-merge vocabulary at the measured-best cost
+    # instead of riding staged's fixed per-stage plan cost (r12 #4)
+    "auto": _bpe_auto_applier,
 }
 
 

@@ -224,6 +224,48 @@ def run_staged_leg(spark, docs, depths):
     return leg
 
 
+def run_crossover_leg(spark, docs, depths):
+    """r13 (VERDICT r12 #4): find the merge-count crossover where the
+    Arrow serving applier overtakes the staged JVM applier, so the
+    'auto' router can switch instead of riding staged's fixed
+    per-stage plan cost to 32k. Both appliers timed at each depth over
+    the same checkpointed word table, operator-default stage_size
+    (256), one JIT warm-up pass at the smallest depth first."""
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_apply_merges_arrow,
+        bpe_apply_merges_staged,
+    )
+
+    words = (
+        _bpe_word_freq(docs, "text").select("w").localCheckpoint(eager=True)
+    )
+    rows = synth_merge_rows(max(depths))
+    leg = {"leg": "applier_crossover",
+           "n_words": words.count(), "ops": []}
+    # warm-up: JIT both paths once at the smallest depth, unrecorded
+    warm = rows[: min(depths)]
+    bpe_apply_merges_staged(words, warm).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    bpe_apply_merges_arrow(words, warm).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    for depth in depths:
+        sub = rows[:depth]
+        for tag, fn in (
+            ("staged", lambda: bpe_apply_merges_staged(words, sub)),
+            ("arrow", lambda: bpe_apply_merges_arrow(words, sub)),
+        ):
+            _, m = timed(
+                spark,
+                f"{tag}_{depth}",
+                lambda: fn().write.mode("overwrite")
+                .format("noop").save(),
+            )
+            leg["ops"].append(m)
+    return leg
+
+
 def main() -> None:
     scales = [1, 10]
     vocab_sizes = [10_000, 100_000]
@@ -265,9 +307,23 @@ def main() -> None:
         print(json.dumps(leg))
         legs.append(leg)
     prod_depth = 0
+    crossover = []
+    crossover_words = 20_000
     for a in sys.argv[1:]:
         if a.startswith("--production-depth"):
             prod_depth = int(a.split("=", 1)[1])
+        if a.startswith("--crossover-words"):
+            crossover_words = int(a.split("=", 1)[1])
+        elif a.startswith("--crossover"):
+            v = a.split("=", 1)[1]
+            crossover = [int(x) for x in v.split(",")] if v else []
+    if crossover:
+        leg = run_crossover_leg(
+            spark, synth_vocab_docs(spark, crossover_words), crossover
+        )
+        leg["leg"] = f"applier_crossover_{crossover_words}w"
+        print(json.dumps(leg))
+        legs.append(leg)
     if prod_depth:
         leg = run_production_depth_leg(
             spark, synth_vocab_docs(spark, 20_000), prod_depth

@@ -198,3 +198,78 @@ def test_tokenizer_staleness_oov_retrain_trigger(spark):
     assert rep2["n_oov"] > 0
     assert rep2["oov_rate"] == rep2["n_oov"] / rep2["n_syms"]
     assert rep2["retrain_recommended"]
+
+
+def test_bpe_auto_router_picks_measured_applier(monkeypatch):
+    # VERDICT r12 #4: "auto" routes project -> staged -> arrow at the
+    # measured boundaries (one stage's worth; the 2048-merge measured
+    # crossover where arrow wins ~2x at both word scales).
+    from opensea_datapipeline_spark.operators import text as tx
+
+    picked = []
+    monkeypatch.setattr(
+        tx, "bpe_apply_merges",
+        lambda w, m, marker=None: picked.append("project"),
+    )
+    monkeypatch.setattr(
+        tx, "bpe_apply_merges_staged",
+        lambda w, m, marker=None, stage_size=256: picked.append("staged"),
+    )
+    monkeypatch.setattr(
+        tx, "bpe_apply_merges_arrow",
+        lambda w, m, marker=None: picked.append("arrow"),
+    )
+    auto = tx._BPE_APPLIERS["auto"]
+    auto(None, [{}] * 256, None, 256)
+    auto(None, [{}] * 257, None, 256)
+    auto(None, [{}] * tx._BPE_ARROW_CROSSOVER, None, 256)
+    auto(None, [{}] * (tx._BPE_ARROW_CROSSOVER + 1), None, 256)
+    assert picked == ["project", "staged", "staged", "arrow"]
+
+
+def test_incremental_groups_small_and_distributed_paths_agree(spark):
+    # VERDICT r12 #1: the fold resolves shard-sized contracted graphs
+    # by probe-gated driver union-find; above the gate the distributed
+    # components loop is the fallback. Both must label identically
+    # (group_id = min member id), including the bridge-merge case and
+    # the empty-edge fast path.
+    from opensea_datapipeline_spark.operators.dedup import (
+        incremental_dedup_groups,
+    )
+
+    old_groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (7, 7), (8, 7)],
+        "id long, group_id long",
+    )
+    inc_pairs = spark.createDataFrame(
+        # duplicate raw pairs on purpose: they must collapse into one
+        # contracted edge before the gate counts
+        [(2, 5), (2, 5), (5, 2), (3, 5)], "id_a long, id_b long"
+    )
+    new_ids = spark.createDataFrame([(5,), (6,)], "id long")
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
+    small = {
+        r.id: r.group_id
+        for r in incremental_dedup_groups(
+            old_groups, inc_pairs, new_ids
+        ).collect()
+    }
+    dist = {
+        r.id: r.group_id
+        for r in incremental_dedup_groups(
+            old_groups, inc_pairs, new_ids, small_graph_edges=0
+        ).collect()
+    }
+    assert small == want
+    assert dist == want
+
+    # empty-edge fast path: no pairs -> new ids singleton, old intact
+    none = {
+        r.id: r.group_id
+        for r in incremental_dedup_groups(
+            old_groups,
+            inc_pairs.limit(0),
+            new_ids,
+        ).collect()
+    }
+    assert none == {1: 1, 2: 1, 3: 3, 4: 3, 7: 7, 8: 7, 5: 5, 6: 6}
