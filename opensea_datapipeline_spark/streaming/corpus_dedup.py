@@ -67,11 +67,15 @@ def run_streaming_corpus_dedup(
     band_size: int = 2,
     jaccard_threshold: float = 0.8,
     max_files_per_trigger: int = 1,
+    on_batch=None,
 ) -> DataFrame:
     """Stream ``docs_dir`` (AvailableNow) through the incremental dedup
     loop and return the final (id, group_id) assignment. Restartable
     and replay-safe; document ids must be globally unique across the
-    stream (the incremental operators' contract)."""
+    stream (the incremental operators' contract). ``on_batch``
+    (optional): called as ``on_batch(batch_id, wall_s)`` after each
+    non-replayed batch commits — the per-batch latency monitor the
+    SCALING multi-batch leg reads (VERDICT r12 #1)."""
     ensure_reader_confs(spark)
     schema = spark.read.parquet(docs_dir).schema
     stream = (
@@ -88,6 +92,9 @@ def run_streaming_corpus_dedup(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = time.time()
         meta = _read_meta(state_dir)
         if not meta:
             meta = _recover_meta(state_dir)
@@ -179,6 +186,8 @@ def run_streaming_corpus_dedup(
         import gc
 
         gc.collect()
+        if on_batch is not None:
+            on_batch(batch_id, time.time() - t0)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
