@@ -159,9 +159,11 @@ def run_streaming_corpus_dedup(
         if have_state:
             dd.append_band_table(new_bands, bands_dir,
                                  skip_existing_ids=True)
-            existing_ids = ss.read.parquet(corpus_dir).select(
-                F.col(id_col).alias("id")
-            ).distinct()
+            # reuse the already-opened corpus read; no distinct —
+            # stored ids are unique by the loop's own contract and a
+            # left_anti probe doesn't need deduped build rows (the
+            # distinct was one pure-cost shuffle per batch)
+            existing_ids = old_docs.select(F.col(id_col).alias("id"))
             fresh = batch.join(
                 existing_ids, batch[id_col] == existing_ids["id"],
                 "left_anti",
