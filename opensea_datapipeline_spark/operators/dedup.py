@@ -90,6 +90,8 @@ def minhash_signatures(
     a total order works). Computed as explode → groupBy(doc).agg(min...),
     i.e. one shuffle, map-side combined.
     """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     words = df.select(
         F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("shingle")
     )
@@ -114,6 +116,14 @@ def minhash_band_table(
     snapshot, and a new shard dedups against it without recomputing any
     old signature. One row per (doc, band); the band key is a short
     concat of the band's minhash signatures."""
+    if band_size < 1 or num_hashes % band_size != 0:
+        # n_bands = num_hashes // band_size would silently DROP the
+        # trailing signatures (recall degrades invisibly) — the banding
+        # contract is an exact tiling.
+        raise ValueError(
+            f"band_size must be >= 1 and divide num_hashes, got "
+            f"band_size={band_size}, num_hashes={num_hashes}"
+        )
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     n_bands = num_hashes // band_size
     band_rows = []

@@ -121,6 +121,10 @@ def kmv_distinct(
     computation replayable by the DuckDB oracle (exact same m_k, same
     IEEE division).
     """
+    if k < 2:
+        # k=1 makes the estimator (k-1)/(m_k/2^60) identically zero;
+        # fail loud instead of returning a plausible-looking 0.0.
+        raise ValueError(f"k must be >= 2, got {k}")
     import pandas as pd  # Arrow seam only
 
     h = df.filter(F.col(col).isNotNull()).select(
@@ -189,6 +193,8 @@ def kmv_distinct_by_group(
 
     Returns one row per group: (group_col, k, m_k, estimate).
     """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
     import pandas as pd  # Arrow seam only
 
     from pyspark.sql import Window
@@ -402,6 +408,10 @@ def dd_bucket(col: F.Column, *, gamma: float = 1.02) -> F.Column:
     arithmetic — no UDF, no join."""
     import math
 
+    if not gamma > 1.0:
+        # gamma=1 divides by ln(1)=0 and gamma<1 inverts the bucket
+        # order — both produce garbage indices, never an error.
+        raise ValueError(f"gamma must be > 1, got {gamma}")
     return F.ceil(
         F.round(F.log(col) / F.lit(math.log(gamma)), 9)
     ).cast("long")
@@ -548,6 +558,16 @@ def dd_quantiles_from_buckets(
     sized, never row-count-sized; the heavy-hitters final-rank
     argument), so the partition-less window on the ungrouped form is
     safe."""
+    if not gamma > 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    bad_q = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad_q:
+        # q>1 would silently vanish from the output (its rank exceeds
+        # n, no bucket hits); q<0 would alias the minimum bucket.
+        raise ValueError(f"every q must be in [0, 1], got {bad_q}")
     from pyspark.sql import Window
 
     gcols = list(group_cols or [])

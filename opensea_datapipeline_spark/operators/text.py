@@ -569,6 +569,14 @@ def pack_documents(
     task; ``bin_id`` is made globally unique as ``shard * 2^40 + local_bin``.
     Pass ``allow_global=True`` only for inputs known to be small (exact
     single-sequence packing, used as the small-N oracle path)."""
+    if target_tokens < 1:
+        # bin = floor(cum/target): 0 divides to Infinity (silent
+        # garbage bins), negatives invert the binning.
+        raise ValueError(f"target_tokens must be >= 1, got {target_tokens}")
+    if num_shards < 1:
+        # pmod(x, 0) is null -> every doc lands in ONE null shard and
+        # the window serializes the corpus through a single task.
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     from pyspark.sql import Window
 
     shard_col = None
@@ -1240,15 +1248,21 @@ _BPE_US = "\x1f"
 def _bpe_render_word(word_col, marker: str | None = None) -> F.Column:
     """word string -> initial symbol string (one char per symbol):
     'ab' -> ' a<US> b<US>'. One codegen regexp, identical shape in
-    DuckDB (regexp_replace(w, '(.)', ' \\1<US>', 'g')). With
-    ``marker`` (SentencePiece-style word-boundary symbol) the word is
-    prefixed first, so the marker becomes the word's leading base
-    symbol and merges can learn marker+char word-start units — the
-    property that makes decode (concat symbols, marker -> space)
-    exactly invert encode."""
+    DuckDB (regexp_replace(w, '(.)', ' \\1<US>', 'g') — RE2's dot
+    skips only \\n, which Java \\s+ normalization already removed, so
+    the engines agree). The class is ``[\\s\\S]`` rather than ``.``
+    because Java's dot skips ALL line terminators — a word carrying
+    U+0085/U+2028/U+2029 (which \\s+ normalization does NOT strip)
+    would pass through UNRENDERED and leak the US sentinel into
+    decoded text (found by the hostile-unicode round-trip property
+    test, r13). With ``marker`` (SentencePiece-style word-boundary
+    symbol) the word is prefixed first, so the marker becomes the
+    word's leading base symbol and merges can learn marker+char
+    word-start units — the property that makes decode (concat
+    symbols, marker -> space) exactly invert encode."""
     if marker is not None:
         word_col = F.concat(F.lit(marker), word_col)
-    return F.regexp_replace(word_col, "(.)", " $1" + _BPE_US)
+    return F.regexp_replace(word_col, "([\\s\\S])", " $1" + _BPE_US)
 
 
 def _bpe_parse_syms(s_col) -> F.Column:
@@ -1535,15 +1549,14 @@ def bpe_apply_merges_arrow(
         for pdf in batches:
             w = pdf[word_col]
             # render: 'ab' -> ' a<US> b<US>' (marker prefixes the word
-            # first) — mirrors _bpe_render_word. The character class
-            # matches Java regex '.' semantics EXACTLY (Java dot skips
-            # all the line terminators \n \r U+0085 U+2028 U+2029;
-            # Python re's '.' skips only \n), so a word carrying a
-            # Unicode line separator — which Java \s+ normalization
-            # does NOT strip — renders identically across appliers,
-            # preserving the output-identical-by-construction contract.
+            # first) — mirrors _bpe_render_word, which renders EVERY
+            # char via [\s\S] (r13: Java dot skipped the Unicode line
+            # terminators U+0085/U+2028/U+2029 that \s+ normalization
+            # does not strip, leaking the US sentinel into decode;
+            # the match-all class keeps the three appliers identical
+            # by construction AND the round-trip lossless).
             s = (prefix + w).str.replace(
-                "([^\\n\\r\\u0085\\u2028\\u2029])", " \\1" + us, regex=True
+                "([\\s\\S])", " \\1" + us, regex=True
             )
             for find, repl in reps:
                 s = s.str.replace(find, repl, regex=False)
@@ -2296,6 +2309,12 @@ def pack_token_ids(
     (seq_id, n_ids, n_docs, ids_str) — every sequence holds exactly
     seq_len ids except the last; ids_str per the FIXTURES array rule.
     """
+    if seq_len < 1:
+        # seq_id = floor(global_pos / seq_len): 0 divides by zero,
+        # negatives scramble the tiling — fail loud.
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
     from pyspark.sql import Window
 
     doc = enc.select(

@@ -664,3 +664,60 @@ def test_staged_applier_survives_hostile_symbols(spark, merges, words):
     }
     assert staged == base
     assert arrow == base
+
+
+# Hostile alphabet for the tokenizer chain: ASCII, whitespace that Java
+# \\s+ collapses (space/tab/LF), whitespace it does NOT (NBSP U+00A0,
+# NEL U+0085, LS U+2028 -- these survive normalization INSIDE words),
+# multibyte letters, an astral emoji, and SQL/regex metachars. Excludes
+# only the documented reserved chars (the \\x1f US sentinel + marker).
+_HOSTILE_CHARS = "ab \t\n\u00a0\u0085\u2028\u00e9\u6f22\U0001f980\"'\\$.()"
+hostile_text = st.text(alphabet=_HOSTILE_CHARS, min_size=0, max_size=24)
+
+
+@given(texts=st.lists(hostile_text, min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_bpe_roundtrip_hostile_unicode(spark, texts):
+    # decode(encode(train-corpus)) must equal the engine's OWN
+    # normalization of every document (lowercase, Java-\\s+ collapsed,
+    # trimmed) byte-for-byte with zero unknown ids -- for ARBITRARY
+    # unicode including the line separators that broke cross-applier
+    # parity in ADVICE r12 (Python '.' vs Java '.' dot semantics).
+    # Expected values come from Spark itself, so the property pins the
+    # chain's losslessness, not Python-vs-Java regex agreement.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_alphabet,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    M = "\x11"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    norm = {
+        r.doc_id: r.norm
+        for r in docs.select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(F.lower("text"), r"\s+", " ")
+            ).alias("norm"),
+        ).collect()
+    }
+    # docs that normalize to nothing have no words -- out of the chain
+    nonempty = {i for i, n in norm.items() if n}
+    if not nonempty:
+        return
+    merges = bpe_train(docs, n_merges=4, min_count=2, marker=M)
+    alpha = bpe_alphabet(docs, marker=M)
+    enc = bpe_encode(docs, merges, marker=M, alphabet=alpha)
+    dec = {
+        r.doc_id: (r.text, r.n_unknown)
+        for r in bpe_decode(enc, merges, alpha, marker=M).collect()
+    }
+    assert set(dec) >= nonempty
+    for i in nonempty:
+        assert dec[i] == (norm[i], 0), f"doc {i}: {norm[i]!r} vs {dec[i]!r}"

@@ -273,3 +273,73 @@ def test_incremental_groups_small_and_distributed_paths_agree(spark):
         ).collect()
     }
     assert none == {1: 1, 2: 1, 3: 3, 4: 3, 7: 7, 8: 7, 5: 5, 6: 6}
+
+
+def test_param_guards_fail_loud_not_garbage(spark):
+    # r13 proactive hardening: parameters whose bad values previously
+    # produced silently-wrong results (not errors) now raise.
+    from opensea_datapipeline_spark.operators import dedup, sketches, text
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    enc = spark.createDataFrame(
+        [(1, 1, "7")], "doc_id long, n_syms long, ids_str string"
+    )
+
+    # gamma <= 1: ln(gamma) <= 0 makes every bucket index garbage
+    for bad_gamma in (1.0, 0.5, 0.0, -2.0):
+        with pytest.raises(ValueError, match="gamma"):
+            sketches.dd_bucket(F.col("value"), gamma=bad_gamma)
+        with pytest.raises(ValueError, match="gamma"):
+            sketches.dd_quantile_sketch(df, "value", [0.5], gamma=bad_gamma)
+
+    # q outside [0,1]: q>1 silently vanished (rank beyond n), q<0
+    # aliased the minimum bucket
+    state = sketches.dd_bucket_counts(df, "value")
+    for bad_qs in ([1.5], [-0.1], [0.5, 2.0], []):
+        with pytest.raises(ValueError, match="q"):
+            sketches.dd_quantiles_from_buckets(state, bad_qs)
+
+    # k < 2: the KMV estimator (k-1)/(m_k/2^60) is identically zero
+    for bad_k in (1, 0, -3):
+        with pytest.raises(ValueError, match="k must be"):
+            sketches.kmv_distinct(df, "value", k=bad_k)
+        with pytest.raises(ValueError, match="k must be"):
+            sketches.kmv_distinct_by_group(docs, "doc_id", "text", k=bad_k)
+
+    # seq_len < 1: seq_id = floor(pos/seq_len) divides by zero or
+    # scrambles the tiling
+    for bad_len in (0, -8):
+        with pytest.raises(ValueError, match="seq_len"):
+            text.pack_token_ids(enc, seq_len=bad_len)
+    with pytest.raises(ValueError, match="bucket_size"):
+        text.pack_token_ids(enc, bucket_size=0)
+
+    # band_size that does not tile num_hashes silently DROPPED the
+    # trailing signatures (recall degraded invisibly)
+    for nh, bs in ((8, 3), (8, 0), (8, -2), (8, 5)):
+        with pytest.raises(ValueError, match="band_size"):
+            dedup.minhash_band_table(
+                docs, "text", "doc_id", num_hashes=nh, band_size=bs
+            )
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=0)
+
+    # good values still construct (lazy -- no execution needed)
+    sketches.dd_bucket(F.col("value"), gamma=1.01)
+    text.pack_token_ids(enc, seq_len=1)
+    dedup.minhash_band_table(
+        docs, "text", "doc_id", num_hashes=8, band_size=4
+    )
+
+
+def test_pack_documents_param_guards(spark):
+    from opensea_datapipeline_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    for bad in (0, -512):
+        with pytest.raises(ValueError, match="target_tokens"):
+            pack_documents(df, target_tokens=bad)
+    with pytest.raises(ValueError, match="num_shards"):
+        pack_documents(df, num_shards=0)
+    pack_documents(df, target_tokens=1, num_shards=1)  # still constructs
