@@ -202,7 +202,7 @@ def test_shard_assignment_properties(spark, ids, n_shards):
 
 @given(
     names=st.lists(
-        st.text(alphabet="abc", min_size=0, max_size=5),
+        st.text(alphabet="ab\U0001f980", min_size=0, max_size=5),
         min_size=2, max_size=12,
     )
 )
@@ -211,7 +211,10 @@ def test_edit_distance_pairs_matches_brute_force(spark, names):
     # The SymSpell deletion-variant blocking must be LOSSLESS for
     # Levenshtein distance <= 1 on arbitrary strings — tiny alphabet and
     # short lengths force heavy variant-key collisions (the distance-2
-    # false candidates the exact verify must reject).
+    # false candidates the exact verify must reject). The alphabet
+    # includes an astral char (UTF-16 surrogate pair): substring
+    # variants and levenshtein must both count CODE POINTS, matching
+    # Python's len/slicing in this model.
     from opensea_datapipeline_spark.operators.dedup import edit_distance_pairs
 
     def lev(a: str, b: str) -> int:

@@ -343,3 +343,54 @@ def test_pack_documents_param_guards(spark):
     with pytest.raises(ValueError, match="num_shards"):
         pack_documents(df, num_shards=0)
     pack_documents(df, target_tokens=1, num_shards=1)  # still constructs
+
+
+def test_streaming_corpus_dedup_empty_batch_is_safe_noop(spark, tmp_path):
+    # A zero-row micro-batch (empty source file -- routine in real file
+    # streams) must flow through probe -> fold -> append -> swap as a
+    # no-op: no pairs, no appended rows, assignment unchanged, and the
+    # stream still lands on the full-corpus closure.
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components_auto,
+        minhash_lsh_pairs,
+    )
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        1: "alpha beta gamma delta zeta",     # ~ doc 0
+        2: "one two three four five six",
+        3: "alpha beta gamma delta epsilon",  # = doc 0, lands post-empty
+    }
+    src = str(tmp_path / "src")
+    batches = [[0, 1], [], [2, 3]]
+    for ids in batches:
+        spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    walls = []
+    got_df = run_streaming_corpus_dedup(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+        on_batch=lambda bid, w: walls.append(bid),
+    )
+    got = {r.id: r.group_id for r in got_df.collect()}
+
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+    want = {
+        r.id: r.group_id
+        for r in connected_components_auto(
+            docs.select(F.col("doc_id").alias("id")), pairs,
+            id_col="id", assume_distinct=True,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 4
+    assert len(set(got.values())) < 4  # the duplicate actually clustered
+    assert len(walls) == 3  # the empty batch committed like any other
