@@ -724,3 +724,49 @@ def test_bpe_roundtrip_hostile_unicode(spark, texts):
     assert set(dec) >= nonempty
     for i in nonempty:
         assert dec[i] == (norm[i], 0), f"doc {i}: {norm[i]!r} vs {dec[i]!r}"
+
+
+@given(
+    lens=st.lists(st.integers(1, 9), min_size=1, max_size=12),
+    seq_len=st.integers(2, 11),
+    bucket_size=st.integers(1, 6),
+)
+@SETTINGS
+def test_pack_token_ids_eos_and_boundaries_model(
+    spark, lens, seq_len, bucket_size
+):
+    # The EOS + attention-reset variant against a pure-Python packer:
+    # every doc's stream gets EOS appended, then the flat stream tiles
+    # into seq_len windows, and boundaries_str lists the within-sequence
+    # offsets where a DOCUMENT STARTS (sorted, '' when none) -- for ANY
+    # doc-length pattern, seq_len, and bucket size.
+    from opensea_datapipeline_spark.operators.text import pack_token_ids
+
+    EOS = 99999
+    rows, flat, starts = [], [], []
+    for d, n in enumerate(lens):
+        ids = [d * 100 + j for j in range(n)]
+        starts.append(len(flat))
+        flat.extend(ids + [EOS])
+        rows.append((d, n, " ".join(map(str, ids))))
+    enc = spark.createDataFrame(
+        rows, "doc_id long, n_syms long, ids_str string"
+    )
+    out = {
+        r.seq_id: (r.ids_str, r.boundaries_str)
+        for r in pack_token_ids(
+            enc,
+            seq_len=seq_len,
+            bucket_size=bucket_size,
+            eos_id=EOS,
+            with_boundaries=True,
+        ).collect()
+    }
+    want = {}
+    for s, i in enumerate(range(0, len(flat), seq_len)):
+        bnd = sorted(p - i for p in starts if i <= p < i + seq_len)
+        want[s] = (
+            " ".join(map(str, flat[i : i + seq_len])),
+            " ".join(map(str, bnd)),
+        )
+    assert out == want
