@@ -1293,6 +1293,42 @@ def _bpe_word_freq(
     )
 
 
+def _bpe_train_driver_loop(
+    rows: "list[tuple[str, int]]", n_merges: int, min_count: int
+) -> "list[tuple[int, str, str, str, int]]":
+    """The below-gate BPE training loop over collected RENDERED (s, cnt)
+    rows — pure string ops, no Spark jobs. Semantics are the distributed
+    loop's, statement for statement: adjacent-pair counts weighted by
+    cnt, argmax by (n desc, l asc, r asc) (Python str comparison is
+    code-point order == UTF8String binary order), non-overlapping
+    left-to-right str.replace (== F.replace), stop when the best count
+    falls under ``min_count``. Rendering stays SPARK-SIDE (the rows
+    arrive pre-rendered), so there is no render-parity seam between the
+    two paths — path equality is pinned by pytest."""
+    us = _BPE_US
+    state = [(s, int(c)) for s, c in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, cnt in state:
+            syms = s[1:-1].split(us + " ")
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (lft, rgt), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_count:
+            break
+        merges.append((k, lft, rgt, lft + rgt, n))
+        find = " " + lft + us + " " + rgt + us
+        repl = " " + lft + rgt + us
+        state = [(s.replace(find, repl), cnt) for s, cnt in state]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     *,
@@ -1301,6 +1337,7 @@ def bpe_train(
     text_col: str = "text",
     checkpoint_every: int = 4,
     marker: str | None = None,
+    driver_gate: int = 65536,
 ) -> DataFrame:
     """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): start
     from characters, then ``n_merges`` times (a) count corpus-wide
@@ -1327,6 +1364,17 @@ def bpe_train(
     symbol-pair space. Stops early when the best pair's count falls
     below ``min_count`` (a merge seen once generalizes to nothing).
 
+    ``driver_gate`` (r13 — the incremental_dedup_groups probe-gate
+    pattern): after the one corpus pass, if the DISTINCT-WORD count is
+    at or under the gate, the rendered (s, cnt) rows are collected and
+    the loop runs on the driver as pure string ops — zero jobs per
+    merge instead of a shuffle + 1-row collect per merge (the loop's
+    wall is ~all fixed job overhead at small vocab tables). The
+    collect is vocabulary-bounded by construction (the gate), the
+    merge table returned is IDENTICAL (path-equality pytest), and at
+    100 TB a web-scale distinct-word table exceeds any sane gate so
+    the distributed loop below is the path that runs. 0 disables.
+
     Returns the ordered merge table (merge_rank, left_sym, right_sym,
     merged, n) — all strings/ints, hash-exact cross-engine.
     """
@@ -1338,6 +1386,15 @@ def bpe_train(
     )
     # pin: the loop below must never re-run the corpus pass
     state = state.localCheckpoint(eager=True)
+    mschema = (
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, n long"
+    )
+    if driver_gate > 0 and state.count() <= driver_gate:
+        rows = [(r["s"], r["cnt"]) for r in state.collect()]
+        return spark.createDataFrame(
+            _bpe_train_driver_loop(rows, n_merges, min_count), mschema
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for k in range(1, n_merges + 1):
         pairs = (
@@ -1373,11 +1430,7 @@ def bpe_train(
             # release the superseded checkpoint's blocks now (pagerank
             # discipline: late iterations otherwise pay 2x)
             gc.collect()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, left_sym string, right_sym string,"
-        " merged string, n long",
-    )
+    return spark.createDataFrame(merges, mschema)
 
 
 def bpe_apply_merges(

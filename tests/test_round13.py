@@ -394,3 +394,36 @@ def test_streaming_corpus_dedup_empty_batch_is_safe_noop(spark, tmp_path):
     assert len(got) == 4
     assert len(set(got.values())) < 4  # the duplicate actually clustered
     assert len(walls) == 3  # the empty batch committed like any other
+
+
+def test_bpe_train_driver_gate_paths_agree(spark):
+    # r13: bpe_train's probe-gated driver loop (the incremental-groups
+    # fold pattern applied to BPE training) must return the IDENTICAL
+    # merge table as the distributed loop -- including tie-breaks, the
+    # min_count early stop, and the marker form. Rendering is
+    # Spark-side in both paths, so this pins the loop semantics alone.
+    from opensea_datapipeline_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a aa aaa aaaa the thee",   # greedy-run territory
+        "zz zz yy",                 # count ties -> (l, r) tie-break
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for kw in (
+        dict(n_merges=10, min_count=2),
+        dict(n_merges=10, min_count=2, marker="\x11"),
+        dict(n_merges=50, min_count=1),   # run past exhaustion
+        dict(n_merges=3, min_count=100),  # early stop -> empty
+    ):
+        fast = [tuple(r) for r in bpe_train(docs, **kw).collect()]
+        dist = [
+            tuple(r)
+            for r in bpe_train(docs, driver_gate=0, **kw).collect()
+        ]
+        assert fast == dist, kw
+        fast.sort()
+        assert fast == sorted(fast)  # rank-ordered
