@@ -422,32 +422,7 @@ def incremental_dedup_groups(
     if n_edges == 0:
         comps = None
     elif n_edges <= small_graph_edges:
-        pdf = mapped.toPandas()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min-root union keeps group_id = min member id, the
-                # connected_components contract
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = [(x, find(x)) for x in parent]
-        comps = F.broadcast(
-            mapped.sparkSession.createDataFrame(
-                rows, mapped.select("src", "dst").schema
-            ).toDF("id", "group_id")
-        )
+        comps = _driver_union_find(mapped)
     else:
         nodes = (
             nids
@@ -458,6 +433,7 @@ def incremental_dedup_groups(
         comps = connected_components_auto(
             nodes, mapped, id_col="id", src_col="src", dst_col="dst",
             assume_distinct=True,
+            small_graph_edges=0,  # already probed here
         )
     if comps is None:
         new_assign = nids.select("id", F.col("id").alias("group_id"))
@@ -1016,6 +992,40 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("group_id"))
 
 
+def _driver_union_find(canon: DataFrame) -> DataFrame:
+    """Resolve a BOUNDED canonical (src, dst) edge table to its
+    components by driver union-find with min-root union (group_id = min
+    member id — the connected_components contract) and re-enter the
+    plan as a broadcast (id, group_id) map covering every edge-touched
+    node. Callers MUST have size-gated ``canon`` (limit-probe) before
+    collecting; the map only covers edge endpoints, so callers join it
+    left + coalesce(id) for isolated nodes."""
+    pdf = canon.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return F.broadcast(
+        canon.sparkSession.createDataFrame(
+            rows, canon.select("src", "dst").schema
+        ).toDF("id", "group_id")
+    )
+
+
 def _symmetrize_edges(
     edges: DataFrame, src_col: str, dst_col: str, assume_distinct: bool
 ) -> DataFrame:
@@ -1188,6 +1198,7 @@ def connected_components_auto(
     switch_after: int = 4,
     max_iter: int = 30,
     assume_distinct: bool = False,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Shape-adaptive pairs→groups resolution — THE default resolver
     (VERDICT r4 task #8). Measured on 20k-node fixtures
@@ -1195,6 +1206,18 @@ def connected_components_auto(
     and star are equal (4.1 s vs 4.0 s, both converge in ≤4 rounds); on a
     20k-node chain min-label needs ~diameter rounds (DNF at 40) while
     star finishes in O(log² n). Threshold graphs are the common case, so:
+
+    0. (r13 — the job-floor gate, same pattern as the
+       ``incremental_dedup_groups`` fold and ``bpe_train``'s driver
+       loop) the canonical distinct edge set is pinned and probed with
+       ``limit(small_graph_edges + 1)``: at or under the gate it is
+       Arrow-collected and resolved by driver union-find (min-root),
+       re-entering the plan as a broadcast join — 2 jobs instead of
+       per-round convergence counts. Labels are identical (group_id =
+       min member id). 0 disables; edges must reference ids present in
+       ``nodes`` (every caller's contract — both paths assume it). At
+       100 TB a full-corpus near-dup graph exceeds any sane gate and
+       the distributed path below runs unchanged;
 
     1. run ``switch_after`` min-label rounds (one equi-join + one
        map-side-combined min aggregate each) — near-dup clusters have
@@ -1210,6 +1233,31 @@ def connected_components_auto(
     the component (the global min keeps itself as label through the
     prefix, and star then returns component minima in label space).
     """
+    if small_graph_edges > 0:
+        canon = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("src"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            # pin: feeds the probe and then either the collect or the
+            # distributed run — unpinned, each replays pair generation
+            .localCheckpoint(eager=True)
+        )
+        n_edges = canon.limit(small_graph_edges + 1).count()
+        ids = nodes.select(F.col(id_col).alias("id"))
+        if n_edges == 0:
+            return ids.select("id", F.col("id").alias("group_id"))
+        if n_edges <= small_graph_edges:
+            comps = _driver_union_find(canon)
+            return ids.join(comps, "id", "left").select(
+                "id", F.coalesce("group_id", F.col("id")).alias("group_id")
+            )
+        # above the gate: reuse the pinned canonical edges (distinct,
+        # one row per undirected pair) instead of re-deriving the
+        # caller's edge lineage
+        edges, src_col, dst_col, assume_distinct = canon, "src", "dst", True
     e = _symmetrize_edges(edges, src_col, dst_col, assume_distinct)
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")

@@ -427,3 +427,45 @@ def test_bpe_train_driver_gate_paths_agree(spark):
         assert fast == dist, kw
         fast.sort()
         assert fast == sorted(fast)  # rank-ordered
+
+
+def test_components_auto_gate_paths_agree(spark):
+    # r13: connected_components_auto's probe-gated union-find must label
+    # identically to the distributed min-label/star path on every graph
+    # shape -- blob, long chain (the star-switch territory), isolates,
+    # and string node ids.
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components_auto,
+    )
+
+    # chain 0-1-...-9 + blob {20,21,22} + isolates 30, 31
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(20, 21), (21, 22), (20, 22), (21, 20)]  # dup + reversed
+    nodes = list(range(10)) + [20, 21, 22, 30, 31]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {n: (0 if n < 10 else 20 if n in (20, 21, 22) else n)
+            for n in nodes}
+    fast = {
+        r.id: r.group_id
+        for r in connected_components_auto(ndf, edf).collect()
+    }
+    dist = {
+        r.id: r.group_id
+        for r in connected_components_auto(
+            ndf, edf, small_graph_edges=0, switch_after=2
+        ).collect()
+    }
+    assert fast == want
+    assert dist == want
+
+    # string ids: min-root must use the same (binary) string order
+    sn = spark.createDataFrame(
+        [("a",), ("b",), ("z",), ("lone",)], "id string"
+    )
+    se = spark.createDataFrame(
+        [("z", "b"), ("b", "a")], "id_a string, id_b string"
+    )
+    got = {r.id: r.group_id
+           for r in connected_components_auto(sn, se).collect()}
+    assert got == {"a": "a", "b": "a", "z": "a", "lone": "lone"}
