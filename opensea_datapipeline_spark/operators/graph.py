@@ -277,6 +277,7 @@ def label_propagation(
     undirected: bool = True,
     checkpoint_every: int = 3,
     weight_col: str | None = None,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation
     (Raghavan-Albert-Kumara 2007) after exactly ``iters`` rounds —
@@ -313,6 +314,19 @@ def label_propagation(
     ≠ same-community: a chain of weak links is one component but many
     communities) and pagerank (which ranks WITHIN a cluster).
     Returns (node, community) — both ids, no floats to drift.
+
+    ``small_graph_edges`` (r13 — the job-floor gate family:
+    ``connected_components_auto``, the incremental fold,
+    ``bpe_train``): for the UNWEIGHTED form only, if the materialized
+    edge table fits the gate it is collected and the identical
+    synchronous loop runs as driver dict ops — integer votes and the
+    (count desc, label asc) tie-break translate exactly; duplicate
+    edges keep counting in votes because the collect takes the edge
+    list as-is (path equality pytest-pinned, incl. directed
+    keep-label nodes and string ids). The weighted form always runs
+    distributed: its vote is a 6dp-rounded FLOAT SUM whose
+    summation-order/rounding seam the driver must not re-implement.
+    0 disables; above the gate the loop below runs unchanged.
     """
     w_val = (
         F.col(weight_col).cast("double")
@@ -338,6 +352,36 @@ def label_propagation(
     # pinned 32-partition layout stops AQE from sizing every downstream
     # exchange (SCALING.md §label-prop, negative result recorded).
     e = e.localCheckpoint(eager=True)
+    if weight_col is None and small_graph_edges > 0:
+        n_edges = e.limit(small_graph_edges + 1).count()
+        if n_edges <= small_graph_edges:
+            rows = e.select("src", "dst").collect()
+            elist = [(r["src"], r["dst"]) for r in rows]
+            if undirected:
+                node_set = {s for s, _ in elist}
+            else:
+                node_set = {s for s, _ in elist} | {d for _, d in elist}
+            labels = {n: n for n in node_set}
+            for _ in range(iters):
+                votes: dict = {}
+                for s, d in elist:
+                    lab = labels[s]
+                    per = votes.setdefault(d, {})
+                    per[lab] = per.get(lab, 0) + 1
+                labels = {
+                    n: (
+                        min(
+                            votes[n].items(),
+                            key=lambda kv: (-kv[1], kv[0]),
+                        )[0]
+                        if n in votes
+                        else labels[n]  # directed node w/o in-edges
+                    )
+                    for n in node_set
+                }
+            return e.sparkSession.createDataFrame(
+                list(labels.items()), e.select("src", "dst").schema
+            ).toDF("node", "community")
     if undirected:
         # after symmetrization every node appears as a src — skip the
         # dst union (one less scan + smaller distinct)

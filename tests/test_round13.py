@@ -469,3 +469,57 @@ def test_components_auto_gate_paths_agree(spark):
     got = {r.id: r.group_id
            for r in connected_components_auto(sn, se).collect()}
     assert got == {"a": "a", "b": "a", "z": "a", "lone": "lone"}
+
+
+def test_label_propagation_gate_paths_agree(spark):
+    # r13: the driver LPA loop (unweighted gate) must label identically
+    # to the distributed counted-table argmax for every iters count --
+    # incl. duplicate edges counting in votes, directed keep-label
+    # nodes, and string ids.
+    from opensea_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two cliques bridged by one edge + a duplicate edge that biases a
+    # vote + a pendant
+    edges = (
+        [(a, b) for a in (0, 1, 2) for b in (0, 1, 2) if a < b]
+        + [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+        + [(2, 10), (2, 10), (12, 20)]
+    )
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    for iters in (1, 2, 3, 5):
+        fast = {
+            r.node: r.community
+            for r in label_propagation(
+                edf, "id_a", "id_b", iters=iters
+            ).collect()
+        }
+        dist = {
+            r.node: r.community
+            for r in label_propagation(
+                edf, "id_a", "id_b", iters=iters, small_graph_edges=0
+            ).collect()
+        }
+        assert fast == dist, iters
+
+    # directed: source-only node keeps its own label each round
+    ddf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "b")], "s string, d string"
+    )
+    for iters in (1, 2, 4):
+        fast = {
+            r.node: r.community
+            for r in label_propagation(
+                ddf, "s", "d", iters=iters, undirected=False
+            ).collect()
+        }
+        dist = {
+            r.node: r.community
+            for r in label_propagation(
+                ddf, "s", "d", iters=iters, undirected=False,
+                small_graph_edges=0,
+            ).collect()
+        }
+        assert fast == dist, iters
+        assert fast["a"] == "a"  # no in-edges: label kept
