@@ -1979,7 +1979,7 @@ def _bpe_artifact_fingerprint(
         F.coalesce(
             F.sum(
                 F.xxhash64(
-                    "merge_rank", "left_sym", "right_sym", "merged"
+                    "merge_rank", "left_sym", "right_sym", "merged", "n"
                 ).cast("decimal(38,0)")
             ),
             F.lit(0).cast("decimal(38,0)"),

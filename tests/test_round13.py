@@ -160,6 +160,22 @@ def test_tokenizer_artifact_integrity_roundtrip_and_tamper(
     m3, _, _ = tx.bpe_read_tokenizer(spark, path, verify=False)
     assert m3.count() == meta.n_merges - 1
 
+    # tamper the COUNT column only (rows/keys intact): still caught --
+    # the fingerprint hashes every column including n
+    path_n = str(tmp_path / "tok_n")
+    tx.bpe_write_tokenizer(merges, alpha, path_n)
+    bumped = spark.createDataFrame(
+        [
+            (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.n + 1)
+            for r in spark.read.parquet(path_n + "/merges").collect()
+        ],
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, n long",
+    )
+    bumped.coalesce(1).write.mode("overwrite").parquet(path_n + "/merges")
+    with pytest.raises(ValueError, match="integrity"):
+        tx.bpe_read_tokenizer(spark, path_n)
+
     # legacy artifact: meta with only the marker column loads clean
     legacy = str(tmp_path / "legacy")
     tx.bpe_write_tokenizer(merges, alpha, legacy)
