@@ -96,7 +96,11 @@ def run_leg(spark, docs, tag):
     merges, m = timed(
         spark,
         f"bpe_train_{N_MERGES}",
-        lambda: bpe_train(d, n_merges=N_MERGES, min_count=2),
+        # driver_gate=0: this leg documents the DISTRIBUTED loop's
+        # scaling shape (SCALING §bpe); the r13 default gate would
+        # route the <=65536-word synthetic legs to the driver path
+        lambda: bpe_train(d, n_merges=N_MERGES, min_count=2,
+                          driver_gate=0),
     )
     m["per_round_s"] = round(m["wall_s"] / N_MERGES, 3)
     leg["ops"].append(m)
