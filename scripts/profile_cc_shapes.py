@@ -71,8 +71,11 @@ def main():
             ("min_label", dd.connected_components,
              {"max_iter": 40, "assume_distinct": True}),
             ("two_phase", dd.connected_components_two_phase, {"max_iter": 40}),
+            # small_graph_edges=0: this profile compares the DISTRIBUTED
+            # shapes (min-label vs star); the r13 gate would collect the
+            # 20k-edge fixtures to the driver and measure nothing
             ("auto", dd.connected_components_auto,
-             {"assume_distinct": True}),
+             {"assume_distinct": True, "small_graph_edges": 0}),
         ):
             sec, groups, err = run(algo, nodes, e, **kw)
             res[name] = {"sec": sec, "groups": groups, "err": err}

@@ -77,7 +77,10 @@ def main() -> None:
                 {
                     **measure(
                         spark,
-                        lambda: label_propagation(e, iters=3),
+                        # small_graph_edges=0: the leg measures the DISTRIBUTED loop
+                        lambda: label_propagation(
+                            e, iters=3, small_graph_edges=0
+                        ),
                         f"lpa3_{'hub' if hub else 'flat'}",
                     ),
                     "n_edges": e.count(),
