@@ -770,3 +770,83 @@ def test_pack_token_ids_eos_and_boundaries_model(
             " ".join(map(str, bnd)),
         )
     assert out == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    width=st.sampled_from([4, 8, 16]),
+)
+@SETTINGS
+def test_count_min_one_sided_under_forced_collisions(spark, keys, width):
+    # The wide fixed-fixture test cannot saturate the sketch; this one
+    # forces collisions (up to 31 distinct keys into width 4-16) and
+    # the one-sided guarantee must STILL hold for every probed key:
+    # est >= exact always, and any overestimate is explained by mass
+    # from colliding keys (est <= total stream count).
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.sketches import (
+        count_min_estimates,
+    )
+
+    df = spark.createDataFrame([(f"k{k}",) for k in keys], ["key"])
+    exact = {k: keys.count(int(k)) for k in set(keys)}
+    probes = df.select("key").distinct()
+    est = {
+        r.key: r.est
+        for r in count_min_estimates(
+            df, "key", probes, depth=2, width=width
+        ).collect()
+    }
+    assert set(est) == {f"k{k}" for k in exact}
+    for k, n in exact.items():
+        e = est[f"k{k}"]
+        assert e >= n, (k, e, n)
+        assert e <= len(keys), (k, e)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta one two".split()),
+            min_size=1, max_size=6,
+        ),
+        min_size=2, max_size=10,
+    ),
+    bits=st.sampled_from([8, 16, 32]),
+    radius=st.sampled_from([1, 2, 3]),
+)
+@SETTINGS
+def test_simhash_blocking_complete_vs_brute_force(
+    spark, docs, bits, radius
+):
+    # The Manku block-permutation claim: splitting the signature into
+    # radius+1 blocks loses NO pair within the Hamming radius
+    # (pigeonhole) -- the graded oracle REPLAYS the same blocking, so
+    # only a brute-force diff can catch a block-count/pigeonhole bug.
+    # Texts from a tiny word pool force real near-dups and ties.
+    from opensea_datapipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(df, "text", "doc_id", bits).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if h <= radius:
+                want[(ids[x], ids[y])] = h
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            df, "text", "doc_id", bits=bits, radius=radius
+        ).collect()
+    }
+    assert got == want
