@@ -850,3 +850,63 @@ def test_simhash_blocking_complete_vs_brute_force(
         ).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f".split()),
+            min_size=0, max_size=12,
+        ),
+        min_size=2, max_size=8,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@SETTINGS
+def test_duplicate_token_spans_matches_python_model(spark, docs, n):
+    # The graded oracle REPLAYS the island numbering in SQL, so an
+    # algorithmic mistake (wrong adjacency merge, off-by-one span ends,
+    # same-doc repeats wrongly counting as cross-doc) would grade green
+    # -- only an independent model catches it. Tiny vocabulary forces
+    # heavy cross-doc gram collisions, overlapping and adjacent spans,
+    # and same-doc-repeated grams that must NOT count.
+    from opensea_datapipeline_spark.operators.text import (
+        duplicate_token_spans,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grams: dict = {}
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[p : p + n]), set()).add(i)
+    want = {}
+    for i, ws in enumerate(docs):
+        hits = [
+            p
+            for p in range(len(ws) - n + 1)
+            if len(grams[tuple(ws[p : p + n])]) >= 2
+        ]
+        if not hits:
+            continue
+        spans, (s, e) = [], (hits[0], hits[0] + n - 1)
+        for p in hits[1:]:
+            if p <= e + 1:
+                e = max(e, p + n - 1)
+            else:
+                spans.append(e - s + 1)
+                s, e = p, p + n - 1
+        spans.append(e - s + 1)
+        want[i] = (
+            len(spans),
+            sum(spans),
+            max(spans),
+            round(sum(spans) / len(ws), 6),
+        )
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.longest_span,
+                   r.dup_token_frac)
+        for r in duplicate_token_spans(df, n=n).collect()
+    }
+    assert got == want
