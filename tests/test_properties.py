@@ -957,3 +957,46 @@ def test_semdedup_pairs_sound_and_monotone_in_assignment(spark, vecs):
             assert true_cos >= thr - 1e-4, (a, b, cs, true_cos)
             assert abs(true_cos - cs) < 1e-3
     assert set(one) <= set(two)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    ),
+)
+@SETTINGS
+def test_triangle_stats_matches_brute_force(spark, edges):
+    # Degree-ordered wedge orientation has tie territory (equal
+    # degrees) a single fixture cannot sweep; random multigraphs with
+    # self-loops and reversed duplicates must canonicalize and count
+    # like the brute-force model.
+    from opensea_datapipeline_spark.operators.graph import triangle_stats
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    adj: dict = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {
+        v: sum(
+            1
+            for x in adj[v]
+            for y in adj[v]
+            if x < y and y in adj[x]
+        )
+        for v in adj
+    }
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: r for r in triangle_stats(df).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        d = len(adj[v])
+        assert got[v].degree == d, v
+        assert got[v].n_triangles == tri[v], v
+        want_cc = (
+            round(2.0 * tri[v] / (d * (d - 1)), 6) if d > 1 else 0.0
+        )
+        assert abs(got[v].clustering_coeff - want_cc) < 1e-9, v
