@@ -1000,3 +1000,38 @@ def test_triangle_stats_matches_brute_force(spark, edges):
             round(2.0 * tri[v] / (d * (d - 1)), 6) if d > 1 else 0.0
         )
         assert abs(got[v].clustering_coeff - want_cc) < 1e-9, v
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@SETTINGS
+def test_k_core_matches_brute_force_peeling(spark, edges, k):
+    # Fixpoint peeling vs the Python model on random multigraphs --
+    # sweeps cascade depths and empty-core outcomes beyond the fixture.
+    from opensea_datapipeline_spark.operators.graph import k_core
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    adj: dict = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = dict(adj)
+    while True:
+        drop = [v for v, ns in live.items() if len(ns) < k]
+        if not drop:
+            break
+        for v in drop:
+            for u in live[v]:
+                if u in live:
+                    live[u].discard(v)
+            del live[v]
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: r.degree for r in k_core(df, k).collect()}
+    assert got == {v: len(ns) for v, ns in live.items()}
