@@ -1035,3 +1035,52 @@ def test_k_core_matches_brute_force_peeling(spark, edges, k):
     df = spark.createDataFrame(list(edges), "src long, dst long")
     got = {r.node: r.degree for r in k_core(df, k).collect()}
     assert got == {v: len(ns) for v, ns in live.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=18,
+    ),
+    labels=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+)
+@SETTINGS
+def test_community_modularity_matches_python_model(spark, edges, labels):
+    # Newman Q per community vs the formula computed independently:
+    # random multigraphs + arbitrary 3-way labelings sweep the
+    # isolated-node/zero-degree-community branches and the -0.0
+    # normalization the fixture test cannot.
+    from opensea_datapipeline_spark.operators.graph import (
+        community_modularity,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in canon for v in e} | set(range(8)))
+    lab = {v: labels[v % 8] for v in nodes}
+    m = len(canon)
+    deg = {v: 0 for v in nodes}
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    want = {}
+    for c in sorted(set(lab.values())):
+        members = [v for v in nodes if lab[v] == c]
+        e_in = sum(1 for a, b in canon if lab[a] == c and lab[b] == c)
+        d_c = sum(deg[v] for v in members)
+        q = (
+            round(e_in / m - (d_c / (2 * m)) ** 2, 6) + 0.0
+            if m > 0
+            else 0.0
+        )
+        want[c] = (len(members), e_in, d_c, q)
+    edf = spark.createDataFrame(
+        list(edges) or [(0, 0)], "src long, dst long"
+    )
+    cdf = spark.createDataFrame(
+        [(v, lab[v]) for v in nodes], "node long, community long"
+    )
+    got = {
+        r.community: (r.n_nodes, r.e_in, r.deg_sum, r.q_part)
+        for r in community_modularity(edf, cdf).collect()
+    }
+    assert got == want
