@@ -1084,3 +1084,54 @@ def test_community_modularity_matches_python_model(spark, edges, labels):
         for r in community_modularity(edf, cdf).collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=15,
+    ),
+    redistribute=st.booleans(),
+)
+@SETTINGS
+def test_pagerank_directed_matches_python_model(spark, edges, redistribute):
+    # Directed pagerank vs an independent model over random shapes --
+    # source-only nodes (keep the base), sink-only nodes (in N), and
+    # dangling mass redistribution. Rank compared within 2e-6 of the
+    # 6dp-rounded engine output (float sum order differs; the formula
+    # must not).
+    from opensea_datapipeline_spark.operators.graph import pagerank
+
+    elist = [(a, b) for a, b in edges if a != b]
+    if not elist:
+        return
+    d = 0.85
+    nodes = sorted({v for e in elist for v in e})
+    n = len(nodes)
+    outdeg: dict = {}
+    for a, _ in elist:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        in_mass = {v: 0.0 for v in nodes}
+        for a, b in elist:
+            in_mass[b] += rank[a] / outdeg[a]
+        dang = (
+            sum(r for v, r in rank.items() if v not in outdeg)
+            if redistribute
+            else 0.0
+        )
+        rank = {
+            v: (1 - d) / n + d * (in_mass[v] + dang / n) for v in nodes
+        }
+    df = spark.createDataFrame(elist, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, undirected=False, redistribute_dangling=redistribute,
+            iters=5,
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 2e-6, (v, got[v], rank[v])
