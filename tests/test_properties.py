@@ -1135,3 +1135,50 @@ def test_pagerank_directed_matches_python_model(spark, edges, redistribute):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - rank[v]) < 2e-6, (v, got[v], rank[v])
+
+
+# Valid header prefixes for mutation fuzzing (from the known-bytes
+# fixture tests): byte flips must degrade to None or a value, never an
+# exception or a hang (a zero-size chunk must not loop the walker).
+_PNG = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+    + (320).to_bytes(4, "big") + (200).to_bytes(4, "big") + b"\x08\x06"
+)
+_GIF = b"GIF89a" + (64).to_bytes(2, "little") + (48).to_bytes(2, "little")
+_WAV = (
+    b"RIFF" + (100).to_bytes(4, "little") + b"WAVEfmt "
+    + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+    + (2).to_bytes(2, "little") + (44100).to_bytes(4, "little")
+)
+_MP4 = (
+    (20).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 8
+    + (16).to_bytes(4, "big") + b"moov"
+)
+
+
+@given(
+    data=st.one_of(
+        st.binary(min_size=0, max_size=64),
+        st.tuples(
+            st.sampled_from([_PNG, _GIF, _WAV, _MP4]),
+            st.integers(0, 30),
+            st.integers(0, 255),
+        ).map(
+            lambda t: t[0][: t[1] % (len(t[0]) + 1)]
+            + bytes([t[2]])
+            + t[0][t[1] % (len(t[0]) + 1) + 1 :]
+        ),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_media_header_parsers_total_on_garbage(data):
+    # Totality fuzz: arbitrary bytes AND single-byte mutations of valid
+    # headers (crafted sizes, truncations, zero-size chunks) must
+    # return a tuple or None from every parser -- no exception, no
+    # walker loop. Pure Python, no Spark session.
+    from opensea_datapipeline_spark.operators import multimodal as mm
+
+    for fn in (mm.parse_image_header, mm.parse_wav_header,
+               mm.parse_mp4_header):
+        out = fn(data)
+        assert out is None or isinstance(out, tuple)
