@@ -1263,3 +1263,32 @@ def test_covariance_partial_pass_no_upstream_shuffle(spark, sf_dir):
     below = "\n".join(lines[mip:])  # deeper in the tree = upstream
     assert "Exchange" not in below, below
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_components_gate_below_plan_is_broadcast_join(spark):
+    # r13: the below-gate auto resolver must re-enter the plan as ONE
+    # broadcast join of the driver union-find map -- no min-label
+    # iteration joins, no star rounds, no SinglePartition funnel. Above
+    # the gate (small_graph_edges=0) the iterative plan is expected.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components_auto,
+    )
+
+    nodes = spark.range(100).select(F.col("id"))
+    edges = spark.range(99).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components_auto(nodes, edges)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # a 99-edge chain below the gate resolves without any join loop:
+    # exactly one join in the whole plan (nodes x union-find map)
+    n_joins = plan.count("Join")
+    assert n_joins <= 2, plan
+    # labels: one component rooted at 0
+    rows = out.collect()
+    assert {r.group_id for r in rows} == {0}
+    assert len(rows) == 100
