@@ -115,6 +115,25 @@ _REGRADE_FIRST = (
     "streaming_funnel_stages",
     "token_entropy",
     "weighted_sample_docs",
+    # --- r13 session-2 code-path changes: regrade everything the
+    # [\s\S] render fix, the job-floor gates (components/BPE/LPA) and
+    # the fold refactor touch, so CORRECTNESS_r13 carries fresh rows ---
+    "bpe_train_merges",
+    "bpe_merge_candidates",
+    "bpe_encode_documents",
+    "bpe_encode_staged_2k",
+    "bpe_encode_arrow_2k",
+    "bpe_encode_from_artifact",
+    "bpe_encode_xcorpus_artifact",
+    "bpe_roundtrip_documents",
+    "bpe_pack_sequences",
+    "bpe_pack_with_boundaries",
+    "dedup_groups",
+    "dedup_representatives",
+    "entity_resolution_groups",
+    "incremental_dedup_groups",
+    "streaming_incremental_dedup_groups",
+    "label_prop_communities",
 )
 
 
