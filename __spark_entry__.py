@@ -134,6 +134,7 @@ _REGRADE_FIRST = (
     "incremental_dedup_groups",
     "streaming_incremental_dedup_groups",
     "label_prop_communities",
+    "quality_scores",  # punct_ratio empty-doc DIVIDE_BY_ZERO guard
 )
 
 

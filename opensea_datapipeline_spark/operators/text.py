@@ -182,9 +182,13 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         (F.length(F.regexp_replace(text_col, r"\s", "")) / n_words.cast("double")).alias(
             "mean_word_len"
         ),
-        (
+        # guarded: an EMPTY document has length 0 and the bare division
+        # is an ANSI DIVIDE_BY_ZERO that aborts the whole job (found by
+        # the r13 hostile-corpus totality sweep); ratio undefined -> null
+        F.when(
+            F.length(text_col) > 0,
             F.size(F.regexp_extract_all(text_col, F.lit(r"([\.,;:!\?])"), 1))
-            / F.length(text_col).cast("double")
+            / F.length(text_col).cast("double"),
         ).alias("punct_ratio"),
         (
             F.size(F.array_intersect(words, en_stop)) / n_words.cast("double")

@@ -1182,3 +1182,45 @@ def test_media_header_parsers_total_on_garbage(data):
                mm.parse_mp4_header):
         out = fn(data)
         assert out is None or isinstance(out, tuple)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=_HOSTILE_CHARS, min_size=0, max_size=30),
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_text_operator_battery_total_on_hostile_corpora(spark, texts):
+    # Totality sweep: the text-analysis battery must RUN on arbitrary
+    # hostile-unicode corpora (nulls, empty docs, line separators,
+    # astral chars, regex metachars) -- the failure class here is a
+    # thrown ANSI cast / INVALID_PARAMETER_VALUE.START that aborts a
+    # whole 100 TB job, not a wrong number.
+    from opensea_datapipeline_spark.operators import dedup as dd
+    from opensea_datapipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    for fn in (
+        tx.token_stats,
+        tx.quality_scores,
+        tx.language_id,
+        tx.language_id_cjk,
+        tx.document_fingerprints,
+        tx.redact_pii,
+        lambda d: tx.chunk_documents(d, chunk_size=4, overlap=1),
+        lambda d: tx.dup_ngram_fraction(d, n=3),
+        lambda d: dd.minhash_signatures(d),
+        lambda d: dd.simhash_near_dup_pairs(d, bits=16, radius=2),
+        lambda d: dd.exact_duplicates(d)
+        if hasattr(dd, "exact_duplicates")
+        else d.limit(0),
+    ):
+        rows = fn(docs).collect()
+        assert rows is not None
