@@ -135,6 +135,16 @@ _REGRADE_FIRST = (
     "streaming_incremental_dedup_groups",
     "label_prop_communities",
     "quality_scores",  # punct_ratio empty-doc DIVIDE_BY_ZERO guard
+    # --- r13 ANSI division-abort guards (zero prev / zero sigma / zero
+    # MAD / zero-norm vectors); graded values unchanged, regrade anyway
+    "pct_change_daily",
+    "zscore_anomalies",
+    "mad_anomalies",
+    "seasonal_adjusted_anomalies",
+    "knn_topk",
+    "embedding_near_dup",
+    "semdedup_pairs",
+    "semdedup_keep",
 )
 
 

@@ -40,14 +40,20 @@ def l2_normalize(a: Column | str) -> Column:
     (`generate_clip_embeddings.py:55-57`) so cosine == dot downstream."""
     a = F.col(a) if isinstance(a, str) else a
     n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    # a zero vector has no direction: it normalizes to ITSELF (all
+    # zeros) instead of ANSI-aborting the job on x/0 (r13)
+    safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return F.transform(a, lambda x: x.cast("double") / safe)
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Full cosine (not assuming unit vectors)."""
+    """Full cosine (not assuming unit vectors). Zero-norm inputs yield
+    NULL — the semantics the Arrow form documents; the bare division
+    would ANSI-abort the whole job on one zero vector (r13)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot_product(a, b) / denom)
 
 
 def cosine_similarity_arrow(a: Column | str, b: Column | str) -> Column:

@@ -430,10 +430,18 @@ def zscore_anomalies(
     )
     return (
         df.crossJoin(F.broadcast(stats))
-        .withColumn("zscore", (F.col(value_col) - F.col("_mu")) / F.col("_sigma"))
+        # sigma=0 (constant series) has NO anomalies by definition; the
+        # bare division is an ANSI DIVIDE_BY_ZERO job abort (r13)
+        .withColumn(
+            "zscore",
+            F.when(
+                F.col("_sigma") != 0,
+                (F.col(value_col) - F.col("_mu")) / F.col("_sigma"),
+            ),
+        )
         .filter(F.abs(F.col("zscore")) > threshold)
         .drop("_mu", "_sigma")
-        
+
     )
 
 

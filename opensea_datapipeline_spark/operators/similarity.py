@@ -59,7 +59,12 @@ def knn_topk_exact(
     else:
         corpus = corpus.withColumn("_cnorm", l2_norm("_cvec"))
         q = q.withColumn("_qnorm", l2_norm("_qvec"))
-        sim = dot_product("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm"))
+        # zero-norm vector -> null sim (desc sort ranks nulls LAST, so
+        # a zero vector never wins top-k) instead of an ANSI job abort
+        _denom = F.col("_qnorm") * F.col("_cnorm")
+        sim = F.when(
+            _denom != 0, dot_product("_qvec", "_cvec") / _denom
+        )
     pairs = (
         q.crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))

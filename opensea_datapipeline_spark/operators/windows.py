@@ -119,10 +119,16 @@ def pct_change(
     global_ok: bool = False,
 ) -> DataFrame:
     """W5: period-over-period change ``x/lag(x) - 1``
-    (`prepare_visual_market_data.py:185`)."""
+    (`prepare_visual_market_data.py:185`). A zero previous value makes
+    the change undefined -> null (the bare division is an ANSI
+    DIVIDE_BY_ZERO that aborts the job on a routine zero-valued period;
+    r13 totality sweep class)."""
     base = _series_window(partition_cols, global_ok)
     w = base.orderBy(order_col)
-    return df.withColumn(out_col, F.col(value_col) / F.lag(value_col).over(w) - 1)
+    prev = F.lag(value_col).over(w)
+    return df.withColumn(
+        out_col, F.when(prev != 0, F.col(value_col) / prev - 1)
+    )
 
 
 def cumulative_sum(

@@ -487,7 +487,8 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value FROM events GROUP BY 1
 )
 SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
-  daily_value / lag(daily_value) OVER (ORDER BY d) - 1 AS pct_change
+  daily_value / nullif(lag(daily_value) OVER (ORDER BY d), 0) - 1
+    AS pct_change
 FROM daily
 """,
 )
@@ -5158,7 +5159,7 @@ WITH daily AS (
 SELECT strftime(d, '%Y-%m-%d') AS d, daily_value,
   round((daily_value - m) / (1.4826 * dev), 6) AS robust_z
 FROM daily, med, mad
-WHERE abs(daily_value - m) > 1.5 * 1.4826 * dev
+WHERE dev > 0 AND abs(daily_value - m) > 1.5 * 1.4826 * dev
 """,
 )
 def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5181,9 +5182,15 @@ def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(mad))
+        # dev=0 (>=50% identical days) leaves robust-z undefined AND
+        # the division is an ANSI abort on any non-median day — both
+        # engines exclude the degenerate-scale case (r13)
         .filter(
-            F.abs(F.col("daily_value") - F.col("m"))
-            > 1.5 * 1.4826 * F.col("dev")
+            (F.col("dev") > 0)
+            & (
+                F.abs(F.col("daily_value") - F.col("m"))
+                > 1.5 * 1.4826 * F.col("dev")
+            )
         )
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("d"),
@@ -9212,7 +9219,8 @@ SELECT strftime(d, '%Y-%m-%d') AS d, v, resid,
   round(abs(resid - (SELECT m FROM md))
     / (CAST(1.4826 AS DOUBLE) * (SELECT s FROM sc)), 6) AS robust_z
 FROM res
-WHERE abs(resid - (SELECT m FROM md))
+WHERE (SELECT s FROM sc) > 0
+  AND abs(resid - (SELECT m FROM md))
   > 2.0 * (CAST(1.4826 AS DOUBLE) * (SELECT s FROM sc))
 """,
 )
@@ -9247,7 +9255,9 @@ def q_seasonal_adjusted_anomalies(
     )
     out = res.crossJoin(F.broadcast(md)).crossJoin(F.broadcast(sc))
     dev = F.abs(F.col("resid") - F.col("m"))
-    return out.filter(dev > 2.0 * (c * F.col("s"))).select(
+    # s=0 (>=50% identical residuals): robust-z undefined and the
+    # division ANSI-aborts — both engines exclude the degenerate scale
+    return out.filter((F.col("s") > 0) & (dev > 2.0 * (c * F.col("s")))).select(
         F.date_format("d", "yyyy-MM-dd").alias("d"),
         "v",
         "resid",

@@ -539,3 +539,52 @@ def test_label_propagation_gate_paths_agree(spark):
         }
         assert fast == dist, iters
         assert fast["a"] == "a"  # no in-edges: label kept
+
+
+def test_ansi_division_guards_on_degenerate_data(spark):
+    # r13 totality-sweep class: routine degenerate data (zero-valued
+    # day, constant series, zero vector, empty doc) must yield nulls /
+    # no-flags, never an ANSI DIVIDE_BY_ZERO job abort.
+    from opensea_datapipeline_spark.functions.vector import (
+        cosine_similarity,
+        l2_normalize,
+    )
+    from opensea_datapipeline_spark.operators.aggregates import (
+        zscore_anomalies,
+    )
+    from opensea_datapipeline_spark.operators.similarity import (
+        knn_topk_exact,
+    )
+    from opensea_datapipeline_spark.operators.windows import pct_change
+
+    # pct_change over a zero-valued period -> null, not a throw
+    df = spark.createDataFrame(
+        [(1, 4.0), (2, 0.0), (3, 5.0)], "t long, v double"
+    )
+    out = {r.t: r.pct_change
+           for r in pct_change(df, "t", "v", global_ok=True).collect()}
+    assert out[1] is None and out[3] is None  # first row + zero prev
+    assert abs(out[2] - (0.0 / 4.0 - 1)) < 1e-12
+
+    # constant series has NO anomalies (sigma=0), not a throw
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)], "t long, v double"
+    )
+    assert zscore_anomalies(const, "t", "v").count() == 0
+
+    # zero vector: normalizes to itself, cosine null, never wins top-k
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    n0 = vecs.filter("vec_id = 0").select(
+        l2_normalize("embedding").alias("n")
+    ).first().n
+    assert list(n0) == [0.0, 0.0]
+    pair = vecs.filter("vec_id = 0").crossJoin(
+        vecs.filter("vec_id = 1").select(F.col("embedding").alias("b"))
+    ).select(cosine_similarity("embedding", "b").alias("c")).first()
+    assert pair.c is None
+    knn = knn_topk_exact(vecs, k=1)
+    top = {r.query_id: r.neighbor_id for r in knn.collect()}
+    assert top[1] == 2 and top[2] == 1  # zero vector never the winner
