@@ -588,3 +588,59 @@ def test_ansi_division_guards_on_degenerate_data(spark):
     knn = knn_topk_exact(vecs, k=1)
     top = {r.query_id: r.neighbor_id for r in knn.collect()}
     assert top[1] == 2 and top[2] == 1  # zero vector never the winner
+
+
+def test_aggregate_battery_total_on_degenerate_events(spark):
+    # Totality: the aggregate/window battery must RUN on degenerate
+    # event frames -- empty, single-row, all-null values, constant
+    # values, zero values -- the inputs that expose ANSI
+    # division/cast aborts (the pct_change/zscore class).
+    import datetime
+
+    from opensea_datapipeline_spark.operators import aggregates as ag
+    from opensea_datapipeline_spark.operators import windows as wd
+
+    t0 = datetime.datetime(2024, 1, 1)
+    frames = {
+        "empty": [],
+        "single": [(1, 1, "a", t0, 5.0)],
+        "all_null_values": [
+            (1, 1, "a", t0, None),
+            (2, 2, "b", t0 + datetime.timedelta(days=1), None),
+        ],
+        "constant": [
+            (i, 1, "a", t0 + datetime.timedelta(days=i), 7.0)
+            for i in range(4)
+        ],
+        "zeros": [
+            (i, 1, "a", t0 + datetime.timedelta(days=i), 0.0)
+            for i in range(4)
+        ],
+    }
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp, value double"
+    )
+    for tag, rows in frames.items():
+        df = spark.createDataFrame(rows, schema)
+        daily = df.groupBy(F.to_date("ts").alias("d")).agg(
+            F.sum("value").alias("v")
+        )
+        for out in (
+            ag.daily_stats(
+                df.withColumn("d", F.to_date("ts")), ["d"],
+                user_col="user_id", price_col="value",
+                event_types=["a", "b"],
+            ),
+            ag.entity_stats(
+                df, ["user_id"], price_col="value", ts_col="ts",
+                distinct_col="event_type",
+            ),
+            ag.summary_quantiles(df, ["event_type"], "value"),
+            ag.zscore_anomalies(daily, "d", "v"),
+            wd.pct_change(daily, "d", "v", global_ok=True),
+            wd.rolling_mean(daily, "d", "v", 3, global_ok=True)
+            if hasattr(wd, "rolling_mean")
+            else daily,
+        ):
+            assert out.collect() is not None, (tag,)
