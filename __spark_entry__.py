@@ -139,12 +139,16 @@ _REGRADE_FIRST = (
     # MAD / zero-norm vectors); graded values unchanged, regrade anyway
     "pct_change_daily",
     "zscore_anomalies",
-    "mad_anomalies",
     "seasonal_adjusted_anomalies",
     "knn_topk",
     "embedding_near_dup",
     "semdedup_pairs",
     "semdedup_keep",
+    # --- r13 cast-abort guards (try_cast/try_parse_json/try_variant_get)
+    "json_extraction",
+    "variant_json_stats",
+    "clean_events_pipeline",
+    "cleaning_rejects",
 )
 
 

@@ -25,13 +25,21 @@ def normalize_types(
     numeric_defaults: dict[str, float],
 ) -> DataFrame:
     """P2/P3: trim+lowercase string columns, null-fill numeric columns
-    with declared defaults (`clean_events.py:63-77, 123-129`)."""
+    with declared defaults (`clean_events.py:63-77, 123-129`).
+    try_cast, not cast: a stringly source column carrying garbage
+    ("N/A", "") must take the declared DEFAULT — under ANSI mode a
+    plain cast THROWS on the first malformed row and aborts the whole
+    job (r13 cast-abort sweep; the reference's raw CSVs are exactly
+    this shape)."""
     out = df
     for c in string_cols:
         out = out.withColumn(c, F.lower(F.trim(F.col(c).cast("string"))))
     for c, default in numeric_defaults.items():
         out = out.withColumn(
-            c, F.coalesce(F.col(c).cast("double"), F.lit(float(default)))
+            c,
+            F.coalesce(
+                F.col(c).try_cast("double"), F.lit(float(default))
+            ),
         )
     return out
 
@@ -222,9 +230,17 @@ def clean_nft_events(df: DataFrame) -> DataFrame:
         .withColumn(
             "currency_symbol", F.coalesce(F.col("currency_symbol"), F.lit("ETH"))
         )
-        .withColumn("quantity", F.coalesce(F.col("quantity").cast("long"), F.lit(1)))
+        # try_cast: a garbage stringly quantity/price takes the default
+        # instead of an ANSI CAST_INVALID_INPUT job abort (r13)
         .withColumn(
-            "price_total", F.coalesce(F.col("price_total").cast("double"), F.lit(0.0))
+            "quantity",
+            F.coalesce(F.col("quantity").try_cast("long"), F.lit(1)),
+        )
+        .withColumn(
+            "price_total",
+            F.coalesce(
+                F.col("price_total").try_cast("double"), F.lit(0.0)
+            ),
         )
     )
 
@@ -244,8 +260,10 @@ def clean_nft_events(df: DataFrame) -> DataFrame:
         out = out.withColumn(c, F.lower(F.trim(F.coalesce(F.col(c), F.lit("")))))
     out = out.withColumn("is_mint", F.col("from_address") == F.lit(NULL_ADDRESS))
 
-    # (4) price derivation: stringly price_each → double, else total/quantity
-    each_parsed = F.col("price_each").cast("double")
+    # (4) price derivation: stringly price_each → double, else
+    # total/quantity (try_cast — "missing/garbage" is the documented
+    # branch; a plain cast would ANSI-abort on the first garbage row)
+    each_parsed = F.col("price_each").try_cast("double")
     out = out.withColumn(
         "price_each_eth",
         F.coalesce(

@@ -959,7 +959,12 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON column, typed extraction, aggregate.
     e = _t(spark, sf_dir, "events")
     return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        # try_cast: a non-numeric $.k in real payloads must read null,
+        # not ANSI-abort the scan (r13 cast-abort sweep; the validator
+        # explicitly expects malformed props in raw data)
+        e.withColumn(
+            "k", F.get_json_object("props", "$.k").try_cast("long")
+        )
         .groupBy("event_type")
         .agg(F.avg("k").alias("mean_k"), F.count(F.lit(1)).alias("n"))
 
@@ -991,7 +996,14 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     v = e.select(
         "event_type",
-        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        # try_parse_json + try_variant_get: malformed props rows (which
+        # validate_events COUNTS as an expected raw-data condition) and
+        # wrong-TYPED values ({"k": "abc"}) must both read null, not
+        # abort the ingest (r13 cast-abort sweep; variant_get throws
+        # INVALID_VARIANT_CAST on a type mismatch)
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "int"
+        ).alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count("k").alias("n_with_k"),

@@ -644,3 +644,56 @@ def test_aggregate_battery_total_on_degenerate_events(spark):
             else daily,
         ):
             assert out.collect() is not None, (tag,)
+
+
+def test_cast_guards_on_garbage_strings(spark):
+    # r13 cast-abort sweep: stringly numeric columns carrying garbage
+    # must take defaults/null -- a plain ANSI cast throws
+    # CAST_INVALID_INPUT on the first malformed row and aborts the job.
+    from opensea_datapipeline_spark.operators.clean import (
+        clean_nft_events,
+        normalize_types,
+    )
+
+    df = spark.createDataFrame(
+        [("12.5",), ("garbage",), (None,), ("",)], "value string"
+    )
+    got = {
+        r.value for r in normalize_types(df, [], {"value": 0.0}).collect()
+    }
+    assert got == {12.5, 0.0}
+
+    raw = spark.createDataFrame(
+        [
+            # quantity + price_total + price_each ALL garbage strings
+            ("0xt1", "7", "sale", "not-a-date", 1700000000,
+             "s", "b", "f", "t", "0xc", "N/A", "junk", "??", "eth",
+             "ETH", "col1"),
+        ],
+        "tx string, token_id string, event_type string,"
+        " time_utc string, timestamp long, seller string, buyer string,"
+        " from_address string, to_address string, contract string,"
+        " quantity string, price_total string, price_each string,"
+        " chain string, currency_symbol string, collection string",
+    )
+    rows = clean_nft_events(raw).collect()
+    assert len(rows) == 1  # timestamp fell back to unix seconds
+    r = rows[0]
+    assert r.quantity == 1          # garbage -> default
+    assert r.price_total_eth == 0.0  # garbage -> default
+    assert r.price_each_eth == 0.0   # garbage -> total/qty -> 0.0
+
+    # malformed JSON props: variant + string JSON paths read null,
+    # never abort
+    e = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{not json"), (3, '{"k": "abc"}')],
+        "event_id long, props string",
+    )
+    ks = e.select(
+        F.get_json_object("props", "$.k").try_cast("long").alias("k1"),
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "int"
+        ).alias("k2"),
+    ).collect()
+    assert [r.k1 for r in ks] == [5, None, None]
+    assert [r.k2 for r in ks] == [5, None, None]
