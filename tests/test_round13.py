@@ -697,3 +697,136 @@ def test_cast_guards_on_garbage_strings(spark):
     ).collect()
     assert [r.k1 for r in ks] == [5, None, None]
     assert [r.k2 for r in ks] == [5, None, None]
+
+
+def _ann_vec(i, dim=8):
+    # deterministic distinct unit-ish vectors
+    import math
+
+    return [math.sin(0.7 * i + j) for j in range(dim)]
+
+
+def test_streaming_ann_ingest_matches_batch_lifecycle(spark, tmp_path):
+    # The composed embedding-ingest loop: first batch trains + publishes
+    # index_v0; later batches append under the frozen quantizer. KMeans
+    # centroids depend on input partitioning, so the invariants are the
+    # partition-INDEPENDENT ones: every vector stored exactly once and
+    # assigned to its numpy-nearest centroid; a full-width probe equals
+    # exact brute-force top-k; a replayed stream is a no-op.
+    import numpy as np
+
+    from opensea_datapipeline_spark.operators.ann_index import (
+        ivf_probe,
+        read_ivf_index,
+    )
+    from opensea_datapipeline_spark.operators.similarity import (
+        knn_topk_exact,
+    )
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    batches = [range(0, 8), range(8, 12), range(12, 16)]
+    src = str(tmp_path / "src")
+    for ids in batches:
+        spark.createDataFrame(
+            [(i, _ann_vec(i)) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    walls = []
+    meta = run_streaming_ann_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        n_lists=2, rebuild_threshold=5.0,  # never rebuild in this test
+        on_batch=lambda b, w, r: walls.append((b, r)),
+    )
+    assert meta["rebuilds"] == 0 and meta["version"] == 0
+    assert len(walls) == 3 and not any(r for _, r in walls[1:])
+
+    # (a) store: every id exactly once, assigned to its nearest centroid
+    assigns = spark.read.parquet(
+        meta["index_dir"] + "/assignments"
+    ).collect()
+    assert sorted(r.id for r in assigns) == list(range(16))
+    cents = {
+        r.list_id: np.array(r.centroid, dtype=float)
+        for r in spark.read.parquet(
+            meta["index_dir"] + "/centroids"
+        ).collect()
+    }
+    for r in assigns:
+        v = np.array(_ann_vec(r.id))
+        best = min(
+            cents, key=lambda lid: float(np.sum((v - cents[lid]) ** 2))
+        )
+        d_best = float(np.sum((v - cents[best]) ** 2))
+        d_got = float(np.sum((v - cents[r.list_id]) ** 2))
+        assert d_got <= d_best + 1e-9, (r.id, r.list_id, best)
+
+    # (b) full-width probe == exact brute-force top-k
+    all_vecs = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = read_ivf_index(spark, meta["index_dir"])
+    got_p = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_probe(idx, all_vecs, k=3, n_probe=2).collect()
+    }
+    want_p = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_topk_exact(all_vecs, k=3).collect()
+    }
+    assert got_p == want_p and got_p
+
+    # (c) replay: a restart with no new files changes nothing
+    again = run_streaming_ann_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        n_lists=2, rebuild_threshold=5.0,
+    )
+    assert again["version"] == 0 and again["last_batch_id"] == meta[
+        "last_batch_id"
+    ]
+    assert spark.read.parquet(
+        again["index_dir"] + "/assignments"
+    ).count() == 16
+
+
+def test_streaming_ann_ingest_staleness_rebuild_fires(spark, tmp_path):
+    # With a low threshold the appended fraction crosses it and the
+    # loop REBUILDS: version advances, the old dir is gone, counters
+    # reset (delta_fraction 0 right after), and the store still holds
+    # every vector exactly once.
+    import os
+
+    from opensea_datapipeline_spark.operators.ann_index import (
+        index_staleness,
+    )
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    batches = [range(0, 6), range(6, 12), range(12, 14)]
+    src = str(tmp_path / "src")
+    for ids in batches:
+        spark.createDataFrame(
+            [(i, _ann_vec(i)) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+    meta = run_streaming_ann_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_lists=2, rebuild_threshold=0.4,
+    )
+    # batch 2 doubles the corpus (6 appended / 12 total = 0.5 > 0.4)
+    assert meta["rebuilds"] >= 1
+    assert meta["version"] == meta["rebuilds"]
+    assert not os.path.isdir(os.path.join(state, "index_v0"))
+    rows = spark.read.parquet(meta["index_dir"] + "/assignments")
+    assert rows.count() == 14
+    assert rows.select("id").distinct().count() == 14
+    stale = index_staleness(spark, meta["index_dir"])
+    # the LAST batch may have appended after the rebuild; the appended
+    # fraction must reflect only post-rebuild mass
+    assert stale["n_base"] >= 12
