@@ -830,3 +830,49 @@ def test_streaming_ann_ingest_staleness_rebuild_fires(spark, tmp_path):
     # the LAST batch may have appended after the rebuild; the appended
     # fraction must reflect only post-rebuild mass
     assert stale["n_base"] >= 12
+
+
+def test_streaming_ann_ingest_crash_window_replay_is_noop(
+    spark, tmp_path
+):
+    # Crash window: the append lands BEFORE the meta batch-id bump. A
+    # crash between them replays the batch against a store that already
+    # holds its rows -- the anti-join must make the re-append a no-op,
+    # never a duplicate.
+    import json
+    import os
+
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    batches = [range(0, 6), range(6, 10)]
+    src = str(tmp_path / "src")
+    for ids in batches:
+        spark.createDataFrame(
+            [(i, _ann_vec(i)) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    meta = run_streaming_ann_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_lists=2, rebuild_threshold=5.0,
+    )
+    n0 = spark.read.parquet(meta["index_dir"] + "/assignments").count()
+    assert n0 == 10
+
+    # simulate the crash: rewind the committed batch id so the last
+    # batch replays, and run the stream from a FRESH checkpoint (the
+    # replayed batch arrives again)
+    mpath = os.path.join(state, "_gold_meta.json")
+    m = json.load(open(mpath))
+    m["last_batch_id"] = -1  # replay everything
+    json.dump(m, open(mpath, "w"))
+    again = run_streaming_ann_ingest(
+        spark, src, state, str(tmp_path / "ckpt2"),
+        n_lists=2, rebuild_threshold=5.0,
+    )
+    rows = spark.read.parquet(again["index_dir"] + "/assignments")
+    assert rows.count() == 10  # no duplicates from the re-appends
+    assert rows.select("id").distinct().count() == 10
+    assert again["version"] == meta["version"]
