@@ -46,9 +46,12 @@ from pyspark.sql import functions as F
 
 from ..operators.ann_index import (
     append_ivf_index_at,
+    append_lsh_index_at,
     build_ivf_index,
+    build_lsh_index,
     index_staleness,
     write_ivf_index,
+    write_lsh_index,
 )
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
@@ -80,18 +83,30 @@ def run_streaming_ann_ingest(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kind: str = "ivf",
     n_lists: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
     rebuild_threshold: float = 0.5,
     train_rows: int | None = None,
     max_files_per_trigger: int = 1,
     on_batch=None,
 ) -> dict:
-    """Stream ``embeddings_dir`` (AvailableNow) into the persisted IVF
+    """Stream ``embeddings_dir`` (AvailableNow) into the persisted ANN
     index at ``state_dir``; returns the final loop meta (incl. the
-    current ``index_dir`` ready for ``read_ivf_index``/``ivf_probe``).
+    current ``index_dir`` ready for ``read_*_index``/probe).
     ``on_batch(batch_id, wall_s, rebuilt)`` is the per-batch monitor
     hook. Vector ids must be globally unique across the stream (the
-    append's anti-join contract)."""
+    append's anti-join contract).
+
+    ``kind="lsh"``: appends are bit-identical to a rebuild (signatures
+    are a pure per-row function of the frozen hyperplanes —
+    ``index_staleness``'s documented LSH rule), so the loop never
+    rebuilds and the version stays 0 for the store's lifetime; the
+    quantized kinds pay the rebuild at threshold cadence."""
+    if kind not in ("ivf", "lsh"):
+        raise ValueError(f"kind must be 'ivf' or 'lsh', got {kind!r}")
     ensure_reader_confs(spark)
     schema = spark.read.parquet(embeddings_dir).schema
     stream = (
@@ -112,18 +127,34 @@ def run_streaming_ann_ingest(
         rebuilt = False
         old_version_dir = None
         if "version" not in meta:
-            # bootstrap: the first batch trains the quantizer
-            idx = build_ivf_index(
-                batch, id_col, vec_col, n_lists=n_lists,
-                train_rows=train_rows,
-            )
-            _publish_index(idx, state_dir, 0)
+            # bootstrap: the first batch trains the quantizer / fixes
+            # the hyperplanes
+            if kind == "lsh":
+                idx = build_lsh_index(
+                    batch, id_col, vec_col,
+                    n_planes=n_planes, n_tables=n_tables, dim=dim,
+                )
+                tmp = os.path.join(state_dir, "_tmp_index_v0")
+                out = _version_dir(state_dir, 0)
+                shutil.rmtree(tmp, ignore_errors=True)
+                write_lsh_index(idx, tmp)
+                shutil.rmtree(out, ignore_errors=True)
+                os.replace(tmp, out)
+            else:
+                idx = build_ivf_index(
+                    batch, id_col, vec_col, n_lists=n_lists,
+                    train_rows=train_rows,
+                )
+                _publish_index(idx, state_dir, 0)
             meta = {"version": 0, "rebuilds": 0}
         else:
             cur = _version_dir(state_dir, meta["version"])
             # append BEFORE the meta bump: a crash after this write
             # replays the batch and the anti-join makes it a no-op
-            append_ivf_index_at(ss, cur, batch, id_col, vec_col)
+            if kind == "lsh":
+                append_lsh_index_at(ss, cur, batch, id_col, vec_col)
+            else:
+                append_ivf_index_at(ss, cur, batch, id_col, vec_col)
             stale = index_staleness(
                 ss, cur, rebuild_threshold=rebuild_threshold
             )

@@ -876,3 +876,56 @@ def test_streaming_ann_ingest_crash_window_replay_is_noop(
     assert rows.count() == 10  # no duplicates from the re-appends
     assert rows.select("id").distinct().count() == 10
     assert again["version"] == meta["version"]
+
+
+def test_streaming_ann_ingest_lsh_kind_never_rebuilds(spark, tmp_path):
+    # kind="lsh": appends are bit-identical to a rebuild (pure per-row
+    # signatures under frozen hyperplanes), so version stays 0 forever
+    # even with a threshold that would force an IVF rebuild -- and the
+    # probe over the streamed store equals probing a one-shot build of
+    # the same corpus (signature determinism).
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_lsh_index,
+        lsh_probe,
+        read_lsh_index,
+    )
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    batches = [range(0, 5), range(5, 10), range(10, 12)]
+    src = str(tmp_path / "src")
+    for ids in batches:
+        spark.createDataFrame(
+            [(i, _ann_vec(i)) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    meta = run_streaming_ann_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        kind="lsh", n_planes=3, n_tables=4, dim=8,
+        rebuild_threshold=0.01,  # would force IVF to rebuild
+    )
+    assert meta["rebuilds"] == 0 and meta["version"] == 0
+
+    qdf = spark.createDataFrame(
+        [(100, _ann_vec(4))], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsh_probe(
+            read_lsh_index(spark, meta["index_dir"]), qdf, k=3
+        ).collect()
+    }
+    oneshot = build_lsh_index(
+        spark.createDataFrame(
+            [(i, _ann_vec(i)) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        ),
+        n_planes=3, n_tables=4, dim=8,
+    )
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsh_probe(oneshot, qdf, k=3).collect()
+    }
+    assert got == want and got
