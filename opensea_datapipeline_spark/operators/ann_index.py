@@ -464,17 +464,23 @@ def append_lsh_index_at(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(existing, "id", "left_anti")
     )
+    # pin: the delta feeds the sig write, the vectors write AND the
+    # meta count — unpinned, each re-runs the anti-join against the
+    # store; counting the pinned DELTA replaces the old two full-store
+    # count scans (O(corpus) per append — the r13 ingest-loop find)
+    delta = delta.localCheckpoint(eager=True)
+    n_delta = delta.count()
     delta_sigs = _lsh_sig_table(
         delta.select(F.col("id").alias(id_col), F.col("vec").alias(vec_col)),
         id_col, vec_col,
         meta["n_planes"], meta["n_tables"], meta["dim"], meta["seed"],
     )
-    old_total = spark.read.parquet(f"{path}/vectors").count()
     delta_sigs.write.mode("append").partitionBy("table").parquet(f"{path}/sigs")
     delta.write.mode("append").parquet(f"{path}/vectors")
     _bump_append_meta(
-        spark, path, "lsh", old_total,
-        spark.read.parquet(f"{path}/vectors").count(),
+        spark, path, "lsh", n_delta,
+        legacy_total=lambda: spark.read.parquet(f"{path}/vectors").count()
+        - n_delta,
     )
 
 
@@ -492,14 +498,17 @@ def append_ivf_index_at(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(existing, "id", "left_anti")
     )
+    delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
+    n_delta = delta.count()
     assigned = _assign_to_centroids(delta, centroids)
-    old_total = spark.read.parquet(f"{path}/assignments").count()
     assigned.write.mode("append").partitionBy("list_id").parquet(
         f"{path}/assignments"
     )
     _bump_append_meta(
-        spark, path, "ivf", old_total,
-        spark.read.parquet(f"{path}/assignments").count(),
+        spark, path, "ivf", n_delta,
+        legacy_total=lambda: spark.read.parquet(
+            f"{path}/assignments"
+        ).count() - n_delta,
     )
 
 
@@ -540,17 +549,24 @@ _MAIN_TABLE = {"lsh": "vectors", "ivf": "assignments", "pq": "codes",
 
 
 def _bump_append_meta(
-    spark: SparkSession, path: str, kind: str, old_total: int, new_total: int
+    spark: SparkSession, path: str, kind: str, n_delta: int,
+    legacy_total=None,
 ) -> None:
     """Record one append in the index meta: append counter + cumulative
-    appended-row count. Legacy metas (written before the counters
-    existed) adopt the pre-append total as ``n_base`` so tracking starts
-    from the first counted append rather than guessing history."""
+    appended-row count. ``n_delta`` is the row count of the (pinned)
+    anti-joined delta — counting the DELTA keeps append cost
+    delta-proportional; the r13 ingest-loop profiling caught the old
+    form's two FULL-STORE count scans per append, an O(corpus)-per-batch
+    tax at exactly the daily-ingest cadence the appends exist for.
+    Legacy metas (written before the counters existed) adopt the
+    pre-append total as ``n_base`` via the ``legacy_total`` callable —
+    the one store-sized count left, paid once per legacy index."""
     meta = _read_meta(spark, path, kind)
     if meta["n_base"] is None:
-        meta["n_base"] = old_total - (meta["n_appended"] or 0)
+        pre_total = int(legacy_total()) if legacy_total is not None else 0
+        meta["n_base"] = pre_total - (meta["n_appended"] or 0)
     meta["n_appends"] = (meta["n_appends"] or 0) + 1
-    meta["n_appended"] = (meta["n_appended"] or 0) + (new_total - old_total)
+    meta["n_appended"] = (meta["n_appended"] or 0) + int(n_delta)
     _write_meta(spark, path, meta)
 
 
@@ -1411,11 +1427,13 @@ def append_pq_index_at(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(existing, "id", "left_anti")
     )
-    old_total = spark.read.parquet(f"{path}/codes").count()
+    delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
+    n_delta = delta.count()
     _pq_encode(delta, books).write.mode("append").parquet(f"{path}/codes")
     _bump_append_meta(
-        spark, path, "pq", old_total,
-        spark.read.parquet(f"{path}/codes").count(),
+        spark, path, "pq", n_delta,
+        legacy_total=lambda: spark.read.parquet(f"{path}/codes").count()
+        - n_delta,
     )
 
 
@@ -1485,6 +1503,8 @@ def append_ivfpq_index_at(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(existing, "id", "left_anti")
     )
+    delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
+    n_delta = delta.count()
     if meta["residual"]:
         import numpy as np
 
@@ -1502,11 +1522,11 @@ def append_ivfpq_index_at(
         appended = assigned.join(_pq_encode(delta, books), "id").select(
             "id", "list_id", "codes"
         )
-    old_total = spark.read.parquet(f"{path}/codes").count()
     appended.write.mode("append").partitionBy("list_id").parquet(
         f"{path}/codes"
     )
     _bump_append_meta(
-        spark, path, "ivfpq", old_total,
-        spark.read.parquet(f"{path}/codes").count(),
+        spark, path, "ivfpq", n_delta,
+        legacy_total=lambda: spark.read.parquet(f"{path}/codes").count()
+        - n_delta,
     )
