@@ -149,6 +149,7 @@ _REGRADE_FIRST = (
     "variant_json_stats",
     "clean_events_pipeline",
     "cleaning_rejects",
+    "ann_persisted_probe",  # delta-proportional append counters
 )
 
 
