@@ -88,68 +88,25 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # the r01–r13 union is older than r09. New registrations (ungraded)
 # still sort ahead of every graded query automatically.
 _REGRADE_FIRST = (
-    # --- latest driver row r08 ---
-    "benford_deviation",
-    "chisq_type_weekday",
-    "cohort_retention",
-    "containment_dedup_counts",
-    "corpus_curation_near_dup",
-    "cusum_changepoint",
-    "discounted_revenue",
-    "dormant_high_value_customers",
-    "event_state_intervals",
-    "event_transitions",
-    "excess_suppliers",
-    "forecast_revenue",
-    "funnel_conversion",
-    "fuzzy_name_match",
-    "important_stock",
-    "late_priority_mix",
-    "llm_corpus_pipeline",
-    "locf_gap_fill",
-    "mad_anomalies",
-    "retention_matrix",
-    "rolling_active_users",
-    "rolling_wau_sketch",
-    "session_window_stats",
-    "streaming_funnel_stages",
-    "token_entropy",
-    "weighted_sample_docs",
-    # --- r13 session-2 code-path changes: regrade everything the
-    # [\s\S] render fix, the job-floor gates (components/BPE/LPA) and
-    # the fold refactor touch, so CORRECTNESS_r13 carries fresh rows ---
-    "bpe_train_merges",
-    "bpe_merge_candidates",
+    # --- r13's 55-name queue exceeded the 50-slot prefix; these five —
+    # exactly the queries the r13 render fix / job-floor gates / auto
+    # router changed — missed it and still carry r12 rows (VERDICT r13
+    # #1). Head of the r14 queue; everything else from r13's queue got
+    # its fresh row and is retired.
     "bpe_encode_documents",
     "bpe_encode_staged_2k",
     "bpe_encode_arrow_2k",
     "bpe_encode_from_artifact",
-    "bpe_encode_xcorpus_artifact",
-    "bpe_roundtrip_documents",
-    "bpe_pack_sequences",
     "bpe_pack_with_boundaries",
-    "dedup_groups",
-    "dedup_representatives",
-    "entity_resolution_groups",
-    "incremental_dedup_groups",
-    "streaming_incremental_dedup_groups",
-    "label_prop_communities",
-    "quality_scores",  # punct_ratio empty-doc DIVIDE_BY_ZERO guard
-    # --- r13 ANSI division-abort guards (zero prev / zero sigma / zero
-    # MAD / zero-norm vectors); graded values unchanged, regrade anyway
-    "pct_change_daily",
-    "zscore_anomalies",
-    "seasonal_adjusted_anomalies",
-    "knn_topk",
-    "embedding_near_dup",
-    "semdedup_pairs",
-    "semdedup_keep",
-    # --- r13 cast-abort guards (try_cast/try_parse_json/try_variant_get)
-    "json_extraction",
-    "variant_json_stats",
-    "clean_events_pipeline",
-    "cleaning_rejects",
-    "ann_persisted_probe",  # delta-proportional append counters
+    # --- r14 code-path changes ---
+    "knn_topk",            # null-sim filter before ranking + oracle WHERE
+    "knn_topk_quantized",  # same oracle/operator pair (r10 row)
+    "json_extraction",     # oracle TRY_CAST parity (ADVICE r13)
+    "variant_json_stats",  # oracle TRY_CAST parity (ADVICE r13)
+    "bpe_encode_xcorpus_artifact",  # fp_version in artifact meta
+    # The remaining ~40 prefix slots fill with the r09 tail
+    # automatically — _ordered sorts graded queries stalest-first, so
+    # the 47 r09 rows (VERDICT r13 #3) rotate in without being named.
 )
 
 

@@ -70,6 +70,12 @@ def knn_topk_exact(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
+    if not assume_normalized:
+        # Cosine is undefined against (or from) a zero-norm vector; drop
+        # those pairs BEFORE ranking so a top-k slot is never padded with
+        # a sim=NULL row (a zero-norm query would otherwise "rank" k
+        # neighbors purely by id). Callers see < k rows instead.
+        pairs = pairs.filter(F.col("sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -1968,8 +1968,17 @@ def bpe_grid_merge_table(
     )
 
 
+# Fingerprint format version written to artifact meta. v1 (pre-r13,
+# implicit — metas carry no fp_version field) hashed merges over
+# (merge_rank, left_sym, right_sym, merged); v2 adds the `n` column so
+# a count edit can't slip past verification. Readers accept both: a
+# meta without fp_version verifies against the v1 recipe, so artifacts
+# persisted by pre-change code stay loadable (ADVICE r13).
+_BPE_FP_VERSION = 2
+
+
 def _bpe_artifact_fingerprint(
-    merges: DataFrame, alphabet: DataFrame
+    merges: DataFrame, alphabet: DataFrame, *, fp_version: int = _BPE_FP_VERSION
 ) -> "tuple[str, int, int]":
     """(content_hash, n_merges, alphabet_size) — an order-free digest
     of the two vocabulary-bounded tables (count + decimal sum of
@@ -1978,13 +1987,14 @@ def _bpe_artifact_fingerprint(
     1-row aggregates, never a corpus pass."""
     import hashlib
 
+    merge_hash_cols = ["merge_rank", "left_sym", "right_sym", "merged"]
+    if fp_version >= 2:
+        merge_hash_cols.append("n")
     m = merges.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(
             F.sum(
-                F.xxhash64(
-                    "merge_rank", "left_sym", "right_sym", "merged", "n"
-                ).cast("decimal(38,0)")
+                F.xxhash64(*merge_hash_cols).cast("decimal(38,0)")
             ),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
@@ -2036,9 +2046,9 @@ def bpe_write_tokenizer(
         path + "/alphabet"
     )
     spark.createDataFrame(
-        [(marker, n_merges, alphabet_size, content_hash)],
+        [(marker, n_merges, alphabet_size, content_hash, _BPE_FP_VERSION)],
         "marker string, n_merges long, alphabet_size long,"
-        " content_hash string",
+        " content_hash string, fp_version long",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
@@ -2066,8 +2076,13 @@ def bpe_read_tokenizer(
     meta = meta_rows[0].asDict() if meta_rows else {}
     marker = meta.get("marker")
     if verify and meta.get("content_hash") is not None:
+        # Metas written before the fingerprint was versioned carry no
+        # fp_version field — they hashed with the v1 recipe (no `n`
+        # column), so verify them against that recipe rather than
+        # failing every previously-valid artifact (ADVICE r13).
+        fp_version = int(meta.get("fp_version") or 1)
         got_hash, got_m, got_a = _bpe_artifact_fingerprint(
-            merges, alphabet
+            merges, alphabet, fp_version=fp_version
         )
         want = (
             meta["content_hash"],

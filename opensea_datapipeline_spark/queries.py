@@ -949,7 +949,7 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extraction",
     """
 SELECT event_type,
-  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mean_k,
+  avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mean_k,
   CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1
 """,
@@ -976,7 +976,7 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH v AS (
   SELECT event_type,
-    CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    TRY_CAST(json_extract(props, '$.k') AS INTEGER) AS k
   FROM events
 )
 SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
@@ -1290,7 +1290,7 @@ scored AS (
 SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
     AS rank
-  FROM scored
+  FROM scored WHERE sim IS NOT NULL
 ) t WHERE rank <= 10
 """,
 )
@@ -6296,7 +6296,7 @@ WITH base AS (
 SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
     AS rank
-  FROM scored
+  FROM scored WHERE sim IS NOT NULL
 ) t WHERE rank <= 5
 """,
 )

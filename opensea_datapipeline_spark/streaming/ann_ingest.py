@@ -1,17 +1,33 @@
 """Streaming embedding ingest into a persisted ANN index — the
 corpus-dedup loop's pattern applied to the similarity side, composing
-the r6–r12 lifecycle pieces (``build_ivf_index`` / ``write_ivf_index``
-/ ``append_ivf_index_at`` / ``index_staleness``) into the ONE streaming
+the r6–r13 lifecycle pieces (``build_*_index`` / ``write_*_index`` /
+``append_*_index_at`` / ``index_staleness``) into the ONE streaming
 job an embedding tier runs: vector files arrive, each micro-batch
-appends to the persisted index under the frozen coarse quantizer, and
-the loop itself fires the staleness-triggered REBUILD once appended
-mass crosses the threshold (recall decays silently as frozen centroids
-drift from the corpus — the measured r7 effect the threshold guards).
+appends to the persisted index under the frozen learned structure
+(IVF centroids / LSH hyperplanes / PQ codebooks), and the loop itself
+fires the staleness-triggered REBUILD once appended mass crosses the
+threshold (recall decays silently as the frozen structure drifts from
+the corpus — the measured r7 effect the threshold guards).
+
+All four persisted kinds run the same loop (r14, VERDICT r13 #5):
+
+- ``ivf``     appends assign to frozen centroids; rebuild retrains the
+              coarse quantizer FROM THE STORE (assignments keep raw
+              vectors).
+- ``lsh``     appends are bit-identical to a rebuild (signatures are a
+              pure per-row function of the frozen hyperplanes), so the
+              loop never rebuilds and version stays 0.
+- ``pq``      appends encode against frozen codebooks; codes are LOSSY
+              (m small ints per vector — the raw floats are gone), so
+              the rebuild re-reads the stream's SOURCE directory, the
+              only place the floats still live. That is the honest
+              economics of a compressed index: reindex = one pass over
+              the source of truth, at threshold cadence.
+- ``ivfpq``   both frozen structures; rebuild from source, as pq.
 
 Store layout under ``state_dir``::
 
-    index_v{K}/   the persisted IVF index (ann_index layout: meta,
-                  centroids, assignments partitioned by list_id) —
+    index_v{K}/   the persisted index (ann_index layout per kind) —
                   appends mutate the CURRENT version in place
                   (idempotent: the append anti-joins existing ids);
                   REBUILDS publish a new version atomically
@@ -25,20 +41,25 @@ Crash-window discipline (the corpus_dedup argument, re-applied):
   ``index_v{K+1}``, and only then moves the meta pointer; a crash
   between rename and meta leaves an orphan version that the next
   attempt clears — the meta never points at an incomplete index;
-- the superseded version is removed only AFTER the meta commit.
+- the superseded version is removed only AFTER the meta commit, and a
+  per-batch sweep removes any ``index_v*`` / ``_tmp_index_v*`` whose
+  version differs from the committed meta's — a crash INSIDE the
+  meta-commit→rmtree window would otherwise orphan one full index
+  copy per crashed rebuild forever (ADVICE r13).
 
 First batch runs the same code path: no meta → the batch itself trains
-the quantizer (``build_ivf_index``) and publishes ``index_v0``.
+the learned structure and publishes ``index_v0``.
 
 At 100 TB the economics are the lifecycle's: per-trigger cost is one
-broadcast-nearest-centroid pass over the BATCH plus an ids-column
-anti-join read (parquet-pruned); the rebuild — the only corpus-sized
-job — runs at the cadence the threshold dictates, not per batch.
+Arrow assign/encode pass over the BATCH plus an ids-column anti-join
+read (parquet-pruned); the rebuild — the only corpus-sized job — runs
+at the cadence the threshold dictates, not per batch.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,33 +67,68 @@ from pyspark.sql import functions as F
 
 from ..operators.ann_index import (
     append_ivf_index_at,
+    append_ivfpq_index_at,
     append_lsh_index_at,
+    append_pq_index_at,
     build_ivf_index,
+    build_ivfpq_index,
     build_lsh_index,
+    build_pq_index,
     index_staleness,
     write_ivf_index,
+    write_ivfpq_index,
     write_lsh_index,
+    write_pq_index,
 )
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
+
+_APPENDERS = {
+    "ivf": append_ivf_index_at,
+    "lsh": append_lsh_index_at,
+    "pq": append_pq_index_at,
+    "ivfpq": append_ivfpq_index_at,
+}
+_WRITERS = {
+    "ivf": write_ivf_index,
+    "lsh": write_lsh_index,
+    "pq": write_pq_index,
+    "ivfpq": write_ivfpq_index,
+}
 
 
 def _version_dir(state_dir: str, version: int) -> str:
     return os.path.join(state_dir, f"index_v{version}")
 
 
-def _publish_index(
-    index, state_dir: str, version: int
-) -> str:
+def _publish_index(index, state_dir: str, version: int, kind: str) -> str:
     """Write the index into a tmp dir and atomically rename it to
     ``index_v{version}``; clears any orphan from a crashed attempt."""
     tmp = os.path.join(state_dir, f"_tmp_index_v{version}")
     out = _version_dir(state_dir, version)
     shutil.rmtree(tmp, ignore_errors=True)
-    write_ivf_index(index, tmp)
+    _WRITERS[kind](index, tmp)
     shutil.rmtree(out, ignore_errors=True)  # orphan of a crashed publish
     os.replace(tmp, out)
     return out
+
+
+def _sweep_orphans(state_dir: str, keep_version: int) -> None:
+    """Remove index/tmp dirs whose version != the committed meta's.
+    A crash between the meta commit and the superseded version's rmtree
+    leaves the OLD ``index_v{K}`` behind; nothing on the normal path
+    would ever touch it again, so disk grows one index copy per crashed
+    rebuild (ADVICE r13). One listdir per batch, deletes only under
+    ``state_dir`` and only the recognized version-dir shapes."""
+    try:
+        entries = os.listdir(state_dir)
+    except OSError:
+        return
+    pat = re.compile(r"^(?:_tmp_)?index_v(\d+)$")
+    for name in entries:
+        m = pat.match(name)
+        if m and int(m.group(1)) != keep_version:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
 
 def run_streaming_ann_ingest(
@@ -88,6 +144,9 @@ def run_streaming_ann_ingest(
     n_planes: int = 4,
     n_tables: int = 8,
     dim: int = 64,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    residual: bool = False,
     rebuild_threshold: float = 0.5,
     train_rows: int | None = None,
     max_files_per_trigger: int = 1,
@@ -100,13 +159,17 @@ def run_streaming_ann_ingest(
     hook. Vector ids must be globally unique across the stream (the
     append's anti-join contract).
 
-    ``kind="lsh"``: appends are bit-identical to a rebuild (signatures
-    are a pure per-row function of the frozen hyperplanes —
-    ``index_staleness``'s documented LSH rule), so the loop never
-    rebuilds and the version stays 0 for the store's lifetime; the
-    quantized kinds pay the rebuild at threshold cadence."""
-    if kind not in ("ivf", "lsh"):
-        raise ValueError(f"kind must be 'ivf' or 'lsh', got {kind!r}")
+    Kind-specific knobs: ``n_lists``/``train_rows`` (ivf, ivfpq),
+    ``n_planes``/``n_tables``/``dim`` (lsh), ``pq_m``/``pq_k``/
+    ``residual`` (pq, ivfpq). Rebuild provenance: ivf retrains from
+    the store's own assignments (they keep raw vectors); pq/ivfpq
+    retrain from ``embeddings_dir`` — PQ codes are lossy, the source
+    directory is the only float copy (module docstring); lsh never
+    rebuilds (appends ≡ rebuild under frozen hyperplanes)."""
+    if kind not in _APPENDERS:
+        raise ValueError(
+            f"kind must be one of {sorted(_APPENDERS)}, got {kind!r}"
+        )
     ensure_reader_confs(spark)
     schema = spark.read.parquet(embeddings_dir).schema
     stream = (
@@ -114,6 +177,23 @@ def run_streaming_ann_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(embeddings_dir)
     )
+
+    def build(df: DataFrame):
+        if kind == "lsh":
+            return build_lsh_index(
+                df, id_col, vec_col,
+                n_planes=n_planes, n_tables=n_tables, dim=dim,
+            )
+        if kind == "ivf":
+            return build_ivf_index(
+                df, id_col, vec_col, n_lists=n_lists, train_rows=train_rows,
+            )
+        if kind == "pq":
+            return build_pq_index(df, id_col, vec_col, m=pq_m, k=pq_k)
+        return build_ivfpq_index(
+            df, id_col, vec_col, n_lists=n_lists, m=pq_m, k=pq_k,
+            residual=residual, train_rows=train_rows,
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time
@@ -127,50 +207,35 @@ def run_streaming_ann_ingest(
         rebuilt = False
         old_version_dir = None
         if "version" not in meta:
-            # bootstrap: the first batch trains the quantizer / fixes
-            # the hyperplanes
-            if kind == "lsh":
-                idx = build_lsh_index(
-                    batch, id_col, vec_col,
-                    n_planes=n_planes, n_tables=n_tables, dim=dim,
-                )
-                tmp = os.path.join(state_dir, "_tmp_index_v0")
-                out = _version_dir(state_dir, 0)
-                shutil.rmtree(tmp, ignore_errors=True)
-                write_lsh_index(idx, tmp)
-                shutil.rmtree(out, ignore_errors=True)
-                os.replace(tmp, out)
-            else:
-                idx = build_ivf_index(
-                    batch, id_col, vec_col, n_lists=n_lists,
-                    train_rows=train_rows,
-                )
-                _publish_index(idx, state_dir, 0)
+            # bootstrap: the first batch trains the learned structure
+            _publish_index(build(batch), state_dir, 0, kind)
             meta = {"version": 0, "rebuilds": 0}
         else:
             cur = _version_dir(state_dir, meta["version"])
             # append BEFORE the meta bump: a crash after this write
             # replays the batch and the anti-join makes it a no-op
-            if kind == "lsh":
-                append_lsh_index_at(ss, cur, batch, id_col, vec_col)
-            else:
-                append_ivf_index_at(ss, cur, batch, id_col, vec_col)
+            _APPENDERS[kind](ss, cur, batch, id_col, vec_col)
             stale = index_staleness(
                 ss, cur, rebuild_threshold=rebuild_threshold
             )
             if stale["rebuild_recommended"]:
                 # corpus-sized job, fired at threshold cadence: retrain
-                # the quantizer on everything the store holds
-                allv = ss.read.parquet(f"{cur}/assignments").select(
-                    F.col("id").alias(id_col),
-                    F.col("vec").alias(vec_col),
-                )
-                idx = build_ivf_index(
-                    allv, id_col, vec_col, n_lists=n_lists,
-                    train_rows=train_rows,
-                )
+                # the learned structure over the whole corpus
+                if kind == "ivf":
+                    allv = ss.read.parquet(f"{cur}/assignments").select(
+                        F.col("id").alias(id_col),
+                        F.col("vec").alias(vec_col),
+                    )
+                else:
+                    # pq/ivfpq codes are lossy — the source directory is
+                    # the only remaining float copy. Files staged but not
+                    # yet streamed land early; later appends anti-join to
+                    # a no-op, so the index never duplicates.
+                    allv = ss.read.parquet(embeddings_dir).select(
+                        id_col, vec_col
+                    )
                 new_version = meta["version"] + 1
-                _publish_index(idx, state_dir, new_version)
+                _publish_index(build(allv), state_dir, new_version, kind)
                 old_version_dir = cur
                 meta = {
                     "version": new_version,
@@ -183,6 +248,9 @@ def run_streaming_ann_ingest(
             # crash before this line leaves the old dir orphaned (safe),
             # never the meta pointing at a removed index
             shutil.rmtree(old_version_dir, ignore_errors=True)
+        # ... and the sweep clears exactly that crash window's orphans
+        # on the NEXT batch (ADVICE r13)
+        _sweep_orphans(state_dir, meta["version"])
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0, rebuilt)
 

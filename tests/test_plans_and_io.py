@@ -1282,7 +1282,8 @@ def test_components_gate_below_plan_is_broadcast_join(spark):
     )
     out = connected_components_auto(nodes, edges)
     plan = _plan(out)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Exchange SinglePartition" not in plan
     # a 99-edge chain below the gate resolves without any join loop:
     # exactly one join in the whole plan (nodes x union-find map)
