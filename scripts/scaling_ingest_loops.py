@@ -1,0 +1,128 @@
+"""SCALING legs: per-batch cost of the r14 streaming ingest loops —
+the pq / ivfpq ANN kinds (VERDICT r13 #5) and the tokenizer ingest
+loop (VERDICT r13 #6).
+
+Claims under test:
+- pq/ivfpq appends are encode-only under frozen codebooks → per-batch
+  wall is flat (job-floor-bound), not corpus-proportional; the rebuild
+  (the one corpus-sized job) fires at threshold cadence only.
+- tokenizer ingest per-batch wall is flat across batches under a
+  frozen artifact (encode cost ∝ batch, not ∝ encoded-store size);
+  the retrain fires once at the drift batch and nowhere else.
+
+Run:  python scripts/scaling_ingest_loops.py
+Prints one JSON object; merge into SCALING_RUN_r14.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opensea_datapipeline_spark.session import get_spark
+
+
+def _vec(i: int, dim: int = 64, drift: float = 0.0):
+    return [math.sin(0.31 * i + j) + drift * math.cos(j) for j in range(dim)]
+
+
+def ann_leg(spark, kind: str, n_batches: int, per_batch: int,
+            rebuild_threshold: float) -> dict:
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"scaling_{kind}_")
+    src = os.path.join(base, "src")
+    for b in range(n_batches):
+        ids = range(b * per_batch, (b + 1) * per_batch)
+        spark.createDataFrame(
+            [(i, _vec(i)) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+    walls: list[tuple[float, bool]] = []
+    meta = run_streaming_ann_ingest(
+        spark, src, os.path.join(base, "state"), os.path.join(base, "ckpt"),
+        kind=kind, n_lists=8, pq_m=8, pq_k=16,
+        rebuild_threshold=rebuild_threshold,
+        on_batch=lambda b, w, r: walls.append((round(w, 2), r)),
+    )
+    out = {
+        "kind": kind,
+        "per_batch": per_batch,
+        "n_batches": n_batches,
+        "rebuild_threshold": rebuild_threshold,
+        "per_batch_walls_s": walls,
+        "rebuilds": meta.get("rebuilds"),
+        "final_version": meta.get("version"),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def tokenizer_leg(spark, n_batches: int, docs_per_batch: int) -> dict:
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "metric", "vector",
+             "stream", "batch", "token", "merge"]
+    base = tempfile.mkdtemp(prefix="scaling_tok_")
+    src = os.path.join(base, "src")
+    for b in range(n_batches):
+        # last batch arrives in a new script → OOV drift fires the retrain
+        pool = ["κόσμος", "λέξη", "δεδομένα"] if b == n_batches - 1 else words
+        rows = [
+            (b * docs_per_batch + i,
+             " ".join(pool[(i + k + b) % len(pool)] for k in range(30)))
+            for i in range(docs_per_batch)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    walls: list[tuple[float, bool]] = []
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, os.path.join(base, "state"), os.path.join(base, "ckpt"),
+        n_merges=32, retrain_threshold=0.01,
+        on_batch=lambda b, w, r: walls.append((round(w, 2), r)),
+    )
+    steady = [w for w, r in walls[1:] if not r]
+    out = {
+        "docs_per_batch": docs_per_batch,
+        "n_batches": n_batches,
+        "per_batch_walls_s": walls,
+        "steady_max_over_min": (
+            round(max(steady) / min(steady), 2) if len(steady) > 1 else None
+        ),
+        "retrains": meta.get("retrains"),
+        "final_version": meta.get("version"),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scaling-ingest-loops", freeze_gc=True)
+    legs = {
+        # flat runs: threshold never crossed → every batch is append-only
+        "ann_ingest_pq_flat": ann_leg(spark, "pq", 5, 400, 5.0),
+        "ann_ingest_ivfpq_flat": ann_leg(spark, "ivfpq", 5, 400, 5.0),
+        # rebuild cadence: threshold 0.5 → rebuilds fire as appended
+        # mass doubles the store, not per batch
+        "ann_ingest_pq_rebuild": ann_leg(spark, "pq", 5, 400, 0.5),
+        "ann_ingest_ivfpq_rebuild": ann_leg(spark, "ivfpq", 5, 400, 0.5),
+        "tokenizer_ingest": tokenizer_leg(spark, 6, 300),
+    }
+    print(json.dumps({"legs": legs}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -306,3 +306,178 @@ def test_bench_noisy_ratio_ceiling_splits_observed_runs():
     import bench
 
     assert max(1.083, 1.092) < bench.NOISY_RATIO_CEIL < max(1.281, 1.256)
+
+
+# ---------------------------------------------------------------------------
+# streaming tokenizer ingest loop (VERDICT r13 #6)
+# ---------------------------------------------------------------------------
+
+def _write_doc_batches(spark, src, batches):
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+
+_ASCII_DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "a cat and a dog and a rat"),
+    (3, "the rat sat on the cat"),
+    (4, "dogs and cats and rats"),
+    (5, "the mat the log the rat"),
+]
+
+
+def test_streaming_tokenizer_ingest_matches_oneshot_encode(spark, tmp_path):
+    # No drift: batch 0 trains + publishes tokenizer_v0, later batches
+    # encode-only append under the FROZEN artifact. Encoding is a pure
+    # per-doc function of the artifact, so the streamed store must equal
+    # a one-shot bpe_encode of the full corpus with that artifact — and
+    # a replayed stream is a no-op.
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_read_tokenizer,
+    )
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    _write_doc_batches(
+        spark, src, [_ASCII_DOCS[:3], _ASCII_DOCS[3:5], _ASCII_DOCS[5:]]
+    )
+    state = str(tmp_path / "state")
+    flags = []
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.5,  # never retrain in this test
+        on_batch=lambda b, w, r: flags.append(r),
+    )
+    assert meta["retrains"] == 0 and meta["version"] == 0
+    assert flags == [False, False, False]
+
+    got = {
+        r.doc_id: r.ids_str
+        for r in spark.read.parquet(meta["encoded_dir"]).collect()
+    }
+    assert sorted(got) == list(range(6))
+    merges, alpha, marker = bpe_read_tokenizer(
+        spark, meta["tokenizer_dir"]
+    )
+    corpus = spark.createDataFrame(_ASCII_DOCS, "doc_id long, text string")
+    want = {
+        r.doc_id: r.ids_str
+        for r in bpe_encode(
+            corpus, merges, alphabet=alpha, marker=marker
+        ).collect()
+    }
+    assert got == want
+
+    again = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.5,
+    )
+    assert again["version"] == 0
+    assert spark.read.parquet(again["encoded_dir"]).count() == 6
+
+
+def test_streaming_tokenizer_ingest_oov_drift_fires_retrain(spark, tmp_path):
+    # Batch 1 arrives in a script the v0 alphabet never saw — every one
+    # of its symbols encodes as oov_id, the cumulative OOV rate crosses
+    # the threshold, and the loop retrains: version advances, old dirs
+    # are gone, and the re-encoded store (new alphabet covers the new
+    # script) carries ZERO remaining OOV tokens.
+    import os
+
+    from opensea_datapipeline_spark.operators.text import (
+        tokenizer_staleness,
+    )
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    drift = [(10, "καλημέρα κόσμε"), (11, "καλό κόσμε καλημέρα")]
+    src = str(tmp_path / "src")
+    _write_doc_batches(spark, src, [_ASCII_DOCS, drift])
+    state = str(tmp_path / "state")
+    flags = []
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.01,
+        on_batch=lambda b, w, r: flags.append(r),
+    )
+    assert meta["retrains"] == 1 and meta["version"] == 1
+    assert flags == [False, True]
+    assert not os.path.isdir(os.path.join(state, "tokenizer_v0"))
+    assert not os.path.isdir(os.path.join(state, "encoded_v0"))
+
+    enc = spark.read.parquet(meta["encoded_dir"])
+    assert enc.count() == 8
+    assert enc.select("doc_id").distinct().count() == 8
+    stale = tokenizer_staleness(enc)
+    assert stale["n_oov"] == 0  # the new alphabet covers the new script
+    # counters reset at the retrain
+    assert meta["n_syms"] == 0 and meta["n_oov"] == 0
+
+
+def test_streaming_tokenizer_ingest_crash_replay_is_noop(spark, tmp_path):
+    # Crash window: the encoded append lands BEFORE the meta batch-id
+    # bump. A replayed batch must anti-join to a no-op, never duplicate
+    # encoded rows.
+    import json
+    import os
+
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    _write_doc_batches(spark, src, [_ASCII_DOCS[:4], _ASCII_DOCS[4:]])
+    state = str(tmp_path / "state")
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.5,
+    )
+    assert spark.read.parquet(meta["encoded_dir"]).count() == 6
+
+    mpath = os.path.join(state, "_gold_meta.json")
+    m = json.load(open(mpath))
+    m["last_batch_id"] = -1  # replay everything
+    json.dump(m, open(mpath, "w"))
+    again = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt2"),
+        n_merges=6, retrain_threshold=0.5,
+    )
+    enc = spark.read.parquet(again["encoded_dir"])
+    assert enc.count() == 6
+    assert enc.select("doc_id").distinct().count() == 6
+    assert again["version"] == meta["version"]
+
+
+def test_streaming_tokenizer_ingest_sweeps_orphans(spark, tmp_path):
+    import os
+
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    _write_doc_batches(spark, src, [_ASCII_DOCS[:4]])
+    state = str(tmp_path / "state")
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.5,
+    )
+    for orphan in ("tokenizer_v9", "encoded_v9", "_tmp_tokenizer_v3"):
+        os.makedirs(os.path.join(state, orphan, "junk"), exist_ok=True)
+    _write_doc_batches(spark, src, [_ASCII_DOCS[4:]])
+    meta2 = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.5,
+    )
+    assert meta2["version"] == meta["version"]
+    for orphan in ("tokenizer_v9", "encoded_v9", "_tmp_tokenizer_v3"):
+        assert not os.path.isdir(os.path.join(state, orphan)), orphan
+    assert os.path.isdir(meta2["tokenizer_dir"])
+    assert spark.read.parquet(meta2["encoded_dir"]).count() == 6
