@@ -56,26 +56,30 @@ def knn_topk_exact(
     )
     if assume_normalized:
         sim = dot_product("_qvec", "_cvec")
+        pairs = q.crossJoin(corpus).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
     else:
         corpus = corpus.withColumn("_cnorm", l2_norm("_cvec"))
         q = q.withColumn("_qnorm", l2_norm("_qvec"))
-        # zero-norm vector -> null sim (desc sort ranks nulls LAST, so
-        # a zero vector never wins top-k) instead of an ANSI job abort
-        _denom = F.col("_qnorm") * F.col("_cnorm")
-        sim = F.when(
-            _denom != 0, dot_product("_qvec", "_cvec") / _denom
-        )
-    pairs = (
-        q.crossJoin(corpus)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-    )
-    if not assume_normalized:
         # Cosine is undefined against (or from) a zero-norm vector; drop
-        # those pairs BEFORE ranking so a top-k slot is never padded with
-        # a sim=NULL row (a zero-norm query would otherwise "rank" k
-        # neighbors purely by id). Callers see < k rows instead.
-        pairs = pairs.filter(F.col("sim").isNotNull())
+        # those pairs BEFORE computing sim and BEFORE ranking, so the
+        # division can't ANSI-abort and a top-k slot is never padded
+        # with an undefined-similarity row (a zero-norm query would
+        # otherwise "rank" k neighbors purely by id — ADVICE r13).
+        # Filtering on the precomputed norms, not on IsNotNull(sim),
+        # keeps codegen from evaluating the dim-length dot-product fold
+        # twice per pair (the null-check re-evaluation cost the r14
+        # bench +0.3-0.5 s on this query). A NULL norm (null embedding)
+        # also fails the predicate, matching the old when()-guard.
+        _denom = F.col("_qnorm") * F.col("_cnorm")
+        pairs = (
+            q.crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .filter(_denom != 0)
+        )
+        sim = dot_product("_qvec", "_cvec") / _denom
+    pairs = pairs.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
