@@ -60,25 +60,28 @@ def knn_topk_exact(
             F.col("query_id") != F.col("neighbor_id")
         )
     else:
-        corpus = corpus.withColumn("_cnorm", l2_norm("_cvec"))
-        q = q.withColumn("_qnorm", l2_norm("_qvec"))
         # Cosine is undefined against (or from) a zero-norm vector; drop
-        # those pairs BEFORE computing sim and BEFORE ranking, so the
-        # division can't ANSI-abort and a top-k slot is never padded
-        # with an undefined-similarity row (a zero-norm query would
-        # otherwise "rank" k neighbors purely by id — ADVICE r13).
-        # Filtering on the precomputed norms, not on IsNotNull(sim),
-        # keeps codegen from evaluating the dim-length dot-product fold
-        # twice per pair (the null-check re-evaluation cost the r14
-        # bench +0.3-0.5 s on this query). A NULL norm (null embedding)
-        # also fails the predicate, matching the old when()-guard.
-        _denom = F.col("_qnorm") * F.col("_cnorm")
-        pairs = (
-            q.crossJoin(corpus)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .filter(_denom != 0)
+        # those rows BEFORE the cross-join, so the division can't
+        # ANSI-abort and a top-k slot is never padded with an
+        # undefined-similarity row (a zero-norm query would otherwise
+        # "rank" k neighbors purely by id — ADVICE r13). Filtering each
+        # SIDE on its precomputed norm (a NULL norm from a null
+        # embedding also fails the predicate) both shrinks the join
+        # itself and keeps codegen from evaluating the dim-length
+        # dot-product fold twice per pair — the IsNotNull(sim) form of
+        # this guard cost the r14 bench +0.3-0.5 s on this query.
+        corpus = corpus.withColumn("_cnorm", l2_norm("_cvec")).filter(
+            F.col("_cnorm") != 0
         )
-        sim = dot_product("_qvec", "_cvec") / _denom
+        q = q.withColumn("_qnorm", l2_norm("_qvec")).filter(
+            F.col("_qnorm") != 0
+        )
+        pairs = q.crossJoin(corpus).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        sim = dot_product("_qvec", "_cvec") / (
+            F.col("_qnorm") * F.col("_cnorm")
+        )
     pairs = pairs.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
