@@ -183,10 +183,12 @@ NOISE_CANARY = "tfidf_top_terms"
 # single-canary flag fired on two quiet runs). Three frozen queries
 # vote; normalization is unstable when a MAJORITY exceed their bands.
 NOISE_CANARIES = ("tfidf_top_terms", "pricing_summary", "rolling_daily_mean")
-# A re-run whose env or canary normalization ratio exceeds this does not
-# overwrite an existing round record (it lands in *_noisy.json instead).
-# r13's quiet record ran at 1.08/1.09; the clobbering noisy run at
-# 1.28/1.26 — 1.15 splits them with margin on both sides.
+# A re-run whose env or canary normalization ratio strays outside
+# [1/CEIL, CEIL] does not overwrite an existing round record (it lands
+# in *_noisy.json instead). r13's quiet record ran at 1.08/1.09; the
+# clobbering noisy run at 1.28/1.26 — 1.15 splits them with margin on
+# both sides. The band is SYMMETRIC: a ratio far BELOW 1 is the same
+# box-noise signal in the other direction (r5 ran at env 0.584).
 NOISY_RATIO_CEIL = 1.15
 
 
@@ -511,9 +513,10 @@ def main() -> None:
         this_round = (_round_num(prior[-1]) if prior else 0) + 1
         here = os.path.dirname(os.path.abspath(__file__))
         local = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
-        noisy_box = (
-            max(record.get("env_ratio") or 1.0,
-                record.get("canary_ratio") or 1.0) > NOISY_RATIO_CEIL
+        noisy_box = any(
+            not (1.0 / NOISY_RATIO_CEIL <= r <= NOISY_RATIO_CEIL)
+            for r in (record.get("env_ratio") or 1.0,
+                      record.get("canary_ratio") or 1.0)
         )
         if noisy_box and os.path.exists(local):
             local = os.path.join(

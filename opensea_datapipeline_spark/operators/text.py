@@ -2077,19 +2077,31 @@ def bpe_read_tokenizer(
     marker = meta.get("marker")
     if verify and meta.get("content_hash") is not None:
         # Metas written before the fingerprint was versioned carry no
-        # fp_version field — they hashed with the v1 recipe (no `n`
-        # column), so verify them against that recipe rather than
-        # failing every previously-valid artifact (ADVICE r13).
-        fp_version = int(meta.get("fp_version") or 1)
-        got_hash, got_m, got_a = _bpe_artifact_fingerprint(
-            merges, alphabet, fp_version=fp_version
+        # fp_version field, and span TWO hash generations: the original
+        # recipe without the `n` column (v1) and the r13 revision that
+        # added `n` but predates the version stamp. A versionless meta
+        # is therefore accepted if EITHER recipe reproduces its hash —
+        # failing any previously-valid artifact would be the exact
+        # regression the versioning exists to prevent (ADVICE r13); a
+        # stamped meta is held to its declared recipe only.
+        declared = meta.get("fp_version")
+        candidates = (
+            [int(declared)] if declared is not None else [1, 2]
         )
         want = (
             meta["content_hash"],
             meta.get("n_merges"),
             meta.get("alphabet_size"),
         )
-        if (got_hash, got_m, got_a) != want:
+        got = None
+        for fp_version in candidates:
+            got = _bpe_artifact_fingerprint(
+                merges, alphabet, fp_version=fp_version
+            )
+            if got == want:
+                break
+        if got != want:
+            got_hash, got_m, got_a = got
             raise ValueError(
                 f"tokenizer artifact at {path!r} failed integrity "
                 f"check: loaded (hash={got_hash}, n_merges={got_m}, "

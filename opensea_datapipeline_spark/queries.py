@@ -2944,20 +2944,39 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_query(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+def _ann_recall_query(
+    approx: DataFrame,
+    exact: DataFrame,
+    floor: float,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """(n_queries, recall_ok) for an ANN result vs the exact top-k — the
-    hash-comparable form of a recall floor."""
+    hash-comparable form of a recall floor. ``queries`` (the vector
+    population, id col ``vec_id``) pins n_queries to the INPUT count so
+    it matches the oracle's count(*) by construction — deriving it from
+    the exact output would drift if a degenerate (zero-norm) vector is
+    ever dropped from top-k (r14 knn guard); None keeps the legacy
+    exact-output derivation."""
     ex = exact.select("query_id", "neighbor_id")
     hits = ex.join(
         approx.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
         "left_semi",
     )
-    return (
+    base = (
         ex.agg(
             F.countDistinct("query_id").cast("long").alias("n_queries"),
             F.count(F.lit(1)).alias("_n_exact"),
         )
+        if queries is None
+        else ex.agg(F.count(F.lit(1)).alias("_n_exact")).crossJoin(
+            queries.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries")
+            )
+        )
+    )
+    return (
+        base
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
         .select(
             "n_queries",
@@ -2982,7 +3001,7 @@ def q_knn_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()[0])
     approx = sim.knn_topk_lsh(emb, "vec_id", "embedding", k=10, dim=dim)
     exact = sim.knn_topk_exact(emb, "vec_id", "embedding", k=10)
-    return _ann_recall_query(approx, exact, floor=0.45)
+    return _ann_recall_query(approx, exact, floor=0.45, queries=emb)
 
 
 @_register(
@@ -3000,7 +3019,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=10, n_lists=8, n_probe=2
     )
     exact = sim.knn_topk_exact(emb, "vec_id", "embedding", k=10)
-    return _ann_recall_query(approx, exact, floor=0.35)
+    return _ann_recall_query(approx, exact, floor=0.35, queries=emb)
 
 
 @_register(

@@ -59,7 +59,6 @@ at the cadence the threshold dictates, not per batch.
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +81,7 @@ from ..operators.ann_index import (
 )
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
+from .lifecycle import publish_versioned_dir, sweep_orphan_versions
 
 _APPENDERS = {
     "ivf": append_ivf_index_at,
@@ -103,32 +103,10 @@ def _version_dir(state_dir: str, version: int) -> str:
 
 def _publish_index(index, state_dir: str, version: int, kind: str) -> str:
     """Write the index into a tmp dir and atomically rename it to
-    ``index_v{version}``; clears any orphan from a crashed attempt."""
-    tmp = os.path.join(state_dir, f"_tmp_index_v{version}")
-    out = _version_dir(state_dir, version)
-    shutil.rmtree(tmp, ignore_errors=True)
-    _WRITERS[kind](index, tmp)
-    shutil.rmtree(out, ignore_errors=True)  # orphan of a crashed publish
-    os.replace(tmp, out)
-    return out
-
-
-def _sweep_orphans(state_dir: str, keep_version: int) -> None:
-    """Remove index/tmp dirs whose version != the committed meta's.
-    A crash between the meta commit and the superseded version's rmtree
-    leaves the OLD ``index_v{K}`` behind; nothing on the normal path
-    would ever touch it again, so disk grows one index copy per crashed
-    rebuild (ADVICE r13). One listdir per batch, deletes only under
-    ``state_dir`` and only the recognized version-dir shapes."""
-    try:
-        entries = os.listdir(state_dir)
-    except OSError:
-        return
-    pat = re.compile(r"^(?:_tmp_)?index_v(\d+)$")
-    for name in entries:
-        m = pat.match(name)
-        if m and int(m.group(1)) != keep_version:
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    ``index_v{version}`` (shared lifecycle discipline)."""
+    return publish_versioned_dir(
+        state_dir, f"index_v{version}", lambda tmp: _WRITERS[kind](index, tmp)
+    )
 
 
 def run_streaming_ann_ingest(
@@ -250,7 +228,7 @@ def run_streaming_ann_ingest(
             shutil.rmtree(old_version_dir, ignore_errors=True)
         # ... and the sweep clears exactly that crash window's orphans
         # on the NEXT batch (ADVICE r13)
-        _sweep_orphans(state_dir, meta["version"])
+        sweep_orphan_versions(state_dir, ("index",), meta["version"])
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0, rebuilt)
 

@@ -1,0 +1,53 @@
+"""Shared crash-window discipline for the streaming ingest loops
+(ann_ingest, tokenizer_ingest): versioned-directory publish via
+tmp + atomic rename, and the per-batch orphan sweep.
+
+The contract both loops rely on:
+
+- ``publish_versioned_dir`` writes into ``_tmp_<name>`` then
+  ``os.replace``s it to ``<name>`` — the final directory either does
+  not exist or is complete; a crashed earlier attempt's tmp dir is
+  cleared first, a crashed earlier PUBLISH of the same name is
+  overwritten (the meta never pointed at it).
+- ``sweep_orphan_versions`` removes any ``<prefix>_v{N}`` /
+  ``_tmp_<prefix>_v{N}`` under ``state_dir`` whose N differs from the
+  committed meta's version. A crash between the loop-meta commit and
+  the superseded version's rmtree leaves the OLD version orphaned;
+  nothing on the normal path would ever touch it again, so disk would
+  grow one full copy per crashed rebuild/retrain (ADVICE r13). One
+  listdir per batch; deletes only the recognized version-dir shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+
+def publish_versioned_dir(state_dir: str, name: str, write) -> str:
+    """``write(tmp_path)`` then atomic rename to ``state_dir/name``."""
+    final = os.path.join(state_dir, name)
+    tmp = os.path.join(state_dir, "_tmp_" + name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    write(tmp)
+    shutil.rmtree(final, ignore_errors=True)  # orphan of a crashed publish
+    os.replace(tmp, final)
+    return final
+
+
+def sweep_orphan_versions(
+    state_dir: str, prefixes: "tuple[str, ...]", keep_version: int
+) -> None:
+    """Remove versioned dirs whose version != ``keep_version``."""
+    try:
+        entries = os.listdir(state_dir)
+    except OSError:
+        return
+    pat = re.compile(
+        r"^(?:_tmp_)?(?:" + "|".join(map(re.escape, prefixes)) + r")_v(\d+)$"
+    )
+    for name in entries:
+        m = pat.match(name)
+        if m and int(m.group(1)) != keep_version:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)

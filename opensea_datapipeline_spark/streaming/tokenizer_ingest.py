@@ -19,8 +19,9 @@ Store layout under ``state_dir``::
                      appends mutate the CURRENT version in place
                      (idempotent: the append anti-joins doc ids);
                      a RETRAIN publishes BOTH dirs at K+1 atomically
-    meta.json        {last_batch_id, version, retrains, n_syms, n_oov}
-                     (counters are since-last-retrain)
+    meta.json        {last_batch_id, last_counted_batch_id, version,
+                     retrains, n_syms, n_oov} (counters are
+                     since-last-retrain)
 
 Why the retrain re-encodes: token ids are a function of the artifact
 (alphabet order + merge ranks), so rows encoded under v{K} and v{K+1}
@@ -32,10 +33,18 @@ corpus under the CURRENT artifact. (The source directory is the
 corpus of record here for the same reason it is for the PQ rebuild:
 the encoded rows are not invertible without the boundary marker.)
 
-Crash-window discipline (ann_ingest's, re-applied):
+Crash-window discipline (ann_ingest's, re-applied — shared helpers in
+``streaming/lifecycle.py``):
 
-- the encoded append lands BEFORE the meta's batch-id bump, so a
-  replayed batch re-appends as a no-op (doc-id anti-join);
+- OOV counters commit FIRST, stamped with ``last_counted_batch_id``,
+  and only then the encoded append lands: a crash between the append
+  and the final meta bump replays the batch against a store that
+  already holds its rows, whose anti-joined delta is EMPTY — without
+  the counted-batch stamp the drift mass of exactly the batch that
+  should fire the retrain would be lost forever (a staleness signal
+  that under-counts only ever delays the retrain, never corrupts
+  data, but the stamp makes it exact across every window);
+- the re-append after such a crash is a no-op (doc-id anti-join);
 - a retrain publishes ``tokenizer_v{K+1}`` then ``encoded_v{K+1}``
   via tmp-dir + atomic rename, and only then moves the meta pointer —
   the meta never points at an incomplete artifact or store;
@@ -48,19 +57,20 @@ the tokenizer and publishes version 0, then encodes through it.
 
 At 100 TB the economics: per-trigger cost is one encode pass over the
 BATCH (distinct-word segmentation + a doc-keyed shuffle) plus a
-doc-id-column anti-join read; the staleness aggregate is over the
-pinned batch delta only; the retrain+re-encode — the only corpus-sized
-job — runs at the cadence genuine alphabet drift dictates.
+doc-id-column anti-join read; the artifact is read and
+integrity-verified once per VERSION per process (cached between
+batches — it is immutable between retrains); the staleness aggregate
+is over the pinned batch delta only; the retrain+re-encode — the only
+corpus-sized job — runs at the cadence genuine alphabet drift
+dictates.
 """
 
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.text import (
     bpe_alphabet,
@@ -72,41 +82,15 @@ from ..operators.text import (
 )
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
-
-_TOK = "tokenizer_v{v}"
-_ENC = "encoded_v{v}"
+from .lifecycle import publish_versioned_dir, sweep_orphan_versions
 
 
-def _vdir(state_dir: str, template: str, version: int) -> str:
-    return os.path.join(state_dir, template.format(v=version))
+def _tok_dir(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"tokenizer_v{version}")
 
 
-def _publish_dir(state_dir: str, template: str, version: int, write) -> str:
-    """``write(tmp_path)`` then atomic rename to the versioned name;
-    clears any orphan of a crashed earlier attempt."""
-    final = _vdir(state_dir, template, version)
-    tmp = os.path.join(state_dir, "_tmp_" + template.format(v=version))
-    shutil.rmtree(tmp, ignore_errors=True)
-    write(tmp)
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
-    return final
-
-
-def _sweep_orphans(state_dir: str, keep_version: int) -> None:
-    """Remove versioned dirs (tokenizer/encoded, tmp or final) whose
-    version != the committed meta's — the crash window between the meta
-    commit and the superseded versions' rmtree would otherwise leak one
-    artifact + one encoded-corpus copy per crashed retrain."""
-    try:
-        entries = os.listdir(state_dir)
-    except OSError:
-        return
-    pat = re.compile(r"^(?:_tmp_)?(?:tokenizer|encoded)_v(\d+)$")
-    for name in entries:
-        m = pat.match(name)
-        if m and int(m.group(1)) != keep_version:
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+def _enc_dir(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"encoded_v{version}")
 
 
 def run_streaming_tokenizer_ingest(
@@ -145,6 +129,9 @@ def run_streaming_tokenizer_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(docs_dir)
     )
+    # the artifact is immutable between retrains — read + verify once
+    # per version per process, not per micro-batch
+    artifact_cache: dict[int, tuple] = {}
 
     def train_publish(docs: DataFrame, version: int) -> None:
         merges = bpe_train(
@@ -152,15 +139,18 @@ def run_streaming_tokenizer_ingest(
             text_col=text_col, marker=marker,
         )
         alpha = bpe_alphabet(docs, text_col=text_col, marker=marker)
-        _publish_dir(
-            state_dir, _TOK, version,
+        publish_versioned_dir(
+            state_dir, f"tokenizer_v{version}",
             lambda tmp: bpe_write_tokenizer(merges, alpha, tmp, marker=marker),
         )
+        artifact_cache.pop(version, None)  # republished after a crash
 
     def encode_with(version: int, docs: DataFrame) -> DataFrame:
-        merges, alpha, mk = bpe_read_tokenizer(
-            spark, _vdir(state_dir, _TOK, version)
-        )
+        if version not in artifact_cache:
+            artifact_cache[version] = bpe_read_tokenizer(
+                spark, _tok_dir(state_dir, version)
+            )
+        merges, alpha, mk = artifact_cache[version]
         return bpe_encode(
             docs, merges, id_col=id_col, text_col=text_col, oov_id=oov_id,
             alphabet=alpha, marker=mk, merge_applier=merge_applier,
@@ -183,22 +173,31 @@ def run_streaming_tokenizer_ingest(
             train_publish(batch, 0)
             meta = {"version": 0, "retrains": 0, "n_syms": 0, "n_oov": 0}
         version = meta["version"]
-        enc_dir = _vdir(state_dir, _ENC, version)
+        enc_dir = _enc_dir(state_dir, version)
         delta = encode_with(version, batch)
         if os.path.isdir(enc_dir):
             existing = ss.read.parquet(enc_dir).select(id_col)
             delta = delta.join(existing, id_col, "left_anti")
-        # pin: the delta feeds the append AND the staleness aggregate —
+        # pin: the delta feeds the staleness aggregate AND the append —
         # unpinned, each would replay the batch encode
         delta = delta.localCheckpoint(eager=True)
-        # append BEFORE the meta bump: a crash after this write replays
-        # the batch and the anti-join makes it a no-op
+        # counters commit FIRST, stamped with the batch id: a crash
+        # after the append would otherwise replay this batch with an
+        # EMPTY anti-joined delta and silently drop its OOV mass —
+        # potentially the very drift that should fire the retrain
+        if meta.get("last_counted_batch_id", -1) < batch_id:
+            stale = tokenizer_staleness(
+                delta, oov_id=oov_id, retrain_threshold=retrain_threshold
+            )
+            meta["n_syms"] = meta.get("n_syms", 0) + stale["n_syms"]
+            meta["n_oov"] = meta.get("n_oov", 0) + stale["n_oov"]
+            meta["last_counted_batch_id"] = batch_id
+            _write_meta(state_dir, meta)  # last_batch_id still old
+        # append AFTER the counter commit, BEFORE the batch-id bump: a
+        # crash on either side of this write replays into a no-op
+        # (pre-append: same delta recomputed, counters skipped by the
+        # stamp; post-append: empty delta, counters skipped)
         delta.write.mode("append").parquet(enc_dir)
-        stale = tokenizer_staleness(
-            delta, oov_id=oov_id, retrain_threshold=retrain_threshold
-        )
-        meta["n_syms"] = meta.get("n_syms", 0) + stale["n_syms"]
-        meta["n_oov"] = meta.get("n_oov", 0) + stale["n_oov"]
         rate = meta["n_oov"] / meta["n_syms"] if meta["n_syms"] else 0.0
         if rate > retrain_threshold:
             # corpus-sized job at threshold cadence: retrain on the full
@@ -210,8 +209,8 @@ def run_streaming_tokenizer_ingest(
             new_version = version + 1
             train_publish(corpus, new_version)
             full = encode_with(new_version, corpus)
-            _publish_dir(
-                state_dir, _ENC, new_version,
+            publish_versioned_dir(
+                state_dir, f"encoded_v{new_version}",
                 lambda tmp: full.write.parquet(tmp),
             )
             old_version = version
@@ -220,20 +219,21 @@ def run_streaming_tokenizer_ingest(
                 "retrains": meta.get("retrains", 0) + 1,
                 "n_syms": 0,
                 "n_oov": 0,
+                "last_counted_batch_id": batch_id,
             }
             retrained = True
         _write_meta(state_dir, {**meta, "last_batch_id": batch_id})
         if old_version is not None:
             # superseded versions removed only AFTER the meta commit
-            shutil.rmtree(
-                _vdir(state_dir, _TOK, old_version), ignore_errors=True
-            )
-            shutil.rmtree(
-                _vdir(state_dir, _ENC, old_version), ignore_errors=True
-            )
+            shutil.rmtree(_tok_dir(state_dir, old_version),
+                          ignore_errors=True)
+            shutil.rmtree(_enc_dir(state_dir, old_version),
+                          ignore_errors=True)
         # ... and the sweep clears exactly that crash window's orphans
         # on the NEXT batch
-        _sweep_orphans(state_dir, meta["version"])
+        sweep_orphan_versions(
+            state_dir, ("tokenizer", "encoded"), meta["version"]
+        )
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0, retrained)
 
@@ -246,6 +246,6 @@ def run_streaming_tokenizer_ingest(
     q.awaitTermination()
     meta = _read_meta(state_dir)
     if "version" in meta:
-        meta["tokenizer_dir"] = _vdir(state_dir, _TOK, meta["version"])
-        meta["encoded_dir"] = _vdir(state_dir, _ENC, meta["version"])
+        meta["tokenizer_dir"] = _tok_dir(state_dir, meta["version"])
+        meta["encoded_dir"] = _enc_dir(state_dir, meta["version"])
     return meta

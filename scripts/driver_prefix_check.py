@@ -36,11 +36,14 @@ def canon(df) -> str:
 def main() -> None:
     n = 50
     sf = "/root/testdata/sf0.01"
+    names = None
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=", 1)[1])
         if a.startswith("--sf="):
             sf = a.split("=", 1)[1]
+        if a.startswith("--names="):  # grade a named subset instead
+            names = a.split("=", 1)[1].split(",")
     import __spark_entry__ as entry
     from opensea_datapipeline_spark.session import get_spark
 
@@ -55,7 +58,7 @@ def main() -> None:
             f"read_parquet('{sf}/{t}.parquet')"
         )
     results = {}
-    for name in list(qs)[:n]:
+    for name in (names if names is not None else list(qs)[:n]):
         try:
             sp = qs[name](spark, sf).toPandas()
             if name not in oracles:

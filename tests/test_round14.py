@@ -481,3 +481,142 @@ def test_streaming_tokenizer_ingest_sweeps_orphans(spark, tmp_path):
         assert not os.path.isdir(os.path.join(state, orphan)), orphan
     assert os.path.isdir(meta2["tokenizer_dir"])
     assert spark.read.parquet(meta2["encoded_dir"]).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# r14 self-review fixes
+# ---------------------------------------------------------------------------
+
+def test_bpe_artifact_r13_generation_versionless_v2_hash_verifies(
+    spark, tmp_path
+):
+    # Artifacts persisted between the r13 hash change (added `n`) and
+    # the r14 version stamp carry a v2-recipe hash in a versionLESS
+    # meta. The reader must accept a versionless meta when EITHER
+    # recipe reproduces its hash.
+    from opensea_datapipeline_spark.operators.text import (
+        _bpe_artifact_fingerprint,
+        bpe_read_tokenizer,
+        bpe_write_tokenizer,
+    )
+
+    merges, alphabet = _tiny_tokenizer(spark)
+    path = str(tmp_path / "tok")
+    bpe_write_tokenizer(merges, alphabet, path, marker="▁")
+    v2_hash, n_m, n_a = _bpe_artifact_fingerprint(
+        merges, alphabet, fp_version=2
+    )
+    spark.createDataFrame(
+        [("▁", n_m, n_a, v2_hash)],
+        "marker string, n_merges long, alphabet_size long,"
+        " content_hash string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    m2, a2, marker = bpe_read_tokenizer(spark, path, verify=True)
+    assert marker == "▁" and m2.count() == 2 and a2.count() == 3
+
+
+def test_bench_noisy_guard_is_symmetric():
+    # a ratio far BELOW 1 is the same box-noise signal (r5 ran at env
+    # 0.584); the guard must catch both directions
+    import bench
+
+    ceil = bench.NOISY_RATIO_CEIL
+
+    def noisy(env, canary):
+        return any(not (1.0 / ceil <= r <= ceil) for r in (env, canary))
+
+    assert noisy(1.281, 1.256)      # the r13 clobbering run
+    assert noisy(0.584, 1.0)        # the r5-style fast-env session
+    assert not noisy(1.083, 1.092)  # the r13 quiet record
+    assert not noisy(0.943, 0.875)  # the r14 quiet record
+
+
+def test_tokenizer_ingest_counters_survive_append_crash_window(
+    spark, tmp_path
+):
+    # Crash between the counter commit and the final meta bump: the
+    # replayed batch's anti-joined delta is EMPTY (its rows landed),
+    # so without the last_counted_batch_id stamp the drift mass of
+    # exactly the batch that should fire the retrain would vanish.
+    # Simulate the window: counters committed for batch 1, append
+    # landed, last_batch_id still 0 → the replay must fire the retrain
+    # from the PERSISTED counters, not recount the empty delta.
+    import json
+    import os
+
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_read_tokenizer,
+        tokenizer_staleness,
+    )
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    drift = [(10, "καλημέρα κόσμε"), (11, "καλό κόσμε καλημέρα")]
+    src = str(tmp_path / "src")
+    _write_doc_batches(spark, src, [_ASCII_DOCS])
+    state = str(tmp_path / "state")
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.01,
+    )
+    assert meta["retrains"] == 0
+
+    # batch 1 arrives; simulate: counters committed + append landed,
+    # then a crash BEFORE the last_batch_id bump
+    _write_doc_batches(spark, src, [drift])
+    merges, alpha, mk = bpe_read_tokenizer(
+        spark, os.path.join(state, "tokenizer_v0")
+    )
+    drift_df = spark.createDataFrame(drift, "doc_id long, text string")
+    enc = bpe_encode(drift_df, merges, alphabet=alpha, marker=mk)
+    enc.write.mode("append").parquet(os.path.join(state, "encoded_v0"))
+    stale = tokenizer_staleness(enc)
+    assert stale["n_oov"] > 0
+    mpath = os.path.join(state, "_gold_meta.json")
+    m = json.load(open(mpath))
+    m["n_syms"] += stale["n_syms"]
+    m["n_oov"] += stale["n_oov"]
+    m["last_counted_batch_id"] = 1
+    # last_batch_id stays 0: the crash happened before the bump
+    json.dump(m, open(mpath, "w"))
+
+    again = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt2"),
+        n_merges=6, retrain_threshold=0.01,
+    )
+    # the replay appends an empty delta, but the PERSISTED counters
+    # carry the drift mass → the retrain fires
+    assert again["retrains"] == 1 and again["version"] == 1
+    enc2 = spark.read.parquet(again["encoded_dir"])
+    assert enc2.count() == 8
+    assert enc2.select("doc_id").distinct().count() == 8
+    assert tokenizer_staleness(enc2)["n_oov"] == 0
+
+
+def test_tokenizer_ingest_reads_artifact_once_per_version(
+    spark, tmp_path, monkeypatch
+):
+    # the artifact is immutable between retrains — the loop must read
+    # + verify it once per version per process, not per micro-batch
+    from opensea_datapipeline_spark.streaming import tokenizer_ingest as ti
+
+    calls = []
+    real = ti.bpe_read_tokenizer
+
+    def counting(spark_, path, **kw):
+        calls.append(path)
+        return real(spark_, path, **kw)
+
+    monkeypatch.setattr(ti, "bpe_read_tokenizer", counting)
+    src = str(tmp_path / "src")
+    _write_doc_batches(
+        spark, src, [_ASCII_DOCS[:2], _ASCII_DOCS[2:4], _ASCII_DOCS[4:]]
+    )
+    meta = ti.run_streaming_tokenizer_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        n_merges=6, retrain_threshold=0.5,
+    )
+    assert meta["version"] == 0
+    assert len(calls) == 1  # 3 batches, one artifact read
