@@ -120,6 +120,30 @@ def main(argv: list[str] | None = None) -> int:
     p_m.add_argument("--bucket-width", type=float, default=25.0)
     p_m.add_argument("--max-bucket", type=int, default=8)
 
+    p_g = sub.add_parser(
+        "ingest",
+        help="streaming ingest loops: ANN index / tokenizer artifact",
+    )
+    p_g.add_argument("target", choices=["ann", "tokenizer"])
+    p_g.add_argument("--source", required=True,
+                     help="parquet dir the stream reads (AvailableNow)")
+    p_g.add_argument("--state", required=True,
+                     help="loop state dir (versioned store + meta)")
+    p_g.add_argument("--checkpoint", required=True)
+    p_g.add_argument("--kind", choices=["lsh", "ivf", "pq", "ivfpq"],
+                     default="ivf", help="ann: index kind")
+    p_g.add_argument("--id-col", default=None,
+                     help="default: vec_id (ann) / doc_id (tokenizer)")
+    p_g.add_argument("--vec-col", default="embedding")
+    p_g.add_argument("--text-col", default="text")
+    p_g.add_argument("--n-lists", type=int, default=8)
+    p_g.add_argument("--n-merges", type=int, default=64)
+    p_g.add_argument("--marker", default=None)
+    p_g.add_argument("--threshold", type=float, default=None,
+                     help="rebuild/retrain trigger (default: 0.5 appended "
+                          "fraction for ann, 0.001 OOV rate for tokenizer)")
+    p_g.add_argument("--max-files-per-trigger", type=int, default=1)
+
     args = parser.parse_args(argv)
 
     from .queries import ORACLE, QUERIES
@@ -338,6 +362,49 @@ def main(argv: list[str] | None = None) -> int:
                 res.write.mode("overwrite").parquet(args.out)
             else:
                 res.show(20, truncate=False)
+            return 0
+
+        if args.cmd == "ingest":
+            def report(batch_id, wall_s, swapped):
+                print(json.dumps({
+                    "batch_id": batch_id, "wall_s": round(wall_s, 3),
+                    ("rebuilt" if args.target == "ann" else "retrained"):
+                        swapped,
+                }))
+
+            if args.target == "ann":
+                from .streaming.ann_ingest import run_streaming_ann_ingest
+
+                meta = run_streaming_ann_ingest(
+                    spark, args.source, args.state, args.checkpoint,
+                    id_col=args.id_col or "vec_id",
+                    vec_col=args.vec_col,
+                    kind=args.kind,
+                    n_lists=args.n_lists,
+                    rebuild_threshold=(
+                        0.5 if args.threshold is None else args.threshold
+                    ),
+                    max_files_per_trigger=args.max_files_per_trigger,
+                    on_batch=report,
+                )
+            else:
+                from .streaming.tokenizer_ingest import (
+                    run_streaming_tokenizer_ingest,
+                )
+
+                meta = run_streaming_tokenizer_ingest(
+                    spark, args.source, args.state, args.checkpoint,
+                    id_col=args.id_col or "doc_id",
+                    text_col=args.text_col,
+                    n_merges=args.n_merges,
+                    marker=args.marker,
+                    retrain_threshold=(
+                        0.001 if args.threshold is None else args.threshold
+                    ),
+                    max_files_per_trigger=args.max_files_per_trigger,
+                    on_batch=report,
+                )
+            print(json.dumps(meta))
             return 0
 
         if args.cmd == "monitor":
