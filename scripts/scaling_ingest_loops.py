@@ -108,6 +108,58 @@ def tokenizer_leg(spark, n_batches: int, docs_per_batch: int) -> dict:
     return out
 
 
+def tokenizer_store_growth_leg(spark, mults=(1, 10),
+                               docs_per_batch: int = 300) -> dict:
+    """Per-batch append cost vs ENCODED-STORE size: pre-seed the corpus
+    at ``mult``× then stream 3 more fixed-size batches. The only
+    store-proportional touch per batch is the doc-id anti-join read
+    (column-pruned to the id column — plan-pinned in pytest), so the
+    steady per-batch wall should stay ~flat as the store grows 10×."""
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "metric", "vector",
+             "stream", "batch", "token", "merge"]
+
+    def doc(i):
+        return (i, " ".join(words[(i + k) % len(words)] for k in range(30)))
+
+    out = {}
+    for mult in mults:
+        base = tempfile.mkdtemp(prefix=f"scaling_tokstore_{mult}x_")
+        src = os.path.join(base, "src")
+        seed_n = docs_per_batch * 3 * mult
+        # one seed file → one bootstrap batch (train + bulk append);
+        # walls[1:] are then exactly the 3 fixed-size append batches
+        spark.createDataFrame(
+            [doc(i) for i in range(seed_n)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for b in range(3):
+            rows = [doc(seed_n + b * docs_per_batch + i)
+                    for i in range(docs_per_batch)]
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+        walls = []
+        run_streaming_tokenizer_ingest(
+            spark, src, os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+            n_merges=32, retrain_threshold=0.5,
+            on_batch=lambda b, w, r: walls.append(round(w, 2)),
+        )
+        out[f"{mult}x"] = {
+            "store_seed_docs": seed_n,
+            "append_walls_s": walls[1:],  # walls[0] includes bootstrap
+        }
+        shutil.rmtree(base, ignore_errors=True)
+    steady = {k: sum(v["append_walls_s"]) / len(v["append_walls_s"])
+              for k, v in out.items()}
+    ks = [f"{m}x" for m in mults]
+    out["growth_ratio"] = round(steady[ks[-1]] / steady[ks[0]], 2)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scaling-ingest-loops", freeze_gc=True)
     legs = {
@@ -119,6 +171,7 @@ def main() -> None:
         "ann_ingest_pq_rebuild": ann_leg(spark, "pq", 5, 400, 0.5),
         "ann_ingest_ivfpq_rebuild": ann_leg(spark, "ivfpq", 5, 400, 0.5),
         "tokenizer_ingest": tokenizer_leg(spark, 6, 300),
+        "tokenizer_store_growth": tokenizer_store_growth_leg(spark),
     }
     print(json.dumps({"legs": legs}, indent=1))
     spark.stop()

@@ -620,3 +620,37 @@ def test_tokenizer_ingest_reads_artifact_once_per_version(
     )
     assert meta["version"] == 0
     assert len(calls) == 1  # 3 batches, one artifact read
+
+
+def test_tokenizer_ingest_antijoin_scan_is_id_column_pruned(
+    spark, tmp_path
+):
+    # the only store-proportional touch per batch is the doc-id
+    # anti-join read — pin that the store scan is column-pruned to the
+    # id column (not the full encoded rows), the invariant the
+    # SCALING store-growth leg's flatness rests on
+    from opensea_datapipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(_ASCII_DOCS, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=4)
+    store = str(tmp_path / "encoded_v0")
+    bpe_encode(docs, merges).write.parquet(store)
+    new = spark.createDataFrame(
+        [(100, "a new doc"), (101, "another doc")],
+        "doc_id long, text string",
+    )
+    delta = bpe_encode(new, merges).join(
+        spark.read.parquet(store).select("doc_id"), "doc_id", "left_anti"
+    )
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    # the store is the ONLY parquet input in this plan (docs/merges are
+    # in-memory), so every FileScan line is a store scan; paths truncate
+    # in toString, so pin the ReadSchema instead of the path
+    store_scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert store_scans, plan
+    for scan in store_scans:
+        assert "ReadSchema: struct<doc_id:bigint>" in scan, scan
+        assert "ids_str" not in scan and "n_syms" not in scan, scan
