@@ -39,15 +39,19 @@ def publish_versioned_dir(state_dir: str, name: str, write) -> str:
 def sweep_orphan_versions(
     state_dir: str, prefixes: "tuple[str, ...]", keep_version: int
 ) -> None:
-    """Remove versioned dirs whose version != ``keep_version``."""
+    """Remove versioned dirs whose version != ``keep_version``. A
+    ``_tmp_`` dir is removed regardless of its version — the sweep runs
+    after the meta commit, at which point any tmp (even of the kept
+    version) is the debris of a crashed publish attempt; a future
+    publish recreates its own tmp from scratch."""
     try:
         entries = os.listdir(state_dir)
     except OSError:
         return
     pat = re.compile(
-        r"^(?:_tmp_)?(?:" + "|".join(map(re.escape, prefixes)) + r")_v(\d+)$"
+        r"^(_tmp_)?(?:" + "|".join(map(re.escape, prefixes)) + r")_v(\d+)$"
     )
     for name in entries:
         m = pat.match(name)
-        if m and int(m.group(1)) != keep_version:
+        if m and (m.group(1) or int(m.group(2)) != keep_version):
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)

@@ -654,3 +654,90 @@ def test_tokenizer_ingest_antijoin_scan_is_id_column_pruned(
     for scan in store_scans:
         assert "ReadSchema: struct<doc_id:bigint>" in scan, scan
         assert "ids_str" not in scan and "n_syms" not in scan, scan
+
+
+# ---------------------------------------------------------------------------
+# lifecycle helper properties
+# ---------------------------------------------------------------------------
+
+def test_sweep_orphan_versions_properties(tmp_path):
+    # never deletes the kept version; deletes every other recognized
+    # versioned dir (tmp or final, any prefix given); never touches
+    # non-matching names
+    import os
+
+    from opensea_datapipeline_spark.streaming.lifecycle import (
+        sweep_orphan_versions,
+    )
+
+    keep = 3
+    victims = ["index_v0", "index_v12", "_tmp_index_v3", "_tmp_index_v99"]
+    survivors = [
+        "index_v3",            # the kept version
+        "indexes_v0",          # prefix must match exactly
+        "index_v",             # no digits
+        "index_v3x",           # trailing garbage
+        "my_index_v0",         # prefix anchored at start
+        "meta.json",
+    ]
+    for name in victims + survivors[:-1]:
+        os.makedirs(tmp_path / name, exist_ok=True)
+    (tmp_path / "meta.json").write_text("{}")
+    sweep_orphan_versions(str(tmp_path), ("index",), keep)
+    for name in victims:
+        assert not os.path.exists(tmp_path / name), name
+    for name in survivors:
+        assert os.path.exists(tmp_path / name), name
+    # missing state_dir is a no-op, not an error
+    sweep_orphan_versions(str(tmp_path / "nope"), ("index",), 0)
+
+
+def test_publish_versioned_dir_replaces_crashed_leftovers(tmp_path):
+    # a crashed earlier attempt leaves _tmp_<name> and possibly a
+    # half-published <name>; publish must clear both and the final dir
+    # must contain exactly what write() produced
+    import os
+
+    from opensea_datapipeline_spark.streaming.lifecycle import (
+        publish_versioned_dir,
+    )
+
+    state = str(tmp_path)
+    os.makedirs(tmp_path / "_tmp_store_v1" / "stale", exist_ok=True)
+    os.makedirs(tmp_path / "store_v1" / "halfdone", exist_ok=True)
+
+    def write(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("fresh")
+
+    out = publish_versioned_dir(state, "store_v1", write)
+    assert out == os.path.join(state, "store_v1")
+    assert sorted(os.listdir(out)) == ["data.txt"]
+    assert open(os.path.join(out, "data.txt")).read() == "fresh"
+    assert not os.path.exists(tmp_path / "_tmp_store_v1")
+
+
+def test_streaming_ann_ingest_ivfpq_residual_kind(spark, tmp_path):
+    # residual=True flows through the loop: appends encode residuals
+    # against the frozen centroids+codebooks (append_ivfpq_index_at
+    # reads residual from the index meta), every id stored once
+    from opensea_datapipeline_spark.operators.ann_index import (
+        read_ivfpq_index,
+    )
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [range(0, 8), range(8, 12)])
+    meta = run_streaming_ann_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        kind="ivfpq", n_lists=2, pq_m=2, pq_k=4, residual=True,
+        rebuild_threshold=5.0,
+    )
+    assert meta["rebuilds"] == 0
+    idx = read_ivfpq_index(spark, meta["index_dir"])
+    assert idx.residual is True
+    rows = idx.codes.collect()
+    assert sorted(r.id for r in rows) == list(range(12))
