@@ -192,6 +192,12 @@ def build_ivf_index(
     clean = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    if clean.isEmpty():  # fail loud, not MLlib's opaque summarizer error
+        raise ValueError(
+            "build_ivf_index: no non-null vectors to train the coarse "
+            "quantizer on — an all-null or empty training corpus cannot "
+            "produce an index"
+        )
     ml_df = clean.select(
         "id",
         "vec",
@@ -810,9 +816,13 @@ def build_pq_index(
     clean = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    sample = np.vstack(
-        [r.vec for r in clean.orderBy("id").limit(sample_size).collect()]
-    ).astype(np.float64)
+    sample_rows = clean.orderBy("id").limit(sample_size).collect()
+    if not sample_rows:  # fail loud, not numpy's vstack-on-empty error
+        raise ValueError(
+            "build_pq_index: no non-null vectors to train codebooks on — "
+            "an all-null or empty training corpus cannot produce an index"
+        )
+    sample = np.vstack([r.vec for r in sample_rows]).astype(np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     sample = sample / norms

@@ -185,6 +185,16 @@ def run_streaming_ann_ingest(
         rebuilt = False
         old_version_dir = None
         if "version" not in meta:
+            if batch.filter(F.col(vec_col).isNotNull()).isEmpty():
+                # a degenerate first batch (empty file / all-null
+                # vectors) cannot train the learned structure — defer
+                # the bootstrap to the first batch with usable vectors
+                # instead of killing the stream on MLlib's opaque
+                # empty-summarizer error
+                _write_meta(state_dir, {**meta, "last_batch_id": batch_id})
+                if on_batch is not None:
+                    on_batch(batch_id, time.time() - t0, False)
+                return
             # bootstrap: the first batch trains the learned structure
             _publish_index(build(batch), state_dir, 0, kind)
             meta = {"version": 0, "rebuilds": 0}

@@ -741,3 +741,81 @@ def test_streaming_ann_ingest_ivfpq_residual_kind(spark, tmp_path):
     assert idx.residual is True
     rows = idx.codes.collect()
     assert sorted(r.id for r in rows) == list(range(12))
+
+
+def test_tokenizer_ingest_degenerate_bootstrap_self_heals(spark, tmp_path):
+    # A bootstrap batch with no usable text (null/empty/whitespace)
+    # trains an empty v0 artifact rather than crashing the stream; the
+    # first REAL batch then encodes as all-OOV, which is exactly the
+    # staleness signal — the retrain fires immediately and v1 covers
+    # the real corpus. Degenerate docs produce no encoded rows (no
+    # words → no token stream), matching bpe_encode's contract.
+    from opensea_datapipeline_spark.operators.text import (
+        tokenizer_staleness,
+    )
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    _write_doc_batches(
+        spark, src,
+        [[(0, None), (1, ""), (2, "   ")],
+         [(3, "the cat sat"), (4, "the dog sat")]],
+    )
+    meta = run_streaming_tokenizer_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        n_merges=4, retrain_threshold=0.5,
+    )
+    assert meta["retrains"] == 1 and meta["version"] == 1
+    enc = spark.read.parquet(meta["encoded_dir"])
+    assert enc.count() == 2
+    assert tokenizer_staleness(enc)["n_oov"] == 0
+
+
+def test_ann_build_on_degenerate_corpus_fails_loud(spark):
+    # all-null / empty training corpora previously died inside MLlib
+    # ("Nothing has been added to this summarizer") or numpy
+    # (vstack-on-empty) — the fail-loud guard family extends here
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        build_ivfpq_index,
+        build_pq_index,
+    )
+
+    degenerate = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        build_ivf_index(degenerate)
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        build_pq_index(degenerate)
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        build_ivfpq_index(degenerate, residual=True)
+
+
+def test_streaming_ann_ingest_defers_bootstrap_past_degenerate_batch(
+    spark, tmp_path
+):
+    # a degenerate first batch (all-null vectors) must not kill the
+    # stream: the bootstrap defers to the first batch with usable
+    # vectors, and the final index holds exactly those
+    from opensea_datapipeline_spark.streaming.ann_ingest import (
+        run_streaming_ann_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _write_batches(spark, src, [range(2, 8)])
+    flags = []
+    meta = run_streaming_ann_ingest(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        n_lists=2, rebuild_threshold=5.0,
+        on_batch=lambda b, w, r: flags.append(b),
+    )
+    assert meta["version"] == 0 and meta["last_batch_id"] == 1
+    assert flags == [0, 1]  # the degenerate batch still reports
+    rows = spark.read.parquet(meta["index_dir"] + "/assignments")
+    assert sorted(r.id for r in rows.collect()) == list(range(2, 8))
