@@ -476,6 +476,7 @@ def append_lsh_index_at(
     # count scans (O(corpus) per append — the r13 ingest-loop find)
     delta = delta.localCheckpoint(eager=True)
     n_delta = delta.count()
+    _check_delta_dims(delta, meta["dim"], "lsh")
     delta_sigs = _lsh_sig_table(
         delta.select(F.col("id").alias(id_col), F.col("vec").alias(vec_col)),
         id_col, vec_col,
@@ -506,6 +507,10 @@ def append_ivf_index_at(
     )
     delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
     n_delta = delta.count()
+    if n_delta:
+        _check_delta_dims(
+            delta, len(centroids.first().centroid), "ivf"
+        )
     assigned = _assign_to_centroids(delta, centroids)
     assigned.write.mode("append").partitionBy("list_id").parquet(
         f"{path}/assignments"
@@ -552,6 +557,25 @@ def _read_meta(spark: SparkSession, path: str, kind: str | None = None) -> dict:
 # lifecycle counters track (parquet count() is footer-metadata only).
 _MAIN_TABLE = {"lsh": "vectors", "ivf": "assignments", "pq": "codes",
                "ivfpq": "codes"}
+
+
+def _check_delta_dims(delta: DataFrame, dim: int, kind: str) -> None:
+    """Fail loud if an appended vector's length differs from the
+    index's dimension. Without this, a malformed feed row silently
+    produced garbage under the frozen structures (PQ encoded it against
+    mismatched subspace slices, LSH signed a truncated dot product) or
+    died in an opaque worker-side numpy error (IVF assign) — the
+    fail-loud guard-family rule: values that would silently corrupt
+    results raise with an actionable message instead. One bounded count
+    over the PINNED delta, delta-proportional like the append itself."""
+    n_bad = delta.filter(F.size("vec") != int(dim)).count()
+    if n_bad:
+        raise ValueError(
+            f"append to {kind} index: {n_bad} delta row(s) have vector "
+            f"length != index dim {dim} — clean or drop malformed "
+            "vectors upstream; a wrong-length vector can never be "
+            "scored correctly under the frozen index structures"
+        )
 
 
 def _bump_append_meta(
@@ -821,6 +845,12 @@ def build_pq_index(
         raise ValueError(
             "build_pq_index: no non-null vectors to train codebooks on — "
             "an all-null or empty training corpus cannot produce an index"
+        )
+    lens = {len(r.vec) for r in sample_rows}
+    if len(lens) > 1:
+        raise ValueError(
+            f"build_pq_index: training sample mixes vector lengths "
+            f"{sorted(lens)} — clean or drop malformed vectors upstream"
         )
     sample = np.vstack([r.vec for r in sample_rows]).astype(np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
@@ -1439,6 +1469,7 @@ def append_pq_index_at(
     )
     delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
     n_delta = delta.count()
+    _check_delta_dims(delta, dim, "pq")
     _pq_encode(delta, books).write.mode("append").parquet(f"{path}/codes")
     _bump_append_meta(
         spark, path, "pq", n_delta,
@@ -1515,6 +1546,7 @@ def append_ivfpq_index_at(
     )
     delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
     n_delta = delta.count()
+    _check_delta_dims(delta, dim, "ivfpq")
     if meta["residual"]:
         import numpy as np
 

@@ -819,3 +819,56 @@ def test_streaming_ann_ingest_defers_bootstrap_past_degenerate_batch(
     assert flags == [0, 1]  # the degenerate batch still reports
     rows = spark.read.parquet(meta["index_dir"] + "/assignments")
     assert sorted(r.id for r in rows.collect()) == list(range(2, 8))
+
+
+def test_persisted_appends_reject_wrong_dim_vectors(spark, tmp_path):
+    # a malformed feed row (wrong vector length) silently produced
+    # garbage codes/signatures under the frozen structures (pq/lsh) or
+    # died in an opaque worker-side numpy error (ivf) — all four
+    # persisted appends now raise a clear ValueError
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    good = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0]), (101, [3.0] * 5)],
+        "vec_id long, embedding array<double>",
+    )
+    builds = {
+        "lsh": (lambda: ai.build_lsh_index(
+            good, n_planes=3, n_tables=2, dim=8), ai.write_lsh_index,
+            ai.append_lsh_index_at),
+        "ivf": (lambda: ai.build_ivf_index(good, n_lists=2),
+                ai.write_ivf_index, ai.append_ivf_index_at),
+        "pq": (lambda: ai.build_pq_index(good, m=2, k=4),
+               ai.write_pq_index, ai.append_pq_index_at),
+        "ivfpq": (lambda: ai.build_ivfpq_index(
+            good, n_lists=2, m=2, k=4), ai.write_ivfpq_index,
+            ai.append_ivfpq_index_at),
+    }
+    for kind, (build, write, append_at) in builds.items():
+        path = str(tmp_path / kind)
+        write(build(), path)
+        with pytest.raises(ValueError, match="vector length"):
+            append_at(spark, path, bad)
+        # good appends still work after the failed attempt
+        more = spark.createDataFrame(
+            [(200 + i, _ann_vec(50 + i)) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        append_at(spark, path, more)
+
+
+def test_build_pq_index_rejects_mixed_dim_sample(spark):
+    from opensea_datapipeline_spark.operators.ann_index import (
+        build_pq_index,
+    )
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mixes vector lengths"):
+        build_pq_index(mixed, m=2, k=1)
