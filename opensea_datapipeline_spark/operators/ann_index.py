@@ -78,6 +78,27 @@ class IvfIndex:
     seed: int
 
 
+def _check_corpus_dims(clean: DataFrame, dim: int, op: str) -> None:
+    """Build-seam twin of ``_check_delta_dims``: every training/corpus
+    vector must have the index dimension, or the learned structure is
+    built over silent garbage (a longer vector PQ-encodes with its tail
+    ignored but its norm over all elements; LSH's expression path turns
+    a length mismatch into null dots → all-'0' signature bits; MLlib
+    dies opaquely). One size-filter count over a corpus the build is
+    already scanning. For LSH this also validates the CONFIGURED dim —
+    an unvalidated ``dim=64`` default on a 32-dim feed would otherwise
+    bootstrap a wedged index whose every append then fails the delta
+    guard while blaming the data (r14 review)."""
+    n_bad = clean.filter(F.size("vec") != int(dim)).count()
+    if n_bad:
+        raise ValueError(
+            f"build_{op}_index: {n_bad} corpus row(s) have vector "
+            f"length != index dim {dim} — if the configured dim is "
+            "wrong, fix it; otherwise clean or drop malformed vectors "
+            "upstream"
+        )
+
+
 def build_lsh_index(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -96,10 +117,11 @@ def build_lsh_index(
     ``write_lsh_index``; leave False when the next step IS a write."""
     from .similarity import _lsh_sig_table
 
-    sigs = _lsh_sig_table(embeddings, id_col, vec_col, n_planes, n_tables, dim, seed)
     vectors = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    _check_corpus_dims(vectors, dim, "lsh")
+    sigs = _lsh_sig_table(embeddings, id_col, vec_col, n_planes, n_tables, dim, seed)
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
         vectors = vectors.localCheckpoint(eager=True)
@@ -198,6 +220,7 @@ def build_ivf_index(
             "quantizer on — an all-null or empty training corpus cannot "
             "produce an index"
         )
+    _check_corpus_dims(clean, len(clean.first().vec), "ivf")
     ml_df = clean.select(
         "id",
         "vec",
@@ -852,6 +875,9 @@ def build_pq_index(
             f"build_pq_index: training sample mixes vector lengths "
             f"{sorted(lens)} — clean or drop malformed vectors upstream"
         )
+    # a wrong-length row OUTSIDE the sample would silently mis-encode
+    # (tail ignored, norm over all elements) — check the whole corpus
+    _check_corpus_dims(clean, len(sample_rows[0].vec), "pq")
     sample = np.vstack([r.vec for r in sample_rows]).astype(np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0

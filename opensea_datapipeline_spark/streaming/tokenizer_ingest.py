@@ -224,7 +224,10 @@ def run_streaming_tokenizer_ingest(
             retrained = True
         _write_meta(state_dir, {**meta, "last_batch_id": batch_id})
         if old_version is not None:
-            # superseded versions removed only AFTER the meta commit
+            # superseded versions removed only AFTER the meta commit;
+            # evict the cache entry with the dir or a long-lived stream
+            # grows one dead (merges, alphabet) plan per retrain
+            artifact_cache.pop(old_version, None)
             shutil.rmtree(_tok_dir(state_dir, old_version),
                           ignore_errors=True)
             shutil.rmtree(_enc_dir(state_dir, old_version),

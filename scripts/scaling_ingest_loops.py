@@ -33,6 +33,15 @@ def _vec(i: int, dim: int = 64, drift: float = 0.0):
     return [math.sin(0.31 * i + j) + drift * math.cos(j) for j in range(dim)]
 
 
+_WORDS = ["alpha", "beta", "gamma", "delta", "metric", "vector",
+          "stream", "batch", "token", "merge"]
+
+
+def _make_doc(i: int, pool=None):
+    pool = pool or _WORDS
+    return (i, " ".join(pool[(i + k) % len(pool)] for k in range(30)))
+
+
 def ann_leg(spark, kind: str, n_batches: int, per_batch: int,
             rebuild_threshold: float) -> dict:
     from opensea_datapipeline_spark.streaming.ann_ingest import (
@@ -72,18 +81,14 @@ def tokenizer_leg(spark, n_batches: int, docs_per_batch: int) -> dict:
         run_streaming_tokenizer_ingest,
     )
 
-    words = ["alpha", "beta", "gamma", "delta", "metric", "vector",
-             "stream", "batch", "token", "merge"]
     base = tempfile.mkdtemp(prefix="scaling_tok_")
     src = os.path.join(base, "src")
     for b in range(n_batches):
         # last batch arrives in a new script → OOV drift fires the retrain
-        pool = ["κόσμος", "λέξη", "δεδομένα"] if b == n_batches - 1 else words
-        rows = [
-            (b * docs_per_batch + i,
-             " ".join(pool[(i + k + b) % len(pool)] for k in range(30)))
-            for i in range(docs_per_batch)
-        ]
+        pool = (["κόσμος", "λέξη", "δεδομένα"]
+                if b == n_batches - 1 else None)
+        rows = [_make_doc(b * docs_per_batch + i + b, pool)
+                for i in range(docs_per_batch)]
         spark.createDataFrame(
             rows, "doc_id long, text string"
         ).coalesce(1).write.mode("append").parquet(src)
@@ -119,12 +124,7 @@ def tokenizer_store_growth_leg(spark, mults=(1, 10),
         run_streaming_tokenizer_ingest,
     )
 
-    words = ["alpha", "beta", "gamma", "delta", "metric", "vector",
-             "stream", "batch", "token", "merge"]
-
-    def doc(i):
-        return (i, " ".join(words[(i + k) % len(words)] for k in range(30)))
-
+    doc = _make_doc
     out = {}
     for mult in mults:
         base = tempfile.mkdtemp(prefix=f"scaling_tokstore_{mult}x_")

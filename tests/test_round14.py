@@ -872,3 +872,32 @@ def test_build_pq_index_rejects_mixed_dim_sample(spark):
     )
     with pytest.raises(ValueError, match="mixes vector lengths"):
         build_pq_index(mixed, m=2, k=1)
+
+
+def test_build_seam_rejects_wrong_dim_corpus(spark):
+    # the append guard's build-seam twin: a wrong-length row anywhere
+    # in the training corpus (not just the PQ sample) fails loud, and
+    # build_lsh_index validates its CONFIGURED dim against the data —
+    # an unvalidated dim default would bootstrap a wedged index whose
+    # every append then fails while blaming the feed
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    mixed = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(16)] + [(99, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="vector length"):
+        ai.build_ivf_index(mixed, n_lists=2)
+    with pytest.raises(ValueError, match="vector length"):
+        ai.build_pq_index(mixed, m=2, k=4)
+    good_32dim_feed = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(32)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    # configured dim=64 on a 32-dim feed: caught at BUILD, not at the
+    # first append of an already-published index
+    with pytest.raises(ValueError, match="vector length"):
+        ai.build_lsh_index(good_32dim_feed, n_planes=3, n_tables=2, dim=64)
+    # the right dim builds fine
+    idx = ai.build_lsh_index(good_32dim_feed, n_planes=3, n_tables=2, dim=32)
+    assert idx.vectors.count() == 8
