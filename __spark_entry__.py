@@ -88,25 +88,25 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # the r01–r13 union is older than r09. New registrations (ungraded)
 # still sort ahead of every graded query automatically.
 _REGRADE_FIRST = (
-    # --- r13's 55-name queue exceeded the 50-slot prefix; these five —
-    # exactly the queries the r13 render fix / job-floor gates / auto
-    # router changed — missed it and still carry r12 rows (VERDICT r13
-    # #1). Head of the r14 queue; everything else from r13's queue got
-    # its fresh row and is retired.
-    "bpe_encode_documents",
-    "bpe_encode_staged_2k",
-    "bpe_encode_arrow_2k",
-    "bpe_encode_from_artifact",
-    "bpe_pack_with_boundaries",
-    # --- r14 code-path changes ---
-    "knn_topk",            # null-sim filter before ranking + oracle WHERE
-    "knn_topk_quantized",  # same oracle/operator pair (r10 row)
-    "json_extraction",     # oracle TRY_CAST parity (ADVICE r13)
-    "variant_json_stats",  # oracle TRY_CAST parity (ADVICE r13)
-    "bpe_encode_xcorpus_artifact",  # fp_version in artifact meta
-    # The remaining ~40 prefix slots fill with the r09 tail
-    # automatically — _ordered sorts graded queries stalest-first, so
-    # the 47 r09 rows (VERDICT r13 #3) rotate in without being named.
+    # --- r14's 10 pins ALL regraded green in r14 (CORRECTNESS_r14,
+    # VERDICT r14), retired. r15 (VERDICT r14 #1): the last 7 queries
+    # whose latest driver row is r09 — the judge re-verified all 7
+    # green in-session with the driver comparator, this is the
+    # official-record catch-up. After this batch the oldest driver
+    # row across the whole registry is >= r10.
+    "user_retention_sets",
+    "daily_stats_unpivot",
+    "embedding_array_stats",
+    "price_rank_dist_scalable",
+    "corpus_dedup_summary",
+    "value_band_peers",
+    "media_knn_pipeline",
+    # --- r15 oracle changes (ADVICE r14 #1/#2: NaN-robust knn oracle
+    # guards — denominator filter instead of IS NOT NULL on 0/0) ---
+    "knn_topk",
+    "knn_topk_quantized",
+    # The remaining ~40 prefix slots fill with the r10/r11 tail
+    # automatically — _ordered sorts graded queries stalest-first.
 )
 
 

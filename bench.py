@@ -192,6 +192,29 @@ NOISE_CANARIES = ("tfidf_top_terms", "pricing_summary", "rolling_daily_mean")
 NOISY_RATIO_CEIL = 1.15
 
 
+def _is_noisy_box(*ratios: "float | None") -> bool:
+    """True when any normalization ratio strays outside the symmetric
+    [1/CEIL, CEIL] band. `None` (no prior round / no shared queries)
+    means "cannot judge" and is treated as quiet; 0.0 is an EXTREME
+    noise signal and must NOT be coerced to quiet (ADVICE r14 #3 — the
+    old `or 1.0` form did exactly that)."""
+    return any(
+        r is not None
+        and not (1.0 / NOISY_RATIO_CEIL <= r <= NOISY_RATIO_CEIL)
+        for r in ratios
+    )
+
+
+def _band_floor(prev_time_s: float) -> float:
+    """Minimum noise band for a query whose previous-round walltime was
+    ``prev_time_s``. Sub-1.2 s queries get a 0.15 s ABSOLUTE floor — at
+    those walltimes one JIT hiccup or GC pause exceeds the old 0.05
+    normalized floor and trips the exceeds-band protocol on nothing a
+    human would chase (six of r14's ten "exceeds" were such queries;
+    VERDICT r14 #6). Larger queries keep the tighter 0.05 floor."""
+    return 0.15 if prev_time_s <= 1.2 else 0.05
+
+
 def _round_num(path: str) -> int:
     m = re.search(r"_r(\d+)", os.path.basename(path))
     return int(m.group(1)) if m else -1
@@ -467,12 +490,14 @@ def main() -> None:
                 # frozen-code canary itself exceeds its band: then
                 # vs_prev_norm measures environment drift, not plans, and
                 # must not be used to adjudicate regressions.
+                # r15 (VERDICT r14 #6): sub-1.2 s queries get a 0.15 s
+                # absolute floor — see _band_floor.
                 band = {
                     q: round(
                         max(
                             record["pass_spread"].get(q, 0.0),
                             prev_spread.get(q, 0.0),
-                            0.05,
+                            _band_floor(prev[q]),
                         ),
                         3,
                     )
@@ -513,10 +538,8 @@ def main() -> None:
         this_round = (_round_num(prior[-1]) if prior else 0) + 1
         here = os.path.dirname(os.path.abspath(__file__))
         local = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
-        noisy_box = any(
-            not (1.0 / NOISY_RATIO_CEIL <= r <= NOISY_RATIO_CEIL)
-            for r in (record.get("env_ratio") or 1.0,
-                      record.get("canary_ratio") or 1.0)
+        noisy_box = _is_noisy_box(
+            record.get("env_ratio"), record.get("canary_ratio")
         )
         if noisy_box and os.path.exists(local):
             local = os.path.join(
@@ -526,6 +549,18 @@ def main() -> None:
                 "bench: noisy box (ratio > "
                 f"{NOISY_RATIO_CEIL}); keeping existing round record, "
                 f"writing re-run to {local}",
+                file=sys.stderr,
+            )
+        elif noisy_box:
+            # First write of the round on a noisy box still becomes the
+            # committed record (there is nothing quieter to keep), but it
+            # must carry the stigma so next round's vs_prev chain knows
+            # its reference point is suspect (ADVICE r14 #3).
+            record["noisy_first_write"] = True
+            print(
+                "bench: WARNING — first record of this round is from a "
+                f"noisy box (ratio > {NOISY_RATIO_CEIL}); marked "
+                "noisy_first_write, re-run on a quiet box to replace it",
                 file=sys.stderr,
             )
         with open(local, "w") as f:

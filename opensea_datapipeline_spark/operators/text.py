@@ -2094,12 +2094,49 @@ def bpe_read_tokenizer(
             meta.get("alphabet_size"),
         )
         got = None
+        matched_version = None
         for fp_version in candidates:
             got = _bpe_artifact_fingerprint(
                 merges, alphabet, fp_version=fp_version
             )
             if got == want:
+                matched_version = fp_version
                 break
+        if got == want and declared is None:
+            # ADVICE r14 #4: a versionless meta got the weaker
+            # two-recipe acceptance; now that exactly one recipe has
+            # verified it, RE-STAMP the meta with that fp_version so
+            # the artifact locks to a single recipe from here on —
+            # tampering that strips fp_version no longer buys a
+            # permanently weaker check, only a one-time one.
+            import sys as _sys
+
+            print(
+                f"bpe_read_tokenizer: versionless meta at {path!r} "
+                f"verified by fp recipe v{matched_version}; re-stamping",
+                file=_sys.stderr,
+            )
+            try:
+                spark.createDataFrame(
+                    [
+                        (
+                            marker,
+                            meta.get("n_merges"),
+                            meta.get("alphabet_size"),
+                            meta["content_hash"],
+                            matched_version,
+                        )
+                    ],
+                    "marker string, n_merges long, alphabet_size long,"
+                    " content_hash string, fp_version long",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    path + "/meta"
+                )
+            except Exception as exc:  # read-only store: verify-only is fine
+                print(
+                    f"bpe_read_tokenizer: re-stamp skipped ({exc})",
+                    file=_sys.stderr,
+                )
         if got != want:
             got_hash, got_m, got_a = got
             raise ValueError(

@@ -1278,19 +1278,24 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "knn_topk",
     """
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
-scored AS (
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 50
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
-      AS sim
-  FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) *
+       sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM q, c WHERE q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
     AS rank
-  FROM scored WHERE sim IS NOT NULL
+  FROM scored
 ) t WHERE rank <= 10
 """,
 )
@@ -6305,17 +6310,19 @@ WITH base AS (
       x -> (round((x - vmin) / scale * 255) - 128 + 128) / 255.0 * scale + vmin)
       AS emb
   FROM params
+), deqnz AS (
+  SELECT vec_id, emb FROM deq WHERE list_dot_product(emb, emb) > 0
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     list_dot_product(q.emb, c.emb) /
       (sqrt(list_dot_product(q.emb, q.emb)) *
        sqrt(list_dot_product(c.emb, c.emb))) AS sim
-  FROM deq q, deq c WHERE q.vec_id <> c.vec_id
+  FROM deqnz q, deqnz c WHERE q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
     AS rank
-  FROM scored WHERE sim IS NOT NULL
+  FROM scored
 ) t WHERE rank <= 5
 """,
 )
@@ -6942,12 +6949,17 @@ hexes AS (
   FROM grid
   LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.bucket = cnt.bucket
   GROUP BY grid.doc_id
+), featnz AS (
+  -- mirrors knn_topk_exact's per-side zero-norm pre-filter (ADVICE r14
+  -- #2); byte histograms always sum to 1 so this drops nothing today,
+  -- but keeps oracle and operator semantics aligned by construction
+  SELECT doc_id, f FROM feat WHERE list_dot_product(f, f) > 0
 ), scored AS (
   SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
     list_dot_product(q.f, c.f) /
       (sqrt(list_dot_product(q.f, q.f)) *
        sqrt(list_dot_product(c.f, c.f))) AS sim
-  FROM feat q, feat c WHERE q.doc_id <> c.doc_id
+  FROM featnz q, featnz c WHERE q.doc_id <> c.doc_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)

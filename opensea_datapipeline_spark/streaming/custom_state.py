@@ -12,7 +12,7 @@ API note: Spark 4 offers two seams — ``transformWithStateInPandas``
 (StatefulProcessor, richer: multiple state variables, timers, TTL) and
 ``applyInPandasWithState`` (GroupState). The former's Python state
 server requires protobuf, which this environment does not ship (absence
-re-verified every round through r14, most recently 2026-08-16 r14:
+re-verified every round through r15, most recently 2026-08-16 r15:
 ``import google.protobuf`` still fails with ModuleNotFoundError), so the
 operator uses the stable GroupState API; the state-machine semantics
 demonstrated here are identical, and the processor body would transplant

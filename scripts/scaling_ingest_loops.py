@@ -160,18 +160,82 @@ def tokenizer_store_growth_leg(spark, mults=(1, 10),
     return out
 
 
+def corpus_dedup_store_growth_leg(spark, mults=(1, 10),
+                                  docs_per_batch: int = 300) -> dict:
+    """Per-batch dedup cost vs PERSISTED-STATE size (VERDICT r14 #7):
+    pre-seed the corpus/bands/groups state at ``mult``× via one
+    bootstrap batch, then stream 3 more fixed-size batches through
+    ``run_streaming_corpus_dedup``. The store-proportional touches per
+    batch are (a) the band-table probe — an equi-join on band_key whose
+    CANDIDATE work is batch-proportional but whose build-side scan
+    grows with the store, (b) the old-wordsets read (semi-join
+    restricted to candidate ids), and (c) the doc-id anti-join on the
+    corpus append. The incremental design says the steady per-batch
+    wall stays ~flat as the store grows 10×; this leg measures it."""
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    out = {}
+    for mult in mults:
+        base = tempfile.mkdtemp(prefix=f"scaling_dedupstore_{mult}x_")
+        src = os.path.join(base, "src")
+        seed_n = docs_per_batch * 3 * mult
+        # one seed file → one bootstrap batch (bulk band build + full
+        # self-dedup); walls[1:] are then the 3 fixed-size batches
+        spark.createDataFrame(
+            [_make_doc(i) for i in range(seed_n)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for b in range(3):
+            rows = [_make_doc(seed_n + b * docs_per_batch + i)
+                    for i in range(docs_per_batch)]
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+        walls = []
+        run_streaming_corpus_dedup(
+            spark, src, os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+            on_batch=lambda b, w: walls.append(round(w, 2)),
+        )
+        out[f"{mult}x"] = {
+            "store_seed_docs": seed_n,
+            "dedup_walls_s": walls[1:],  # walls[0] is the bootstrap
+        }
+        shutil.rmtree(base, ignore_errors=True)
+    steady = {k: sum(v["dedup_walls_s"]) / len(v["dedup_walls_s"])
+              for k, v in out.items()}
+    ks = [f"{m}x" for m in mults]
+    out["growth_ratio"] = round(steady[ks[-1]] / steady[ks[0]], 2)
+    return out
+
+
 def main() -> None:
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--legs="):
+            only = set(a.split("=", 1)[1].split(","))
     spark = get_spark("scaling-ingest-loops", freeze_gc=True)
-    legs = {
+    all_legs = {
         # flat runs: threshold never crossed → every batch is append-only
-        "ann_ingest_pq_flat": ann_leg(spark, "pq", 5, 400, 5.0),
-        "ann_ingest_ivfpq_flat": ann_leg(spark, "ivfpq", 5, 400, 5.0),
+        "ann_ingest_pq_flat": lambda: ann_leg(spark, "pq", 5, 400, 5.0),
+        "ann_ingest_ivfpq_flat": lambda: ann_leg(spark, "ivfpq", 5, 400, 5.0),
         # rebuild cadence: threshold 0.5 → rebuilds fire as appended
         # mass doubles the store, not per batch
-        "ann_ingest_pq_rebuild": ann_leg(spark, "pq", 5, 400, 0.5),
-        "ann_ingest_ivfpq_rebuild": ann_leg(spark, "ivfpq", 5, 400, 0.5),
-        "tokenizer_ingest": tokenizer_leg(spark, 6, 300),
-        "tokenizer_store_growth": tokenizer_store_growth_leg(spark),
+        "ann_ingest_pq_rebuild": lambda: ann_leg(spark, "pq", 5, 400, 0.5),
+        "ann_ingest_ivfpq_rebuild": lambda: ann_leg(
+            spark, "ivfpq", 5, 400, 0.5
+        ),
+        "tokenizer_ingest": lambda: tokenizer_leg(spark, 6, 300),
+        "tokenizer_store_growth": lambda: tokenizer_store_growth_leg(spark),
+        "corpus_dedup_store_growth": lambda: corpus_dedup_store_growth_leg(
+            spark
+        ),
+    }
+    legs = {
+        name: fn()
+        for name, fn in all_legs.items()
+        if only is None or name in only
     }
     print(json.dumps({"legs": legs}, indent=1))
     spark.stop()
