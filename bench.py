@@ -23,7 +23,11 @@ movement in it is pure environment (round 4 saw 0.74 s vs a judge-run
 2.35 s on identical plans).
 
 Round-6 hardening: a per-query ``noise_band`` (worst cross-pass spread
-this round or last, 50 ms floor) accompanies the normalized deltas;
+this round or last, 50 ms floor — raised to a 0.15 s ABSOLUTE floor in
+r15 for queries whose prior walltime was <= 1.2 s, where a single JIT
+hiccup or GC pause exceeds 50 ms and six of r14's ten band-exceeds were
+exactly such non-events; VERDICT r14 #6) accompanies the normalized
+deltas;
 ``vs_prev_norm_exceeds_band`` lists the queries outside their band, and
 ``normalization_unstable`` self-flags the record when the canary ITSELF
 exceeds its band — round 5's canary moved 1.21× raw against an
