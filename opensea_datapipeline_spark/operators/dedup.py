@@ -414,27 +414,7 @@ def incremental_dedup_groups(
         .distinct()
     )
     nids = new_ids.select(F.col(id_col).alias("id"))
-    # pin: mapped feeds the size probe and then either the collect or
-    # the distributed run — unpinned, each would replay the
-    # corpus-sized endpoint-mapping join
-    mapped = mapped.localCheckpoint(eager=True)
-    n_edges = mapped.limit(small_graph_edges + 1).count()
-    if n_edges == 0:
-        comps = None
-    elif n_edges <= small_graph_edges:
-        comps = _driver_union_find(mapped)
-    else:
-        nodes = (
-            nids
-            .unionByName(mapped.select(F.col("src").alias("id")))
-            .unionByName(mapped.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        comps = connected_components_auto(
-            nodes, mapped, id_col="id", src_col="src", dst_col="dst",
-            assume_distinct=True,
-            small_graph_edges=0,  # already probed here
-        )
+    comps = _resolve_contracted(mapped, nids, small_graph_edges)
     if comps is None:
         new_assign = nids.select("id", F.col("id").alias("group_id"))
         old_assign = og.select(
@@ -459,6 +439,148 @@ def incremental_dedup_groups(
             )
         )
     return old_assign.unionByName(new_assign)
+
+
+def _resolve_contracted(
+    mapped: DataFrame, nids: DataFrame, small_graph_edges: int
+) -> "DataFrame | None":
+    """Resolve a contracted (src, dst) edge table to a component map, or
+    None when there are no edges. The shared gate of the incremental
+    folds: pin once, limit-probe the size, then driver union-find below
+    the threshold (2 jobs) or the distributed components loop above it
+    (same min-member labels either way)."""
+    # pin: mapped feeds the size probe and then either the collect or
+    # the distributed run — unpinned, each would replay the
+    # endpoint-mapping join lineage
+    mapped = mapped.localCheckpoint(eager=True)
+    n_edges = mapped.limit(small_graph_edges + 1).count()
+    if n_edges == 0:
+        return None
+    if n_edges <= small_graph_edges:
+        return _driver_union_find(mapped)
+    nodes = (
+        nids
+        .unionByName(mapped.select(F.col("src").alias("id")))
+        .unionByName(mapped.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return connected_components_auto(
+        nodes, mapped, id_col="id", src_col="src", dst_col="dst",
+        assume_distinct=True,
+        small_graph_edges=0,  # already probed here
+    )
+
+
+def incremental_dedup_groups_delta(
+    old_groups_multi: DataFrame,
+    inc_pairs: DataFrame,
+    new_ids: DataFrame,
+    *,
+    id_col: str = "id",
+    group_col: str = "group_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    small_graph_edges: int = 100_000,
+) -> DataFrame:
+    """The DELTA form of ``incremental_dedup_groups`` (VERDICT r14 #7):
+    same contraction, but returns ONLY the rows that change — the new
+    ids' assignments plus old rows whose component root moves — instead
+    of the full corpus assignment. This is what makes the streaming
+    corpus-dedup loop's per-batch WRITE batch-proportional: the caller
+    appends the delta to an append-only store and compacts at threshold
+    cadence (``streaming/corpus_dedup.py``) rather than rewriting the
+    whole assignment every micro-batch (measured 1.97× per-batch wall
+    at a 10× store before this change, SCALING_RUN_r15).
+
+    ``old_groups_multi`` may contain MULTIPLE rows per id (an
+    append-only base ∪ delta store, including replay duplicates): under
+    the min-label contract a row's group_id only ever DECREASES (a
+    merge relabels to the min of the merged roots), so the CURRENT root
+    of an id is ``min(group_id)`` over its rows, and stale labels are
+    never the current root of ANY component (label r is a root only
+    while doc r is its component's min; once merged under a smaller id
+    it never returns). Two consequences this function relies on:
+
+    - endpoint mapping resolves per-endpoint with a broadcast-semi-join
+      restricted ``min`` aggregate — a linear scan of the store but a
+      batch-proportional shuffle;
+    - relabeling joins on ``group_id ∈ (touched current roots)`` and
+      stale rows can never false-match, so only current rows relabel.
+
+    All shuffles and the component resolution are batch-proportional;
+    the only store-sized touches are linear 2-column scans."""
+    og = old_groups_multi.select(
+        F.col(id_col).alias("_oid"), F.col(group_col).alias("_og")
+    )
+    # pin the pairs: they feed endpoint extraction AND the two mapping
+    # joins, and their lineage replays LSH candidate generation. Lazy:
+    # materializes inside the first job that touches it (the contracted
+    # edge pin) instead of paying a dedicated job per micro-batch.
+    pairs = inc_pairs.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).localCheckpoint(eager=False)
+    nids = new_ids.select(F.col(id_col).alias("id"))
+    eps = (
+        pairs.select(F.col("_a").alias("_eid"))
+        .unionByName(pairs.select(F.col("_b").alias("_eid")))
+        .distinct()
+    )
+    # current root per ENDPOINT: broadcast semi-join (no store shuffle),
+    # then min over the matched (batch-proportional) rows
+    ep_map = (
+        og.join(F.broadcast(eps), og["_oid"] == eps["_eid"], "leftsemi")
+        .groupBy("_oid")
+        .agg(F.min("_og").alias("_g"))
+    )
+    mapped = (
+        pairs
+        .join(
+            F.broadcast(
+                ep_map.select(F.col("_oid").alias("_a"),
+                              F.col("_g").alias("_ga"))
+            ),
+            "_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                ep_map.select(F.col("_oid").alias("_b"),
+                              F.col("_g").alias("_gb"))
+            ),
+            "_b",
+            "left",
+        )
+        .select(
+            F.coalesce("_ga", F.col("_a")).alias("_s"),
+            F.coalesce("_gb", F.col("_b")).alias("_d"),
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.least("_s", "_d").alias("src"),
+            F.greatest("_s", "_d").alias("dst"),
+        )
+        .distinct()
+    )
+    comps = _resolve_contracted(mapped, nids, small_graph_edges)
+    if comps is None:
+        return nids.select("id", F.col("id").alias("group_id"))
+    new_assign = nids.join(comps, "id", "left").select(
+        "id", F.coalesce("group_id", F.col("id")).alias("group_id")
+    )
+    # old rows whose root MOVES: members of a touched component all
+    # carry its current root as their label, so one equi-join on the
+    # (shard-proportional, broadcastable by the same argument as the
+    # collect gate) relabel map finds exactly them; distinct absorbs
+    # replay-duplicate store rows
+    relabel = comps.filter(F.col("group_id") != F.col("id")).select(
+        F.col("id").alias("_root"), F.col("group_id").alias("_new")
+    )
+    changed_old = (
+        og.join(F.broadcast(relabel), og["_og"] == relabel["_root"])
+        .select(F.col("_oid").alias("id"), F.col("_new").alias("group_id"))
+        .distinct()
+    )
+    return changed_old.unionByName(new_assign)
 
 
 def ngram_jaccard_pairs(

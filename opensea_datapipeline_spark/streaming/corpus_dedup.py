@@ -6,26 +6,40 @@ the ONE streaming job a 100 TB ingest tier actually runs: shard files
 arrive, each micro-batch of new documents is deduped against the
 persisted corpus state, and the state advances atomically:
 
-    corpus/   (id, text)            append-only — the document store
-    bands/    (id, band, band_key)  append-only — the LSH probe artifact
-    batch_*/groups/ (id, group_id)  versioned — the full assignment
+    corpus/            (id, text)            append-only — the document store
+    bands/             (id, band, band_key)  append-only — the LSH probe artifact
+    groups_base_v{N}/  (id, group_id)        versioned — compacted assignment
+    groups_delta/      (id, group_id, batch_id) append-only — per-batch changes
 
 Per batch: probe the band artifact (``minhash_lsh_pairs_incremental`` —
 candidate work proportional to the BATCH, old wordsets read
-semi-join-restricted to candidates), fold the pairs into the persisted
-assignment (``incremental_dedup_groups`` — contracted components over a
-batch-proportional graph), then append the batch's bands/docs and
-version-swap the groups. The very first batch runs through the same
-code against empty stores (the incremental operators degrade to plain
-self-dedup when the old side is empty), so there is no bootstrap
-branch.
+semi-join-restricted to candidates), compute the assignment DELTA
+(``incremental_dedup_groups_delta`` — only new ids + old rows whose
+component root moves), then append bands/docs/delta. r15 (VERDICT r14
+#7): the r12 design version-swapped the FULL assignment every batch —
+measured 1.97× per-batch wall at a 10× store (SCALING_RUN_r15, before)
+because the corpus-sized rewrite dominated. The delta store exploits the
+min-label contract: a row's group_id only ever DECREASES, so the current
+assignment is ``min(group_id) per id`` over base ∪ delta — which makes
+replayed delta appends VALUE-IDEMPOTENT (duplicates change no min) and
+compaction a pure fold. Deltas compact into a new ``groups_base_v{N+1}``
+when they exceed ``compact_ratio`` × base rows — the same
+threshold-cadence economics as the ANN index rebuild: per-batch cost is
+batch-proportional, the store-sized rewrite is paid O(1/ratio) amortized
+per row, not per batch.
+
+The very first batch runs through the same code against empty stores
+(the incremental operators degrade to plain self-dedup when the old side
+is empty, and the empty-base compaction threshold fires immediately to
+seed ``groups_base_v0``), so there is no bootstrap branch.
 
 State discipline is the gold-table pattern (``streaming/gold.py``):
-batch-id replay skip, tmp-dir + atomic-rename versioning, meta recovery
-from the newest committed version. The append stores use
-``skip_existing_ids=True`` (an anti-join READ of existing ids, never a
-recompute), so a crash between the groups swap and the appends replays
-idempotently instead of duplicating state rows.
+batch-id replay skip, tmp-dir + atomic-rename versioning via
+``lifecycle.publish_versioned_dir``, per-batch
+``lifecycle.sweep_orphan_versions``, meta recovery from the committed
+artifacts. Appends run bands → corpus → delta → meta, so every crash
+window replays clean: the anti-join doc/band appends replay as no-ops
+and a re-appended delta is absorbed by the min fold.
 
 The graded invariant is the strongest one the family offers: the FINAL
 assignment equals the full-corpus transitive closure no matter how the
@@ -37,6 +51,7 @@ and end-to-end by the graded query's arbitrary repartition split).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,15 +59,109 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..sources.readers import ensure_reader_confs
-from .gold import _read_meta, _write_meta, latest_committed_batch
+from .gold import _read_meta, _write_meta
+from .lifecycle import publish_versioned_dir, sweep_orphan_versions
+
+_BASE_PREFIX = "groups_base"
+_DELTA_DIR = "groups_delta"
 
 
-def _recover_meta(state_dir: str) -> dict:
-    found = latest_committed_batch(state_dir)
-    if found is None:
-        return {}
-    latest, last_id = found
-    return {"last_batch_id": last_id, "groups_dir": latest}
+def _base_dir(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"{_BASE_PREFIX}_v{version}")
+
+
+def _latest_base_version(state_dir: str) -> "int | None":
+    """Newest committed ``groups_base_v{N}`` under ``state_dir`` (the
+    publish rename was atomic, so whatever this finds is complete)."""
+    pat = re.compile(rf"^{_BASE_PREFIX}_v(\d+)$")
+    try:
+        versions = [
+            int(m.group(1))
+            for m in (pat.match(d) for d in os.listdir(state_dir))
+            if m
+        ]
+    except OSError:
+        return None
+    return max(versions) if versions else None
+
+
+def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
+    """Rebuild the loop meta from the committed artifacts alone: the
+    newest base version dir (atomic publish) and the delta store's own
+    ``batch_id`` column. A batch whose delta rows are present was fully
+    appended (bands → corpus → delta ordering), so resuming AFTER it is
+    correct; a batch that crashed mid-append left no delta rows and
+    replays idempotently."""
+    version = _latest_base_version(state_dir)
+    meta: dict = {}
+    if version is not None:
+        meta["base_version"] = version
+        try:
+            import json
+
+            with open(os.path.join(_base_dir(state_dir, version),
+                                   "_base_meta.json")) as f:
+                bm = json.load(f)
+            meta["base_rows"] = bm.get("base_rows", 0)
+            meta["last_batch_id"] = bm.get("last_batch_id", -1)
+        except (OSError, ValueError):
+            meta["base_rows"] = 0
+    delta_dir = os.path.join(state_dir, _DELTA_DIR)
+    if os.path.isdir(delta_dir):
+        row = (
+            spark.read.parquet(delta_dir)
+            .agg(
+                F.max("batch_id").alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        if row and row["b"] is not None:
+            meta["last_batch_id"] = max(
+                meta.get("last_batch_id", -1), int(row["b"])
+            )
+            meta["delta_rows"] = int(row["n"])
+    return meta
+
+
+def _read_assignment_multi(
+    spark: SparkSession, state_dir: str, meta: dict
+) -> "DataFrame | None":
+    """base ∪ delta rows, possibly many per id (current root = min)."""
+    parts = []
+    if meta.get("base_version") is not None:
+        parts.append(
+            spark.read.parquet(
+                os.path.join(
+                    _base_dir(state_dir, meta["base_version"]), "groups"
+                )
+            )
+        )
+    delta_dir = os.path.join(state_dir, _DELTA_DIR)
+    if os.path.isdir(delta_dir):
+        parts.append(
+            spark.read.parquet(delta_dir).select("id", "group_id")
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def current_assignment(
+    spark: SparkSession, state_dir: str, meta: "dict | None" = None
+) -> "DataFrame | None":
+    """The loop's current (id, group_id) assignment: ``min(group_id)``
+    per id over base ∪ delta (exact under the min-label contract —
+    labels only decrease, so the minimum IS the latest)."""
+    if meta is None:
+        meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
+    multi = _read_assignment_multi(spark, state_dir, meta)
+    if multi is None:
+        return None
+    return multi.groupBy("id").agg(F.min("group_id").alias("group_id"))
 
 
 def run_streaming_corpus_dedup(
@@ -67,15 +176,19 @@ def run_streaming_corpus_dedup(
     band_size: int = 2,
     jaccard_threshold: float = 0.8,
     max_files_per_trigger: int = 1,
+    compact_ratio: float = 0.5,
     on_batch=None,
 ) -> DataFrame:
     """Stream ``docs_dir`` (AvailableNow) through the incremental dedup
     loop and return the final (id, group_id) assignment. Restartable
     and replay-safe; document ids must be globally unique across the
-    stream (the incremental operators' contract). ``on_batch``
-    (optional): called as ``on_batch(batch_id, wall_s)`` after each
-    non-replayed batch commits — the per-batch latency monitor the
-    SCALING multi-batch leg reads (VERDICT r12 #1)."""
+    stream (the incremental operators' contract). ``compact_ratio``:
+    deltas fold into a new base version once they exceed this fraction
+    of the base's rows (0.5 → each row is rewritten at most ~2× extra
+    over its lifetime, amortized). ``on_batch`` (optional): called as
+    ``on_batch(batch_id, wall_s)`` after each non-replayed batch
+    commits — the per-batch latency monitor the SCALING multi-batch leg
+    reads (VERDICT r12 #1)."""
     ensure_reader_confs(spark)
     schema = spark.read.parquet(docs_dir).schema
     stream = (
@@ -85,6 +198,7 @@ def run_streaming_corpus_dedup(
     )
     corpus_dir = os.path.join(state_dir, "corpus")
     bands_dir = os.path.join(state_dir, "bands")
+    delta_dir = os.path.join(state_dir, _DELTA_DIR)
     lsh = dict(
         num_hashes=num_hashes,
         band_size=band_size,
@@ -96,13 +210,13 @@ def run_streaming_corpus_dedup(
 
         t0 = time.time()
         meta = _read_meta(state_dir)
+        ss = batch_df.sparkSession
         if not meta:
-            meta = _recover_meta(state_dir)
+            meta = _recover_meta(ss, state_dir)
             if meta:
                 _write_meta(state_dir, meta)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already folded (idempotence)
-        ss = batch_df.sparkSession
         batch = (
             batch_df.select(id_col, text_col)
             # null-text docs STAY in the batch: they produce no
@@ -113,50 +227,46 @@ def run_streaming_corpus_dedup(
             # from the final assignment and break the
             # slicing-independence invariant on real data with nulls.
             # pin ONE execution: the batch feeds bands, wordsets, the
-            # groups fold and two appends — unpinned, each consumer
+            # delta fold and two appends — unpinned, each consumer
             # re-reads the source files (the merge_mg_state lesson)
             .localCheckpoint(eager=True)
         )
-        have_state = meta.get("groups_dir") is not None
-        if have_state:
+        have_docs = os.path.isdir(corpus_dir)
+        if have_docs:
             old_docs = ss.read.parquet(corpus_dir)
             old_bands = dd.read_band_table(ss, bands_dir)
-            old_groups = ss.read.parquet(
-                os.path.join(meta["groups_dir"], "groups")
-            )
         else:  # first batch: the same code path against empty stores
             old_docs = batch.limit(0)
             old_bands = dd.minhash_band_table(
                 batch.limit(0), text_col, id_col,
                 num_hashes=num_hashes, band_size=band_size,
             )
-            old_groups = batch.limit(0).select(
+        og_multi = _read_assignment_multi(ss, state_dir, meta)
+        if og_multi is None:
+            og_multi = batch.limit(0).select(
                 F.col(id_col).alias("id"), F.col(id_col).alias("group_id")
             )
         inc = dd.minhash_lsh_pairs_incremental(
             old_docs, batch, text_col, id_col,
             old_band_table=old_bands, **lsh,
         )
-        updated = dd.incremental_dedup_groups(
-            old_groups, inc, batch.select(F.col(id_col).alias("id"))
+        delta = dd.incremental_dedup_groups_delta(
+            og_multi, inc, batch.select(F.col(id_col).alias("id"))
         )
-        # APPENDS FIRST, groups commit LAST: if the groups version
-        # committed first, a crash before the appends would replay as
-        # "already folded" (batch-id skip) and permanently lose the
-        # batch's corpus/band rows. The reverse order is safe in every
-        # crash window — the anti-join appends replay as no-ops, and a
-        # re-fold AFTER a partial append computes the identical
-        # assignment (the batch's own rows appearing on the old side
-        # only duplicate candidate pairs, which the fold's distinct
-        # absorbs). The fold result is PINNED before the stores mutate:
-        # its lineage lazily re-scans corpus/bands, and an unpinned
-        # write racing the appends would read mid-append state.
-        updated = updated.localCheckpoint(eager=True)
+        # APPENDS: bands → corpus → delta → meta. The delta rows are the
+        # batch's commit record (value-idempotent under the min fold),
+        # so every crash window replays clean: delta present ⇒ bands and
+        # corpus were already appended; delta absent ⇒ the whole batch
+        # recomputes and the anti-join appends skip what landed. The
+        # delta is PINNED before the stores mutate: its lineage lazily
+        # re-scans corpus/bands, and an unpinned write racing the
+        # appends would read mid-append state.
+        delta = delta.localCheckpoint(eager=True)
         new_bands = dd.minhash_band_table(
             batch, text_col, id_col,
             num_hashes=num_hashes, band_size=band_size,
         )
-        if have_state:
+        if have_docs:
             dd.append_band_table(new_bands, bands_dir,
                                  skip_existing_ids=True)
             # reuse the already-opened corpus read; no distinct —
@@ -172,16 +282,61 @@ def run_streaming_corpus_dedup(
         else:
             new_bands.write.mode("overwrite").parquet(bands_dir)
             batch.write.mode("overwrite").parquet(corpus_dir)
-        out = os.path.join(state_dir, f"batch_{batch_id:012d}")
-        tmp = os.path.join(state_dir, f"_tmp_batch_{batch_id:012d}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        updated.write.mode("overwrite").parquet(
-            os.path.join(tmp, "groups")
-        )
-        shutil.rmtree(out, ignore_errors=True)
-        os.replace(tmp, out)
-        _write_meta(
-            state_dir, {"last_batch_id": batch_id, "groups_dir": out}
+        n_delta = delta.count()
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(delta_dir)
+        meta = {
+            "last_batch_id": batch_id,
+            "base_version": meta.get("base_version"),
+            "base_rows": meta.get("base_rows", 0),
+            "delta_rows": meta.get("delta_rows", 0) + n_delta,
+        }
+        if meta["delta_rows"] > compact_ratio * meta["base_rows"]:
+            # threshold-cadence compaction: fold base ∪ delta to a new
+            # atomic base version, then retire the delta store. Crash
+            # windows: published-but-unreferenced base → next batch's
+            # sweep removes it; meta-committed-but-uncleared delta →
+            # stale rows refold as no-ops under min.
+            folded = current_assignment(ss, state_dir, meta)
+            new_version = (
+                0 if meta["base_version"] is None
+                else meta["base_version"] + 1
+            )
+            n_base = [0]
+
+            def _write(tmp: str) -> None:
+                import json
+
+                folded.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "groups")
+                )
+                n_base[0] = ss.read.parquet(
+                    os.path.join(tmp, "groups")
+                ).count()
+                with open(os.path.join(tmp, "_base_meta.json"), "w") as f:
+                    json.dump(
+                        {"last_batch_id": batch_id,
+                         "base_rows": n_base[0]},
+                        f,
+                    )
+
+            publish_versioned_dir(
+                state_dir, f"{_BASE_PREFIX}_v{new_version}", _write
+            )
+            meta.update(
+                base_version=new_version,
+                base_rows=n_base[0],
+                delta_rows=0,
+            )
+            _write_meta(state_dir, meta)
+            shutil.rmtree(delta_dir, ignore_errors=True)
+        else:
+            _write_meta(state_dir, meta)
+        sweep_orphan_versions(
+            state_dir, (_BASE_PREFIX,),
+            # no committed base yet → any version dir is crash debris
+            -1 if meta["base_version"] is None else meta["base_version"],
         )
         # release the batch's localCheckpoint blocks (the r10
         # dead-checkpoint discipline — streams are the longest loops)
@@ -198,8 +353,9 @@ def run_streaming_corpus_dedup(
         .start()
     )
     q.awaitTermination()
-    meta = _read_meta(state_dir) or _recover_meta(state_dir)
-    if meta.get("groups_dir") is None:  # no batches: empty assignment
+    meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
+    out = current_assignment(spark, state_dir, meta)
+    if out is None:  # no batches: empty assignment
         from pyspark.sql import types as T
 
         idf = schema[id_col]
@@ -210,4 +366,4 @@ def run_streaming_corpus_dedup(
                 T.StructField("group_id", idf.dataType, True),
             ]),
         )
-    return spark.read.parquet(os.path.join(meta["groups_dir"], "groups"))
+    return out

@@ -42,6 +42,26 @@ def _make_doc(i: int, pool=None):
     return (i, " ".join(pool[(i + k) % len(pool)] for k in range(30)))
 
 
+def _make_unique_doc(i: int, dup_every: int = 10):
+    """Mostly-unique corpus with a CONTROLLED duplicate rate: every
+    ``dup_every``-th doc repeats the previous doc's text, all others are
+    word-unique (id-derived tokens). ``_make_doc``'s 10-word modular
+    pool yields only 10 distinct documents — a store of N docs is 10
+    exact-dup groups of N/10, so every probe batch has ~N/10 TRUE
+    candidates per doc and any dedup design degenerates to
+    store-proportional candidate verification. That measures the data
+    pathology, not the state machinery; this generator keeps candidate
+    work batch-proportional so the growth leg isolates the loop's own
+    economics."""
+    src = (
+        i - 1
+        if dup_every and i > 0 and i % dup_every == dup_every - 1
+        else i
+    )
+    text = " ".join(f"w{(src * 31 + k * 7) % 100000}d{src}" for k in range(30))
+    return (i, text)
+
+
 def ann_leg(spark, kind: str, n_batches: int, per_batch: int,
             rebuild_threshold: float) -> dict:
     from opensea_datapipeline_spark.streaming.ann_ingest import (
@@ -160,47 +180,96 @@ def tokenizer_store_growth_leg(spark, mults=(1, 10),
     return out
 
 
+def _unique_docs_df(spark, start: int, n: int, dup_every: int = 10):
+    """Spark-side ``_make_unique_doc``: same text formula, generated on
+    executors (a 300k-doc seed as a driver list would be the collect
+    anti-pattern in reverse)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(start, start + n).select(F.col("id").alias("doc_id"))
+    src_id = F.when(
+        (F.col("doc_id") % dup_every == dup_every - 1) & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda k: F.format_string(
+            "w%dd%d", (src_id * 31 + k * 7) % 100000, src_id
+        ),
+    )
+    return ids.select("doc_id", F.array_join(toks, " ").alias("text"))
+
+
 def corpus_dedup_store_growth_leg(spark, mults=(1, 10),
+                                  seed_base: int = 30_000,
                                   docs_per_batch: int = 300) -> dict:
     """Per-batch dedup cost vs PERSISTED-STATE size (VERDICT r14 #7):
-    pre-seed the corpus/bands/groups state at ``mult``× via one
-    bootstrap batch, then stream 3 more fixed-size batches through
-    ``run_streaming_corpus_dedup``. The store-proportional touches per
-    batch are (a) the band-table probe — an equi-join on band_key whose
-    CANDIDATE work is batch-proportional but whose build-side scan
-    grows with the store, (b) the old-wordsets read (semi-join
-    restricted to candidate ids), and (c) the doc-id anti-join on the
-    corpus append. The incremental design says the steady per-batch
-    wall stays ~flat as the store grows 10×; this leg measures it."""
+    pre-seed corpus/bands/groups state files DIRECTLY at ``mult`` x
+    ``seed_base`` docs (no streaming bootstrap -- at 300k docs that
+    would dominate the leg), then stream 3 fixed-size batches through
+    ``run_streaming_corpus_dedup`` and read the per-batch walls. The
+    store-proportional touches per batch are all linear 2-column scans
+    (band-table probe build side, corpus-id anti-join, base+delta
+    assignment scan); candidate work and every shuffle/write are
+    batch-proportional under the delta store -- so the wall should stay
+    ~flat at 10x. The r12 full-rewrite design paid a store-sized fold +
+    parquet rewrite per batch, which this leg's 300k-row 10x store
+    makes visible (the original 900-doc leg could not: a 10k-row
+    rewrite costs milliseconds; and ``_make_doc``'s 10-distinct-text
+    generator made TRUE candidates store-proportional, measuring the
+    data pathology instead of the machinery)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import dedup as dd
     from opensea_datapipeline_spark.streaming.corpus_dedup import (
         run_streaming_corpus_dedup,
     )
+    from opensea_datapipeline_spark.streaming.gold import _write_meta
 
     out = {}
     for mult in mults:
         base = tempfile.mkdtemp(prefix=f"scaling_dedupstore_{mult}x_")
         src = os.path.join(base, "src")
-        seed_n = docs_per_batch * 3 * mult
-        # one seed file → one bootstrap batch (bulk band build + full
-        # self-dedup); walls[1:] are then the 3 fixed-size batches
-        spark.createDataFrame(
-            [_make_doc(i) for i in range(seed_n)], "doc_id long, text string"
-        ).coalesce(1).write.mode("append").parquet(src)
+        state = os.path.join(base, "state")
+        seed_n = seed_base * mult
+        docs = _unique_docs_df(spark, 0, seed_n)
+        docs.write.mode("overwrite").parquet(os.path.join(state, "corpus"))
+        dd.minhash_band_table(
+            docs, "text", "doc_id", num_hashes=8, band_size=2
+        ).write.mode("overwrite").parquet(os.path.join(state, "bands"))
+        # seeded closure: every 10th doc duplicates its predecessor, so
+        # the min-label assignment is group_id = that predecessor
+        assign = docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(
+                (F.col("doc_id") % 10 == 9) & (F.col("doc_id") > 0),
+                F.col("doc_id") - 1,
+            ).otherwise(F.col("doc_id")).alias("group_id"),
+        )
+        base_dir = os.path.join(state, "groups_base_v0")
+        assign.write.mode("overwrite").parquet(
+            os.path.join(base_dir, "groups")
+        )
+        with open(os.path.join(base_dir, "_base_meta.json"), "w") as f:
+            _json.dump({"last_batch_id": -1, "base_rows": seed_n}, f)
+        _write_meta(state, {
+            "last_batch_id": -1, "base_version": 0,
+            "base_rows": seed_n, "delta_rows": 0,
+        })
         for b in range(3):
-            rows = [_make_doc(seed_n + b * docs_per_batch + i)
-                    for i in range(docs_per_batch)]
-            spark.createDataFrame(
-                rows, "doc_id long, text string"
+            _unique_docs_df(
+                spark, seed_n + b * docs_per_batch, docs_per_batch
             ).coalesce(1).write.mode("append").parquet(src)
         walls = []
         run_streaming_corpus_dedup(
-            spark, src, os.path.join(base, "state"),
-            os.path.join(base, "ckpt"),
+            spark, src, state, os.path.join(base, "ckpt"),
             on_batch=lambda b, w: walls.append(round(w, 2)),
         )
         out[f"{mult}x"] = {
             "store_seed_docs": seed_n,
-            "dedup_walls_s": walls[1:],  # walls[0] is the bootstrap
+            "dedup_walls_s": walls,
         }
         shutil.rmtree(base, ignore_errors=True)
     steady = {k: sum(v["dedup_walls_s"]) / len(v["dedup_walls_s"])
