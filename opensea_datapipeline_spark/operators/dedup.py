@@ -382,39 +382,11 @@ def incremental_dedup_groups(
     og = old_groups.select(
         F.col(id_col).alias("_oid"), F.col(group_col).alias("_og")
     )
-    mapped = (
-        inc_pairs.select(
-            F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
-        )
-        .join(
-            og.select(F.col("_oid").alias("_a"), F.col("_og").alias("_ga")),
-            "_a",
-            "left",
-        )
-        .join(
-            og.select(F.col("_oid").alias("_b"), F.col("_og").alias("_gb")),
-            "_b",
-            "left",
-        )
-        .select(
-            F.coalesce("_ga", F.col("_a")).alias("_s"),
-            F.coalesce("_gb", F.col("_b")).alias("_d"),
-        )
-        .filter(F.col("_s") != F.col("_d"))
-        # canonicalize + distinct BEFORE the size gate: many raw pairs
-        # map to the same contracted super-node link (a dense near-dup
-        # batch emits 100×-duplicate group-pairs), so the gate, the
-        # collect and the components loop all see the TRUE contracted
-        # edge set — one shard-proportional shuffle that shrinks
-        # everything downstream
-        .select(
-            F.least("_s", "_d").alias("src"),
-            F.greatest("_s", "_d").alias("dst"),
-        )
-        .distinct()
-    )
+    pairs = inc_pairs.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).localCheckpoint(eager=False)
     nids = new_ids.select(F.col(id_col).alias("id"))
-    comps = _resolve_contracted(mapped, nids, small_graph_edges)
+    comps = _contracted_comps(og, pairs, nids, small_graph_edges)
     if comps is None:
         new_assign = nids.select("id", F.col("id").alias("group_id"))
         old_assign = og.select(
@@ -427,9 +399,15 @@ def incremental_dedup_groups(
         new_assign = nids.join(comps, "id", "left").select(
             "id", F.coalesce("group_id", F.col("id")).alias("group_id")
         )
+        # broadcast relabel: comps is shard-proportional by the same
+        # argument as the collect gate, so the corpus-sized assignment
+        # is SCANNED, never shuffled (r15 — the previous form shuffled
+        # it here and twice more in the endpoint mapping)
         old_assign = (
             og.join(
-                comps.select(F.col("id").alias("_og"), "group_id"),
+                F.broadcast(
+                    comps.select(F.col("id").alias("_og"), "group_id")
+                ),
                 "_og",
                 "left",
             )
@@ -439,6 +417,69 @@ def incremental_dedup_groups(
             )
         )
     return old_assign.unionByName(new_assign)
+
+
+def _contracted_comps(
+    og: DataFrame, pairs: DataFrame, nids: DataFrame,
+    small_graph_edges: int,
+) -> "DataFrame | None":
+    """Shared core of the incremental folds: map pair endpoints through
+    the persisted assignment, contract, and resolve components.
+
+    ``og`` is (_oid, _og) and MAY hold multiple rows per id (an
+    append-only base ∪ delta store): under the min-label contract
+    labels only decrease, so the current root of an endpoint is
+    ``min(_og)`` over its rows — which for a unique-row assignment is
+    just the value. Endpoint resolution is a broadcast-SEMI-join
+    (endpoints are batch-proportional) followed by a min over the
+    matched rows: the store is scanned once, column-pruned to two
+    columns, and never shuffled; the r12 form left-joined the pairs
+    against the full assignment twice, which shuffled the corpus-sized
+    table per call.
+
+    The contracted edge set is canonicalized + distinct BEFORE the size
+    gate, so the gate, the driver collect and the components loop all
+    see the TRUE shard-proportional edge set."""
+    eps = (
+        pairs.select(F.col("_a").alias("_eid"))
+        .unionByName(pairs.select(F.col("_b").alias("_eid")))
+        .distinct()
+    )
+    ep_map = (
+        og.join(F.broadcast(eps), og["_oid"] == eps["_eid"], "leftsemi")
+        .groupBy("_oid")
+        .agg(F.min("_og").alias("_g"))
+    )
+    mapped = (
+        pairs
+        .join(
+            F.broadcast(
+                ep_map.select(F.col("_oid").alias("_a"),
+                              F.col("_g").alias("_ga"))
+            ),
+            "_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                ep_map.select(F.col("_oid").alias("_b"),
+                              F.col("_g").alias("_gb"))
+            ),
+            "_b",
+            "left",
+        )
+        .select(
+            F.coalesce("_ga", F.col("_a")).alias("_s"),
+            F.coalesce("_gb", F.col("_b")).alias("_d"),
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.least("_s", "_d").alias("src"),
+            F.greatest("_s", "_d").alias("dst"),
+        )
+        .distinct()
+    )
+    return _resolve_contracted(mapped, nids, small_graph_edges)
 
 
 def _resolve_contracted(
@@ -520,48 +561,7 @@ def incremental_dedup_groups_delta(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
     ).localCheckpoint(eager=False)
     nids = new_ids.select(F.col(id_col).alias("id"))
-    eps = (
-        pairs.select(F.col("_a").alias("_eid"))
-        .unionByName(pairs.select(F.col("_b").alias("_eid")))
-        .distinct()
-    )
-    # current root per ENDPOINT: broadcast semi-join (no store shuffle),
-    # then min over the matched (batch-proportional) rows
-    ep_map = (
-        og.join(F.broadcast(eps), og["_oid"] == eps["_eid"], "leftsemi")
-        .groupBy("_oid")
-        .agg(F.min("_og").alias("_g"))
-    )
-    mapped = (
-        pairs
-        .join(
-            F.broadcast(
-                ep_map.select(F.col("_oid").alias("_a"),
-                              F.col("_g").alias("_ga"))
-            ),
-            "_a",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                ep_map.select(F.col("_oid").alias("_b"),
-                              F.col("_g").alias("_gb"))
-            ),
-            "_b",
-            "left",
-        )
-        .select(
-            F.coalesce("_ga", F.col("_a")).alias("_s"),
-            F.coalesce("_gb", F.col("_b")).alias("_d"),
-        )
-        .filter(F.col("_s") != F.col("_d"))
-        .select(
-            F.least("_s", "_d").alias("src"),
-            F.greatest("_s", "_d").alias("dst"),
-        )
-        .distinct()
-    )
-    comps = _resolve_contracted(mapped, nids, small_graph_edges)
+    comps = _contracted_comps(og, pairs, nids, small_graph_edges)
     if comps is None:
         return nids.select("id", F.col("id").alias("group_id"))
     new_assign = nids.join(comps, "id", "left").select(
