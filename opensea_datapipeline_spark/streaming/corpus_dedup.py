@@ -155,9 +155,21 @@ def current_assignment(
 ) -> "DataFrame | None":
     """The loop's current (id, group_id) assignment: ``min(group_id)``
     per id over base ∪ delta (exact under the min-label contract —
-    labels only decrease, so the minimum IS the latest)."""
+    labels only decrease, so the minimum IS the latest). Right after a
+    compaction the delta store is empty and the base is already
+    id-unique, so the fold (and its shuffle) is skipped entirely."""
     if meta is None:
         meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
+    delta_dir = os.path.join(state_dir, _DELTA_DIR)
+    has_delta = os.path.isdir(delta_dir) and any(
+        not n.startswith((".", "_")) for n in os.listdir(delta_dir)
+    )
+    if not has_delta and meta.get("base_version") is not None:
+        return spark.read.parquet(
+            os.path.join(
+                _base_dir(state_dir, meta["base_version"]), "groups"
+            )
+        )
     multi = _read_assignment_multi(spark, state_dir, meta)
     if multi is None:
         return None
