@@ -1960,13 +1960,15 @@ def q_streaming_incremental_dedup_groups(
     # The r12 capstone: the incremental pieces composed into the ONE
     # streaming job an ingest tier runs (streaming/corpus_dedup.py) —
     # per micro-batch of arriving documents: probe the persisted band
-    # artifact, fold the pairs into the persisted assignment, append
-    # bands/corpus, version-swap the groups (gold-pattern replay skip +
-    # atomic swap; appends idempotent via anti-join so every crash
-    # window replays clean). The corpus is split into 3 ARBITRARY
-    # hash-partition batches — the final assignment must equal the
-    # full-corpus closure regardless of slicing, the strongest
-    # invariant in the streaming family.
+    # artifact, compute the assignment DELTA (r15: only new ids + old
+    # rows whose root moves — the full-rewrite design paid O(store)
+    # write amplification per batch), append bands/corpus/delta, and
+    # compact deltas into an atomic groups_base_v{N} at threshold
+    # cadence (gold-pattern replay skip; appends idempotent via
+    # anti-join and min-fold, so every crash window replays clean).
+    # The corpus is split into 3 ARBITRARY hash-partition batches —
+    # the final assignment must equal the full-corpus closure
+    # regardless of slicing, the strongest invariant in the family.
     import tempfile
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
