@@ -386,7 +386,7 @@ def incremental_dedup_groups(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
     ).localCheckpoint(eager=False)
     nids = new_ids.select(F.col(id_col).alias("id"))
-    comps = _contracted_comps(og, pairs, nids, small_graph_edges)
+    comps, pairs_small = _contracted_comps(og, pairs, nids, small_graph_edges)
     if comps is None:
         new_assign = nids.select("id", F.col("id").alias("group_id"))
         old_assign = og.select(
@@ -399,13 +399,16 @@ def incremental_dedup_groups(
         new_assign = nids.join(comps, "id", "left").select(
             "id", F.coalesce("group_id", F.col("id")).alias("group_id")
         )
-        # broadcast relabel: comps is shard-proportional by the same
-        # argument as the collect gate, so the corpus-sized assignment
-        # is SCANNED, never shuffled (r15 — the previous form shuffled
-        # it here and twice more in the endpoint mapping)
+        # relabel map broadcast only below the pairs gate (code-review
+        # r15: above it, comps can exceed broadcast limits — exactly
+        # the case the distributed components fallback exists for);
+        # below the gate the corpus-sized assignment is SCANNED, never
+        # shuffled (the r12 form shuffled it here and twice more in
+        # the endpoint mapping)
+        relabel_hint = F.broadcast if pairs_small else (lambda df: df)
         old_assign = (
             og.join(
-                F.broadcast(
+                relabel_hint(
                     comps.select(F.col("id").alias("_og"), "group_id")
                 ),
                 "_og",
@@ -422,9 +425,11 @@ def incremental_dedup_groups(
 def _contracted_comps(
     og: DataFrame, pairs: DataFrame, nids: DataFrame,
     small_graph_edges: int,
-) -> "DataFrame | None":
+) -> "tuple[DataFrame | None, bool]":
     """Shared core of the incremental folds: map pair endpoints through
-    the persisted assignment, contract, and resolve components.
+    the persisted assignment, contract, and resolve components. Returns
+    ``(comps_or_None, pairs_small)`` — callers must only force
+    broadcast on comps-derived maps when ``pairs_small`` is True.
 
     ``og`` is (_oid, _og) and MAY hold multiple rows per id (an
     append-only base ∪ delta store): under the min-label contract
@@ -437,23 +442,36 @@ def _contracted_comps(
     against the full assignment twice, which shuffled the corpus-sized
     table per call.
 
+    Broadcast-safety gate (code-review r15): the forced broadcasts on
+    eps/ep_map (and the callers' relabel maps) are only safe when the
+    raw pair set is bounded — a pathologically dense batch can exceed
+    the driver/broadcast limits on exactly the path the edge gate's
+    distributed fallback exists for. One limit-probe on the pinned
+    pairs decides: small → hinted broadcast plan (zero store shuffle);
+    large → unhinted joins (Spark/AQE pick the strategy; correctness
+    identical, and this also materializes the lazy pair pin exactly
+    once either way).
+
     The contracted edge set is canonicalized + distinct BEFORE the size
     gate, so the gate, the driver collect and the components loop all
     see the TRUE shard-proportional edge set."""
+    n_pairs = pairs.limit(small_graph_edges + 1).count()
+    small = n_pairs <= small_graph_edges
+    hint = F.broadcast if small else (lambda df: df)
     eps = (
         pairs.select(F.col("_a").alias("_eid"))
         .unionByName(pairs.select(F.col("_b").alias("_eid")))
         .distinct()
     )
     ep_map = (
-        og.join(F.broadcast(eps), og["_oid"] == eps["_eid"], "leftsemi")
+        og.join(hint(eps), og["_oid"] == eps["_eid"], "leftsemi")
         .groupBy("_oid")
         .agg(F.min("_og").alias("_g"))
     )
     mapped = (
         pairs
         .join(
-            F.broadcast(
+            hint(
                 ep_map.select(F.col("_oid").alias("_a"),
                               F.col("_g").alias("_ga"))
             ),
@@ -461,7 +479,7 @@ def _contracted_comps(
             "left",
         )
         .join(
-            F.broadcast(
+            hint(
                 ep_map.select(F.col("_oid").alias("_b"),
                               F.col("_g").alias("_gb"))
             ),
@@ -479,7 +497,7 @@ def _contracted_comps(
         )
         .distinct()
     )
-    return _resolve_contracted(mapped, nids, small_graph_edges)
+    return _resolve_contracted(mapped, nids, small_graph_edges), small
 
 
 def _resolve_contracted(
@@ -561,7 +579,7 @@ def incremental_dedup_groups_delta(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
     ).localCheckpoint(eager=False)
     nids = new_ids.select(F.col(id_col).alias("id"))
-    comps = _contracted_comps(og, pairs, nids, small_graph_edges)
+    comps, pairs_small = _contracted_comps(og, pairs, nids, small_graph_edges)
     if comps is None:
         return nids.select("id", F.col("id").alias("group_id"))
     new_assign = nids.join(comps, "id", "left").select(
@@ -569,14 +587,15 @@ def incremental_dedup_groups_delta(
     )
     # old rows whose root MOVES: members of a touched component all
     # carry its current root as their label, so one equi-join on the
-    # (shard-proportional, broadcastable by the same argument as the
-    # collect gate) relabel map finds exactly them; distinct absorbs
-    # replay-duplicate store rows
+    # relabel map finds exactly them (broadcast-hinted only below the
+    # pairs gate — code-review r15); distinct absorbs replay-duplicate
+    # store rows
     relabel = comps.filter(F.col("group_id") != F.col("id")).select(
         F.col("id").alias("_root"), F.col("group_id").alias("_new")
     )
+    relabel_hint = F.broadcast if pairs_small else (lambda df: df)
     changed_old = (
-        og.join(F.broadcast(relabel), og["_og"] == relabel["_root"])
+        og.join(relabel_hint(relabel), og["_og"] == relabel["_root"])
         .select(F.col("_oid").alias("id"), F.col("_new").alias("group_id"))
         .distinct()
     )

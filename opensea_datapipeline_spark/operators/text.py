@@ -2083,8 +2083,21 @@ def bpe_read_tokenizer(
         # is therefore accepted if EITHER recipe reproduces its hash —
         # failing any previously-valid artifact would be the exact
         # regression the versioning exists to prevent (ADVICE r13); a
-        # stamped meta is held to its declared recipe only.
+        # stamped meta is held to its declared recipe only. A sidecar
+        # stamp written by a previous verified read of a versionless
+        # meta counts as declared — the artifact locked to that recipe.
         declared = meta.get("fp_version")
+        if declared is None:
+            import json as _json
+            import os
+
+            try:
+                with open(
+                    os.path.join(path, "meta_fp_version.json")
+                ) as f:
+                    declared = _json.load(f).get("fp_version")
+            except (OSError, ValueError):
+                declared = None
         candidates = (
             [int(declared)] if declared is not None else [1, 2]
         )
@@ -2105,34 +2118,31 @@ def bpe_read_tokenizer(
         if got == want and declared is None:
             # ADVICE r14 #4: a versionless meta got the weaker
             # two-recipe acceptance; now that exactly one recipe has
-            # verified it, RE-STAMP the meta with that fp_version so
-            # the artifact locks to a single recipe from here on —
-            # tampering that strips fp_version no longer buys a
-            # permanently weaker check, only a one-time one.
+            # verified it, RE-STAMP the matched fp_version so the
+            # artifact locks to a single recipe from here on. The stamp
+            # is an atomic SIDECAR file (tmp + os.replace), never an
+            # in-place rewrite of the parquet meta — a Spark overwrite
+            # is delete-then-write, and a crash mid-rewrite on a READ
+            # path would brick the artifact (code-review r15).
+            import json as _json
+            import os
             import sys as _sys
 
             print(
                 f"bpe_read_tokenizer: versionless meta at {path!r} "
-                f"verified by fp recipe v{matched_version}; re-stamping",
+                f"verified by fp recipe v{matched_version}; stamping "
+                "sidecar",
                 file=_sys.stderr,
             )
             try:
-                spark.createDataFrame(
-                    [
-                        (
-                            marker,
-                            meta.get("n_merges"),
-                            meta.get("alphabet_size"),
-                            meta["content_hash"],
-                            matched_version,
-                        )
-                    ],
-                    "marker string, n_merges long, alphabet_size long,"
-                    " content_hash string, fp_version long",
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    path + "/meta"
-                )
-            except Exception as exc:  # read-only store: verify-only is fine
+                sidecar = os.path.join(path, "meta_fp_version.json")
+                tmp = sidecar + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump({"fp_version": matched_version}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, sidecar)
+            except OSError as exc:  # read-only store: verify-only is fine
                 print(
                     f"bpe_read_tokenizer: re-stamp skipped ({exc})",
                     file=_sys.stderr,

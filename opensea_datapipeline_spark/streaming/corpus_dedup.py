@@ -9,7 +9,7 @@ persisted corpus state, and the state advances atomically:
     corpus/            (id, text)            append-only — the document store
     bands/             (id, band, band_key)  append-only — the LSH probe artifact
     groups_base_v{N}/  (id, group_id)        versioned — compacted assignment
-    groups_delta/      (id, group_id, batch_id) append-only — per-batch changes
+    groups_delta/batch_{B}/ (id, group_id)      atomic per-batch change sets
 
 Per batch: probe the band artifact (``minhash_lsh_pairs_incremental`` —
 candidate work proportional to the BATCH, old wordsets read
@@ -85,13 +85,32 @@ def _latest_base_version(state_dir: str) -> "int | None":
     return max(versions) if versions else None
 
 
+def _delta_batch_dirs(state_dir: str) -> "list[tuple[int, str]]":
+    """Committed per-batch delta dirs, sorted by batch id. Each batch's
+    delta is PUBLISHED atomically (tmp + rename, like the base), so a
+    listed dir is a complete batch — a torn parquet append can never be
+    half-visible (code-review r15: the previous flat append store made
+    a torn multi-file write look like a committed batch to recovery)."""
+    delta_dir = os.path.join(state_dir, _DELTA_DIR)
+    pat = re.compile(r"^batch_(\d+)$")
+    try:
+        entries = os.listdir(delta_dir)
+    except OSError:
+        return []
+    out = []
+    for name in entries:
+        m = pat.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(delta_dir, name)))
+    return sorted(out)
+
+
 def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
     """Rebuild the loop meta from the committed artifacts alone: the
-    newest base version dir (atomic publish) and the delta store's own
-    ``batch_id`` column. A batch whose delta rows are present was fully
-    appended (bands → corpus → delta ordering), so resuming AFTER it is
-    correct; a batch that crashed mid-append left no delta rows and
-    replays idempotently."""
+    newest base version dir and the newest committed per-batch delta
+    dir (both atomic publishes, so whatever is listed is complete; a
+    batch that crashed mid-publish left only a ``_tmp_`` dir, which is
+    ignored, and replays idempotently)."""
     version = _latest_base_version(state_dir)
     meta: dict = {}
     if version is not None:
@@ -105,22 +124,22 @@ def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
             meta["base_rows"] = bm.get("base_rows", 0)
             meta["last_batch_id"] = bm.get("last_batch_id", -1)
         except (OSError, ValueError):
-            meta["base_rows"] = 0
-    delta_dir = os.path.join(state_dir, _DELTA_DIR)
-    if os.path.isdir(delta_dir):
-        row = (
-            spark.read.parquet(delta_dir)
-            .agg(
-                F.max("batch_id").alias("b"),
-                F.count(F.lit(1)).alias("n"),
+            # unreadable _base_meta: count the base instead of
+            # defaulting to 0, which would fire a spurious store-sized
+            # compaction on the very next batch (code-review r15)
+            meta["base_rows"] = (
+                spark.read.parquet(
+                    os.path.join(_base_dir(state_dir, version), "groups")
+                ).count()
             )
-            .first()
+    deltas = _delta_batch_dirs(state_dir)
+    if deltas:
+        meta["last_batch_id"] = max(
+            meta.get("last_batch_id", -1), deltas[-1][0]
         )
-        if row and row["b"] is not None:
-            meta["last_batch_id"] = max(
-                meta.get("last_batch_id", -1), int(row["b"])
-            )
-            meta["delta_rows"] = int(row["n"])
+        meta["delta_rows"] = spark.read.parquet(
+            *[p for _, p in deltas]
+        ).count()
     return meta
 
 
@@ -137,10 +156,11 @@ def _read_assignment_multi(
                 )
             )
         )
-    delta_dir = os.path.join(state_dir, _DELTA_DIR)
-    if os.path.isdir(delta_dir):
+    deltas = _delta_batch_dirs(state_dir)
+    if deltas:
         parts.append(
-            spark.read.parquet(delta_dir).select("id", "group_id")
+            spark.read.parquet(*[p for _, p in deltas])
+            .select("id", "group_id")
         )
     if not parts:
         return None
@@ -160,10 +180,7 @@ def current_assignment(
     id-unique, so the fold (and its shuffle) is skipped entirely."""
     if meta is None:
         meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
-    delta_dir = os.path.join(state_dir, _DELTA_DIR)
-    has_delta = os.path.isdir(delta_dir) and any(
-        not n.startswith((".", "_")) for n in os.listdir(delta_dir)
-    )
+    has_delta = bool(_delta_batch_dirs(state_dir))
     if not has_delta and meta.get("base_version") is not None:
         return spark.read.parquet(
             os.path.join(
@@ -295,9 +312,16 @@ def run_streaming_corpus_dedup(
             new_bands.write.mode("overwrite").parquet(bands_dir)
             batch.write.mode("overwrite").parquet(corpus_dir)
         n_delta = delta.count()
-        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(delta_dir)
+        # atomic per-batch delta publish: a torn write leaves only a
+        # _tmp_ dir that recovery ignores, never a half-visible batch
+        # (code-review r15); the dir NAME carries the batch id, which
+        # is what recovery reads
+        os.makedirs(delta_dir, exist_ok=True)
+        publish_versioned_dir(
+            delta_dir,
+            f"batch_{batch_id:012d}",
+            lambda tmp: delta.write.mode("overwrite").parquet(tmp),
+        )
         meta = {
             "last_batch_id": batch_id,
             "base_version": meta.get("base_version"),

@@ -42,26 +42,6 @@ def _make_doc(i: int, pool=None):
     return (i, " ".join(pool[(i + k) % len(pool)] for k in range(30)))
 
 
-def _make_unique_doc(i: int, dup_every: int = 10):
-    """Mostly-unique corpus with a CONTROLLED duplicate rate: every
-    ``dup_every``-th doc repeats the previous doc's text, all others are
-    word-unique (id-derived tokens). ``_make_doc``'s 10-word modular
-    pool yields only 10 distinct documents — a store of N docs is 10
-    exact-dup groups of N/10, so every probe batch has ~N/10 TRUE
-    candidates per doc and any dedup design degenerates to
-    store-proportional candidate verification. That measures the data
-    pathology, not the state machinery; this generator keeps candidate
-    work batch-proportional so the growth leg isolates the loop's own
-    economics."""
-    src = (
-        i - 1
-        if dup_every and i > 0 and i % dup_every == dup_every - 1
-        else i
-    )
-    text = " ".join(f"w{(src * 31 + k * 7) % 100000}d{src}" for k in range(30))
-    return (i, text)
-
-
 def ann_leg(spark, kind: str, n_batches: int, per_batch: int,
             rebuild_threshold: float) -> dict:
     from opensea_datapipeline_spark.streaming.ann_ingest import (
@@ -181,9 +161,15 @@ def tokenizer_store_growth_leg(spark, mults=(1, 10),
 
 
 def _unique_docs_df(spark, start: int, n: int, dup_every: int = 10):
-    """Spark-side ``_make_unique_doc``: same text formula, generated on
-    executors (a 300k-doc seed as a driver list would be the collect
-    anti-pattern in reverse)."""
+    """Mostly-unique corpus with a CONTROLLED duplicate rate: every
+    ``dup_every``-th doc repeats the previous doc's text, all others
+    are word-unique (id-derived tokens), generated on executors.
+    ``_make_doc``'s 10-word modular pool yields only 10 distinct
+    documents — a store of N docs is 10 exact-dup groups of N/10, so
+    every probe batch has ~N/10 TRUE candidates per doc and any dedup
+    design degenerates to store-proportional candidate verification;
+    this generator keeps candidate work batch-proportional so the
+    growth leg isolates the loop's own economics."""
     from pyspark.sql import functions as F
 
     ids = spark.range(start, start + n).select(F.col("id").alias("doc_id"))

@@ -60,9 +60,12 @@ def test_bpe_versionless_meta_restamped_on_verified_read(
 ):
     # A versionless meta is accepted if EITHER recipe reproduces its
     # hash — but after the first successful verify the reader must
-    # re-stamp the meta with the recipe that matched, so the artifact
-    # locks to one recipe and a later fp_version-stripping tamper no
-    # longer buys the weaker two-recipe acceptance (ADVICE r14 #4).
+    # stamp the recipe that matched (an atomic SIDECAR json, never an
+    # in-place parquet rewrite on a read path), so the artifact locks
+    # to one recipe and a later fp_version-stripping tamper no longer
+    # buys the weaker two-recipe acceptance (ADVICE r14 #4).
+    import json
+
     from opensea_datapipeline_spark.operators.text import (
         _bpe_artifact_fingerprint,
         bpe_read_tokenizer,
@@ -84,13 +87,27 @@ def test_bpe_versionless_meta_restamped_on_verified_read(
     m2, a2, marker = bpe_read_tokenizer(spark, path, verify=True)
     assert marker == "▁" and m2.count() == 2 and a2.count() == 3
 
+    with open(tmp_path / "tok" / "meta_fp_version.json") as f:
+        assert json.load(f)["fp_version"] == legacy_fp_version
+    # the parquet meta itself is untouched (no delete-then-write risk)
     meta = spark.read.parquet(path + "/meta").first().asDict()
-    assert meta["fp_version"] == legacy_fp_version
-    assert meta["content_hash"] == legacy_hash
+    assert meta["content_hash"] == legacy_hash and "fp_version" not in meta
 
-    # second read now takes the stamped single-recipe path
+    # second read now takes the stamped single-recipe path: tamper the
+    # tables so the OTHER recipe would be needed — must now fail
     m3, a3, marker3 = bpe_read_tokenizer(spark, path, verify=True)
     assert marker3 == "▁" and m3.count() == 2
+    other = 1 if legacy_fp_version == 2 else 2
+    other_hash, _, _ = _bpe_artifact_fingerprint(
+        merges, alphabet, fp_version=other
+    )
+    spark.createDataFrame(
+        [("▁", n_m, n_a, other_hash)],
+        "marker string, n_merges long, alphabet_size long,"
+        " content_hash string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    with pytest.raises(ValueError, match="integrity"):
+        bpe_read_tokenizer(spark, path, verify=True)
 
 
 def test_bpe_stamped_meta_not_rewritten(spark, tmp_path):
@@ -114,6 +131,8 @@ def test_bpe_stamped_meta_not_rewritten(spark, tmp_path):
         if f.name.endswith(".parquet")
     )
     assert files_before == files_after
+    # and no sidecar either — the stamp is for legacy artifacts only
+    assert not (tmp_path / "tok" / "meta_fp_version.json").exists()
 
 
 # ---------------------------------------------------------------------------
