@@ -299,3 +299,64 @@ def test_corpus_dedup_loop_restart_after_meta_loss(spark, tmp_path):
         ).collect()
     }
     assert again == first
+
+
+def test_delta_fold_chain_equals_full_recompute(spark):
+    # Slicing-independence of the DELTA path (the r12 property covers
+    # the full fold): fold a node universe in as three successive
+    # batches through incremental_dedup_groups_delta, accumulating the
+    # raw deltas in an append-only multiset WITHOUT resolving between
+    # batches (exactly what the streaming loop's base+delta store
+    # does, including the stale rows earlier batches leave behind).
+    # min(group_id) per id over the accumulated rows must equal the
+    # one-shot closure over all edges.
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators.dedup import (
+        connected_components_auto,
+        incremental_dedup_groups_delta,
+    )
+
+    # chain merges across batches: batch2's doc 20 bridges the two
+    # components batch0/batch1 built, forcing a relabel of rows whose
+    # delta entries are already persisted (the stale-label case)
+    batches = [
+        ([0, 1, 2], [(0, 1), (1, 2)]),      # component rooted 0
+        ([10, 11], [(10, 11)]),             # component rooted 10
+        ([20], [(2, 20), (11, 20)]),        # bridges both -> root 0
+    ]
+
+    def df_pairs(pairs):
+        return spark.createDataFrame(
+            pairs or [(None, None)], "id_a long, id_b long"
+        ).filter("id_a IS NOT NULL")
+
+    store_rows = []  # the append-only base-less delta store
+    all_ids, all_pairs = [], []
+    for ids, pairs in batches:
+        og_multi = spark.createDataFrame(
+            store_rows or [(None, None)], "id long, group_id long"
+        ).filter("id IS NOT NULL")
+        delta = incremental_dedup_groups_delta(
+            og_multi, df_pairs(pairs),
+            spark.createDataFrame([(i,) for i in ids], "id long"),
+        )
+        store_rows.extend([(r.id, r.group_id) for r in delta.collect()])
+        all_ids.extend(ids)
+        all_pairs.extend(pairs)
+
+    got = {}
+    for i, g in store_rows:  # min-fold = the store's read semantics
+        got[i] = min(g, got.get(i, g))
+    want = {
+        r.id: r.group_id
+        for r in connected_components_auto(
+            spark.createDataFrame([(i,) for i in all_ids], "id long"),
+            df_pairs(all_pairs), id_col="id",
+        ).collect()
+    }
+    assert got == want
+    # non-vacuous: everything merged under root 0, and the bridge
+    # relabeled doc ids whose store rows predate batch 2
+    assert set(got.values()) == {0}
+    assert (10, 10) in store_rows and (10, 0) in store_rows  # stale + fix
