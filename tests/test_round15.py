@@ -360,3 +360,122 @@ def test_delta_fold_chain_equals_full_recompute(spark):
     # relabeled doc ids whose store rows predate batch 2
     assert set(got.values()) == {0}
     assert (10, 10) in store_rows and (10, 0) in store_rows  # stale + fix
+
+
+def test_corpus_dedup_crash_window_published_base_without_meta(
+    spark, tmp_path
+):
+    # Crash between the compaction's base publish and the meta write:
+    # meta still references vN, an orphan vN+1 sits on disk, the delta
+    # store is uncleared. A restart must treat vN+1 as debris (sweep
+    # it), keep folding base vN + deltas, and still land on the
+    # closure.
+    import os
+    import shutil
+
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        1: "alpha beta gamma delta zeta",
+        2: "one two three four five six",
+        3: "alpha beta gamma delta epsilon",
+    }
+    src = str(tmp_path / "src")
+    for ids in [[0, 1], [2]]:
+        spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    # fabricate the crash window: copy the live base to an unreferenced
+    # higher version (published-but-unreferenced), corrupt its meta so
+    # a naive reader would diverge if it were ever picked up
+    bases = sorted(
+        d for d in os.listdir(state) if d.startswith("groups_base_v")
+    )
+    live = bases[-1]
+    live_version = int(live.rsplit("_v", 1)[1])
+    orphan = os.path.join(state, f"groups_base_v{live_version + 1}")
+    shutil.copytree(os.path.join(state, live), orphan)
+
+    # stream one more file through a fresh checkpoint
+    spark.createDataFrame(
+        [(3, texts[3])], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = {
+        r.id: r.group_id
+        for r in run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckpt2"),
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert got[3] == 0 and got[0] == 0 and got[1] == 0 and got[2] == 2
+    # the orphan version was swept; exactly one base remains
+    remaining = [
+        d for d in os.listdir(state) if d.startswith("groups_base_v")
+    ]
+    assert len(remaining) == 1
+
+
+def test_corpus_dedup_crash_window_uncleared_delta_after_compaction(
+    spark, tmp_path
+):
+    # Crash between the compaction's meta write and the delta rmtree:
+    # stale delta batch dirs hold rows already folded into the new
+    # base. They must refold as no-ops under the min fold — assignment
+    # unchanged, and the next batch proceeds normally.
+    import os
+    import shutil
+
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        _delta_batch_dirs,
+        run_streaming_corpus_dedup,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        1: "alpha beta gamma delta zeta",
+        2: "one two three four five six",
+        3: "one two three four five seven",
+    }
+    src = str(tmp_path / "src")
+    for ids in [[0, 1], [2]]:
+        spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    first = {
+        r.id: r.group_id
+        for r in run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckpt"),
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    # fabricate the window: re-plant a stale delta dir carrying rows
+    # the last compaction already folded (batch id BELOW the cursor so
+    # replay-skip ignores it as a batch, but reads still union it)
+    stale = os.path.join(state, "groups_delta", "batch_000000000000")
+    os.makedirs(os.path.dirname(stale), exist_ok=True)
+    spark.createDataFrame(
+        [(0, 0), (1, 0)], "id long, group_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(stale)
+    assert _delta_batch_dirs(state)
+
+    spark.createDataFrame(
+        [(3, texts[3])], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = {
+        r.id: r.group_id
+        for r in run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckpt2"),
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k in first} == first
+    assert got[3] == 2  # the new near-dup of doc 2 clustered
