@@ -260,6 +260,24 @@ def run_streaming_corpus_dedup(
             # re-reads the source files (the merge_mg_state lesson)
             .localCheckpoint(eager=True)
         )
+        # fail loud on NULL ids (r15 probe): a null id never equi-joins,
+        # so such docs silently vanish from bands/pairs, and the
+        # assignment's groupBy collapses every null-id doc into ONE
+        # (null, null) row — silent data loss that breaks the
+        # assignment-equals-closure invariant. One bounded probe over
+        # the pinned batch; the id-uniqueness half of the contract stays
+        # with the caller (enforcing it would cost a corpus-sized check
+        # per batch, and the anti-join appends make duplicates loud
+        # downstream anyway).
+        if batch.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "corpus-dedup stream received a document with a NULL "
+                f"{id_col!r} — ids must be non-null and globally "
+                "unique; a null id cannot be deduplicated or "
+                "assigned (it never equi-joins) and would silently "
+                "drop from the persisted assignment. Filter or "
+                "re-key upstream."
+            )
         have_docs = os.path.isdir(corpus_dir)
         if have_docs:
             old_docs = ss.read.parquet(corpus_dir)

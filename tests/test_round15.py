@@ -479,3 +479,29 @@ def test_corpus_dedup_crash_window_uncleared_delta_after_compaction(
     }
     assert {k: v for k, v in got.items() if k in first} == first
     assert got[3] == 2  # the new near-dup of doc 2 clustered
+
+
+def test_corpus_dedup_rejects_null_doc_ids(spark, tmp_path):
+    # r15 probe finding: null-id docs silently vanished — they never
+    # equi-join, so the assignment's fold collapsed ALL null-id docs
+    # into one (null, null) row (two docs in -> one row out, the
+    # exact-dup among them never clustered). The loop must fail loud at
+    # the ingest seam instead.
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),
+         (None, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    try:
+        run_streaming_corpus_dedup(
+            spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            jaccard_threshold=0.5,
+        )
+        raise AssertionError("null-id batch must fail loud")
+    except Exception as exc:  # StreamingQueryException wraps the ValueError
+        assert "NULL" in str(exc) and "doc_id" in str(exc)
