@@ -81,7 +81,11 @@ from ..operators.ann_index import (
 )
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
-from .lifecycle import publish_versioned_dir, sweep_orphan_versions
+from .lifecycle import (
+    publish_versioned_dir,
+    require_non_null_ids,
+    sweep_orphan_versions,
+)
 
 _APPENDERS = {
     "ivf": append_ivf_index_at,
@@ -182,6 +186,11 @@ def run_streaming_ann_ingest(
             return  # replayed batch — already ingested
         ss = batch_df.sparkSession
         batch = batch_df.select(id_col, vec_col)
+        # fail loud on NULL ids (r15 probe, lifecycle helper): the
+        # vec-id anti-join treats null as always-fresh (duplicate
+        # appends on every replay) and a null-keyed vector can never
+        # be served or superseded
+        require_non_null_ids(batch, id_col, "ANN ingest stream")
         rebuilt = False
         old_version_dir = None
         if "version" not in meta:

@@ -60,7 +60,11 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dd
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
-from .lifecycle import publish_versioned_dir, sweep_orphan_versions
+from .lifecycle import (
+    publish_versioned_dir,
+    require_non_null_ids,
+    sweep_orphan_versions,
+)
 
 _BASE_PREFIX = "groups_base"
 _DELTA_DIR = "groups_delta"
@@ -260,24 +264,12 @@ def run_streaming_corpus_dedup(
             # re-reads the source files (the merge_mg_state lesson)
             .localCheckpoint(eager=True)
         )
-        # fail loud on NULL ids (r15 probe): a null id never equi-joins,
-        # so such docs silently vanish from bands/pairs, and the
-        # assignment's groupBy collapses every null-id doc into ONE
-        # (null, null) row — silent data loss that breaks the
-        # assignment-equals-closure invariant. One bounded probe over
-        # the pinned batch; the id-uniqueness half of the contract stays
-        # with the caller (enforcing it would cost a corpus-sized check
-        # per batch, and the anti-join appends make duplicates loud
-        # downstream anyway).
-        if batch.filter(F.col(id_col).isNull()).limit(1).count() > 0:
-            raise ValueError(
-                "corpus-dedup stream received a document with a NULL "
-                f"{id_col!r} — ids must be non-null and globally "
-                "unique; a null id cannot be deduplicated or "
-                "assigned (it never equi-joins) and would silently "
-                "drop from the persisted assignment. Filter or "
-                "re-key upstream."
-            )
+        # fail loud on NULL ids (r15 probe — see lifecycle helper): the
+        # assignment fold would collapse every null-id doc into ONE
+        # (null, null) row, breaking assignment-equals-closure. The
+        # id-uniqueness half of the contract stays with the caller
+        # (enforcing it would cost a corpus-sized check per batch).
+        require_non_null_ids(batch, id_col, "corpus-dedup stream")
         have_docs = os.path.isdir(corpus_dir)
         if have_docs:
             old_docs = ss.read.parquet(corpus_dir)

@@ -25,6 +25,26 @@ import re
 import shutil
 
 
+def require_non_null_ids(batch, id_col: str, loop_name: str) -> None:
+    """Fail loud when a micro-batch carries NULL ids (r15 probe): a
+    null id never equi-joins, so the anti-join appends treat such rows
+    as always-fresh (duplicates accumulate on every replay) and the
+    dedup assignment fold collapses every null-id doc into ONE
+    (null, null) row — silent data loss either way. One bounded
+    limit-probe; callers pass the PINNED batch so this never replays
+    the source read."""
+    from pyspark.sql import functions as F
+
+    if batch.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"{loop_name} received a row with a NULL {id_col!r} — ids "
+            "must be non-null and globally unique; a null id cannot be "
+            "tracked by the persisted stores (it never equi-joins) and "
+            "would silently duplicate or vanish. Filter or re-key "
+            "upstream."
+        )
+
+
 def publish_versioned_dir(state_dir: str, name: str, write) -> str:
     """``write(tmp_path)`` then atomic rename to ``state_dir/name``."""
     final = os.path.join(state_dir, name)

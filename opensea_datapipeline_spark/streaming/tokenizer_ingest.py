@@ -82,7 +82,11 @@ from ..operators.text import (
 )
 from ..sources.readers import ensure_reader_confs
 from .gold import _read_meta, _write_meta
-from .lifecycle import publish_versioned_dir, sweep_orphan_versions
+from .lifecycle import (
+    publish_versioned_dir,
+    require_non_null_ids,
+    sweep_orphan_versions,
+)
 
 
 def _tok_dir(state_dir: str, version: int) -> str:
@@ -165,6 +169,10 @@ def run_streaming_tokenizer_ingest(
             return  # replayed batch — already ingested
         ss = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
+        # fail loud on NULL ids (r15 probe, lifecycle helper): the
+        # doc-id anti-join treats null as always-fresh (duplicate
+        # appends on every replay) and encode output collapses rows
+        require_non_null_ids(batch, id_col, "tokenizer ingest stream")
         retrained = False
         old_version = None
         if "version" not in meta:

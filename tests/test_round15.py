@@ -505,3 +505,41 @@ def test_corpus_dedup_rejects_null_doc_ids(spark, tmp_path):
         raise AssertionError("null-id batch must fail loud")
     except Exception as exc:  # StreamingQueryException wraps the ValueError
         assert "NULL" in str(exc) and "doc_id" in str(exc)
+
+
+@pytest.mark.parametrize("loop", ["tokenizer", "ann"])
+def test_ingest_loops_reject_null_ids(spark, tmp_path, loop):
+    # Same r15 probe finding in the other two loops: their doc/vec-id
+    # anti-joins treat a null id as always-fresh (duplicate appends on
+    # every replay) and encode output collapses null-keyed rows. All
+    # three loops share lifecycle.require_non_null_ids.
+    import math
+
+    src = str(tmp_path / "src")
+    if loop == "tokenizer":
+        from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+            run_streaming_tokenizer_ingest as run,
+        )
+
+        spark.createDataFrame(
+            [(0, "alpha beta"), (None, "alpha beta")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        kwargs = dict(n_merges=8, retrain_threshold=0.5)
+    else:
+        from opensea_datapipeline_spark.streaming.ann_ingest import (
+            run_streaming_ann_ingest as run,
+        )
+
+        vecs = [(i, [math.sin(i + j) for j in range(8)])
+                for i in range(20)] + [(None, [0.5] * 8)]
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+        kwargs = dict(kind="ivf", n_lists=2, rebuild_threshold=5.0)
+    try:
+        run(spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            **kwargs)
+        raise AssertionError("null-id batch must fail loud")
+    except Exception as exc:
+        assert "NULL" in str(exc)
