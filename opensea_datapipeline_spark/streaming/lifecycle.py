@@ -26,22 +26,41 @@ import shutil
 
 
 def require_non_null_ids(batch, id_col: str, loop_name: str) -> None:
-    """Fail loud when a micro-batch carries NULL ids (r15 probe): a
-    null id never equi-joins, so the anti-join appends treat such rows
-    as always-fresh (duplicates accumulate on every replay) and the
-    dedup assignment fold collapses every null-id doc into ONE
-    (null, null) row — silent data loss either way. One bounded
-    limit-probe; callers pass the PINNED batch so this never replays
-    the source read."""
+    """Fail loud when a micro-batch carries NULL or in-batch-DUPLICATE
+    ids (r15 probes): a null id never equi-joins, so the anti-join
+    appends treat such rows as always-fresh (duplicates accumulate on
+    every replay) and the dedup assignment fold collapses every
+    null-id doc into ONE (null, null) row; an in-batch duplicate slips
+    PAST the anti-join (which only checks the persisted store) and
+    permanently corrupts it — the probe left two different texts under
+    one doc id in the corpus, with the dup text never clustered. One
+    bounded aggregate over the batch (batch-proportional — CROSS-batch
+    uniqueness stays the caller's contract, a store-sized check per
+    batch); callers pass the PINNED batch so this never replays the
+    source read."""
     from pyspark.sql import functions as F
 
-    if batch.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(id_col).alias("n_keyed"),
+        F.countDistinct(id_col).alias("n_distinct"),
+    ).first()
+    if row["n_keyed"] < row["n"]:
         raise ValueError(
-            f"{loop_name} received a row with a NULL {id_col!r} — ids "
-            "must be non-null and globally unique; a null id cannot be "
-            "tracked by the persisted stores (it never equi-joins) and "
-            "would silently duplicate or vanish. Filter or re-key "
-            "upstream."
+            f"{loop_name} received {row['n'] - row['n_keyed']} row(s) "
+            f"with a NULL {id_col!r} — ids must be non-null and "
+            "globally unique; a null id cannot be tracked by the "
+            "persisted stores (it never equi-joins) and would silently "
+            "duplicate or vanish. Filter or re-key upstream."
+        )
+    if row["n_distinct"] < row["n_keyed"]:
+        raise ValueError(
+            f"{loop_name} received a micro-batch with duplicate "
+            f"{id_col!r} values ({row['n_keyed']} rows, "
+            f"{row['n_distinct']} distinct) — the store anti-join only "
+            "guards against ids ALREADY persisted, so in-batch "
+            "duplicates would write conflicting rows under one id. "
+            "Deduplicate or re-key upstream."
         )
 
 

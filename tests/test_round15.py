@@ -543,3 +543,29 @@ def test_ingest_loops_reject_null_ids(spark, tmp_path, loop):
         raise AssertionError("null-id batch must fail loud")
     except Exception as exc:
         assert "NULL" in str(exc)
+
+
+def test_corpus_dedup_rejects_in_batch_duplicate_ids(spark, tmp_path):
+    # r15 probe: an in-batch duplicate id slips past the store
+    # anti-join (which only checks ALREADY-persisted ids) and left two
+    # different texts under one doc id in the corpus forever, with the
+    # duplicate text never clustered. Fail loud instead.
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),
+         (5, "alpha beta gamma delta"),
+         (5, "one two three four")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    try:
+        run_streaming_corpus_dedup(
+            spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            jaccard_threshold=0.5,
+        )
+        raise AssertionError("duplicate-id batch must fail loud")
+    except Exception as exc:
+        assert "duplicate" in str(exc) and "doc_id" in str(exc)
