@@ -498,7 +498,7 @@ def append_lsh_index_at(
     # store; counting the pinned DELTA replaces the old two full-store
     # count scans (O(corpus) per append — the r13 ingest-loop find)
     delta = delta.localCheckpoint(eager=True)
-    n_delta = delta.count()
+    n_delta = _count_well_keyed_delta(delta)
     _check_delta_dims(delta, meta["dim"], "lsh")
     delta_sigs = _lsh_sig_table(
         delta.select(F.col("id").alias(id_col), F.col("vec").alias(vec_col)),
@@ -512,6 +512,29 @@ def append_lsh_index_at(
         legacy_total=lambda: spark.read.parquet(f"{path}/vectors").count()
         - n_delta,
     )
+
+
+def _count_well_keyed_delta(delta) -> int:
+    """Count a pinned append delta, failing loud on NULL ids (r15
+    probe): the appends' id anti-join treats null as always-fresh, so a
+    null-keyed vector re-appends on EVERY call/replay — the store grows
+    unboundedly, the append counters inflate, and staleness fires
+    premature rebuilds, while serving joins can never return the row.
+    One aggregate, same cost class as the count it replaces. (In-batch
+    duplicate ids are the STREAMING seam's check — direct callers may
+    legitimately append pre-deduplicated multi-part deltas — but null
+    ids are invalid everywhere.)"""
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"), F.count("id").alias("n_keyed")
+    ).first()
+    if row["n_keyed"] < row["n"]:
+        raise ValueError(
+            f"index append received {row['n'] - row['n_keyed']} row(s) "
+            "with a NULL id — ids must be non-null and globally unique; "
+            "a null id slips the idempotent-re-append anti-join forever "
+            "and can never be served. Filter or re-key upstream."
+        )
+    return int(row["n"])
 
 
 def append_ivf_index_at(
@@ -529,7 +552,7 @@ def append_ivf_index_at(
         .join(existing, "id", "left_anti")
     )
     delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
-    n_delta = delta.count()
+    n_delta = _count_well_keyed_delta(delta)
     if n_delta:
         _check_delta_dims(
             delta, len(centroids.first().centroid), "ivf"
@@ -1494,7 +1517,7 @@ def append_pq_index_at(
         .join(existing, "id", "left_anti")
     )
     delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
-    n_delta = delta.count()
+    n_delta = _count_well_keyed_delta(delta)
     _check_delta_dims(delta, dim, "pq")
     _pq_encode(delta, books).write.mode("append").parquet(f"{path}/codes")
     _bump_append_meta(
@@ -1571,7 +1594,7 @@ def append_ivfpq_index_at(
         .join(existing, "id", "left_anti")
     )
     delta = delta.localCheckpoint(eager=True)  # see append_lsh_index_at
-    n_delta = delta.count()
+    n_delta = _count_well_keyed_delta(delta)
     _check_delta_dims(delta, dim, "ivfpq")
     if meta["residual"]:
         import numpy as np

@@ -569,3 +569,38 @@ def test_corpus_dedup_rejects_in_batch_duplicate_ids(spark, tmp_path):
         raise AssertionError("duplicate-id batch must fail loud")
     except Exception as exc:
         assert "duplicate" in str(exc) and "doc_id" in str(exc)
+
+
+def test_ann_appends_reject_null_ids(spark, tmp_path):
+    # r15 probe: a null-keyed vector slips the idempotent-re-append
+    # anti-join on EVERY call (null never equi-joins), so the store and
+    # append counters grow per replay and staleness fires premature
+    # rebuilds. All four persisted append forms share the counted
+    # guard; ivf exercised here as the representative.
+    import math
+
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    vecs = spark.createDataFrame(
+        [(i, [math.sin(i + j) for j in range(8)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    ai.write_ivf_index(
+        ai.build_ivf_index(vecs, "vec_id", "embedding", n_lists=2), path
+    )
+    bad = spark.createDataFrame(
+        [(None, [0.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL id"):
+        ai.append_ivf_index_at(spark, path, bad)
+    # valid appends still work afterwards, and the failed attempt
+    # neither stored rows nor bumped the counters
+    ai.append_ivf_index_at(
+        spark, path,
+        spark.createDataFrame(
+            [(100, [0.25] * 8)], "vec_id long, embedding array<double>"
+        ),
+    )
+    s = ai.index_staleness(spark, path)
+    assert s["n_appends"] == 1 and s["n_appended"] == 1
