@@ -127,6 +127,10 @@ def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
                 bm = json.load(f)
             meta["base_rows"] = bm.get("base_rows", 0)
             meta["last_batch_id"] = bm.get("last_batch_id", -1)
+            if bm.get("lsh") is not None:
+                meta["lsh"] = bm["lsh"]  # config-drift guard survives
+                # meta loss (pre-first-compaction loss is unguardable:
+                # the params live nowhere else yet)
         except (OSError, ValueError):
             # unreadable _base_meta: count the base instead of
             # defaulting to 0, which would fire a spurious store-sized
@@ -248,6 +252,23 @@ def run_streaming_corpus_dedup(
             meta = _recover_meta(ss, state_dir)
             if meta:
                 _write_meta(state_dir, meta)
+        # config-drift guard (r15): the persisted band table is only
+        # probeable under the EXACT LSH parameters that built it — a
+        # restart with different num_hashes/band_size silently changes
+        # the band_key space (new-batch bands stop matching old bands →
+        # invisible recall loss), and a different jaccard_threshold
+        # makes the accumulated closure semantically mixed. Pin the
+        # params in the loop meta at first commit; fail loud on any
+        # mismatch afterwards (the ann_index meta-kind discipline).
+        if meta.get("lsh") is not None and meta["lsh"] != lsh:
+            raise ValueError(
+                "corpus-dedup state at "
+                f"{state_dir!r} was built with LSH params {meta['lsh']} "
+                f"but the loop was started with {lsh} — the persisted "
+                "band table and assignment are only valid under the "
+                "original parameters. Restart with the original params "
+                "or rebuild the state from scratch."
+            )
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already folded (idempotence)
         batch = (
@@ -337,6 +358,7 @@ def run_streaming_corpus_dedup(
             "base_version": meta.get("base_version"),
             "base_rows": meta.get("base_rows", 0),
             "delta_rows": meta.get("delta_rows", 0) + n_delta,
+            "lsh": lsh,  # pins the band-key space (config-drift guard)
         }
         if meta["delta_rows"] > compact_ratio * meta["base_rows"]:
             # threshold-cadence compaction: fold base ∪ delta to a new
@@ -363,7 +385,8 @@ def run_streaming_corpus_dedup(
                 with open(os.path.join(tmp, "_base_meta.json"), "w") as f:
                     json.dump(
                         {"last_batch_id": batch_id,
-                         "base_rows": n_base[0]},
+                         "base_rows": n_base[0],
+                         "lsh": lsh},
                         f,
                     )
 

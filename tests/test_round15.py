@@ -604,3 +604,43 @@ def test_ann_appends_reject_null_ids(spark, tmp_path):
     )
     s = ai.index_staleness(spark, path)
     assert s["n_appends"] == 1 and s["n_appended"] == 1
+
+
+def test_corpus_dedup_rejects_lsh_param_drift(spark, tmp_path):
+    # r15: the persisted band table is only probeable under the exact
+    # LSH params that built it — a restart with different
+    # num_hashes/band_size silently changes the band_key space
+    # (new-batch bands stop matching old bands → invisible recall
+    # loss). The loop pins the params in its meta and fails loud on a
+    # mismatched restart; same params restart fine.
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "one two three four")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    spark.createDataFrame(
+        [(2, "five six seven eight")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    try:
+        run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckpt2"),
+            num_hashes=16, band_size=4, jaccard_threshold=0.5,
+        )
+        raise AssertionError("param-drift restart must fail loud")
+    except Exception as exc:
+        assert "LSH params" in str(exc)
+    # the original params still work
+    out = run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt3"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    assert out.count() == 3
