@@ -175,11 +175,29 @@ def run_streaming_tokenizer_ingest(
         require_non_null_ids(batch, id_col, "tokenizer ingest stream")
         retrained = False
         old_version = None
+        # config-drift guard (r15, the corpus-dedup lsh-pin pattern):
+        # oov_id is baked into every persisted encoded row AND parsed
+        # back out by the staleness counters — a restart with a
+        # different oov_id would mix conventions in one id space and
+        # silently undercount drift. (n_merges/retrain_threshold are
+        # safe to change: they only take effect at the next retrain,
+        # which republishes a whole consistent version.)
+        if meta.get("oov_id") is not None and meta["oov_id"] != oov_id:
+            raise ValueError(
+                f"tokenizer-ingest state at {state_dir!r} encodes OOV "
+                f"as {meta['oov_id']} but the loop was restarted with "
+                f"oov_id={oov_id} — the encoded store and drift "
+                "counters are only valid under the original value. "
+                "Restart with the original oov_id or rebuild the state."
+            )
+        if "version" in meta:
+            meta.setdefault("oov_id", oov_id)  # adopt pin on pre-r15 state
         if "version" not in meta:
             # bootstrap: the first batch trains version 0, then falls
             # through to the same encode-append path as every batch
             train_publish(batch, 0)
-            meta = {"version": 0, "retrains": 0, "n_syms": 0, "n_oov": 0}
+            meta = {"version": 0, "retrains": 0, "n_syms": 0,
+                    "n_oov": 0, "oov_id": oov_id}
         version = meta["version"]
         enc_dir = _enc_dir(state_dir, version)
         delta = encode_with(version, batch)
@@ -228,6 +246,7 @@ def run_streaming_tokenizer_ingest(
                 "n_syms": 0,
                 "n_oov": 0,
                 "last_counted_batch_id": batch_id,
+                "oov_id": oov_id,  # config-drift pin survives retrain
             }
             retrained = True
         _write_meta(state_dir, {**meta, "last_batch_id": batch_id})

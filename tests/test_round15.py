@@ -644,3 +644,41 @@ def test_corpus_dedup_rejects_lsh_param_drift(spark, tmp_path):
         num_hashes=8, band_size=2, jaccard_threshold=0.5,
     )
     assert out.count() == 3
+
+
+def test_tokenizer_ingest_rejects_oov_id_drift(spark, tmp_path):
+    # r15: oov_id is baked into every persisted encoded row and parsed
+    # back by the drift counters — a restarted loop with a different
+    # oov_id would mix conventions in one id space and silently
+    # undercount OOV drift. The loop pins it in its meta; same value
+    # restarts fine.
+    from opensea_datapipeline_spark.streaming.tokenizer_ingest import (
+        run_streaming_tokenizer_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt"),
+        n_merges=8, retrain_threshold=0.5,
+    )
+    spark.createDataFrame(
+        [(2, "beta gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    try:
+        run_streaming_tokenizer_ingest(
+            spark, src, state, str(tmp_path / "ckpt2"),
+            n_merges=8, retrain_threshold=0.5, oov_id=-7,
+        )
+        raise AssertionError("oov_id drift must fail loud")
+    except Exception as exc:
+        assert "oov_id" in str(exc)
+    meta2 = run_streaming_tokenizer_ingest(
+        spark, src, state, str(tmp_path / "ckpt3"),
+        n_merges=8, retrain_threshold=0.5,
+    )
+    assert meta2.get("oov_id") == -1
