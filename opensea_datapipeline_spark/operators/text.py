@@ -2092,11 +2092,15 @@ def bpe_read_tokenizer(
             import os
 
             try:
+                # coerce INSIDE the try (ADVICE r15): a corrupted
+                # sidecar whose fp_version isn't int-coercible (a
+                # list, "two", null) must degrade to the two-recipe
+                # acceptance, not brick reads of a valid artifact
                 with open(
                     os.path.join(path, "meta_fp_version.json")
                 ) as f:
-                    declared = _json.load(f).get("fp_version")
-            except (OSError, ValueError):
+                    declared = int(_json.load(f).get("fp_version"))
+            except (OSError, ValueError, TypeError):
                 declared = None
         candidates = (
             [int(declared)] if declared is not None else [1, 2]

@@ -185,7 +185,10 @@ def run_streaming_ann_ingest(
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already ingested
         ss = batch_df.sparkSession
-        batch = batch_df.select(id_col, vec_col)
+        # pin: the guard aggregate, the bootstrap emptiness probe, the
+        # index build/append, and the staleness counters all consume
+        # this batch — unpinned, each action replays the source read
+        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
         # fail loud on NULL ids (r15 probe, lifecycle helper): the
         # vec-id anti-join treats null as always-fresh (duplicate
         # appends on every replay) and a null-keyed vector can never

@@ -109,6 +109,39 @@ def _delta_batch_dirs(state_dir: str) -> "list[tuple[int, str]]":
     return sorted(out)
 
 
+_LSH_SIDECAR = "_lsh_params.json"
+
+
+def _write_lsh_sidecar(state_dir: str, lsh: dict) -> None:
+    """Persist the LSH pin REDUNDANTLY (ADVICE r15): the loop meta and
+    the compacted ``_base_meta.json`` both carry it, but meta loss plus
+    a corrupt base meta used to silently disarm the config-drift guard.
+    Written once (atomic tmp + replace), BEFORE the first band append,
+    so no pinned artifact can exist without a recoverable pin; no-ops
+    on every later batch (also adopts the pin for pre-r16 states)."""
+    import json
+
+    path = os.path.join(state_dir, _LSH_SIDECAR)
+    if os.path.exists(path):
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(lsh, f)
+    os.replace(tmp, path)
+
+
+def _read_lsh_sidecar(state_dir: str) -> "dict | None":
+    import json
+
+    try:
+        with open(os.path.join(state_dir, _LSH_SIDECAR)) as f:
+            out = json.load(f)
+        return out if isinstance(out, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
 def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
     """Rebuild the loop meta from the committed artifacts alone: the
     newest base version dir and the newest committed per-batch delta
@@ -148,6 +181,32 @@ def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
         meta["delta_rows"] = spark.read.parquet(
             *[p for _, p in deltas]
         ).count()
+    if meta.get("lsh") is None:
+        # ADVICE r15: re-establish the config-drift pin from the
+        # redundant sidecar when the base meta was unreadable (or no
+        # compaction has happened yet). If a band table exists but NO
+        # pin is recoverable, fail loud — silently accepting a restart
+        # with unknown-provenance bands is exactly the drift the guard
+        # exists to stop.
+        sidecar = _read_lsh_sidecar(state_dir)
+        if sidecar is not None:
+            meta["lsh"] = sidecar
+        else:
+            bands_dir = os.path.join(state_dir, "bands")
+            try:
+                has_bands = bool(os.listdir(bands_dir))
+            except OSError:
+                has_bands = False
+            if has_bands:
+                raise RuntimeError(
+                    f"corpus-dedup state at {state_dir!r} has a "
+                    "persisted band table but its LSH parameters could "
+                    "not be recovered (loop meta, base meta, and the "
+                    f"{_LSH_SIDECAR} sidecar are all missing or "
+                    "unreadable). Restarting with unverifiable params "
+                    "would silently corrupt the band-key space — "
+                    "restore the meta or rebuild the state."
+                )
     return meta
 
 
@@ -269,6 +328,9 @@ def run_streaming_corpus_dedup(
                 "original parameters. Restart with the original params "
                 "or rebuild the state from scratch."
             )
+        # pin committed before any pinned artifact exists (no-op once
+        # written; ADVICE r15 redundant-pin sidecar)
+        _write_lsh_sidecar(state_dir, lsh)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already folded (idempotence)
         batch = (

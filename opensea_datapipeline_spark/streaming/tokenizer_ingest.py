@@ -168,7 +168,10 @@ def run_streaming_tokenizer_ingest(
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already ingested
         ss = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col)
+        # pin: the guard aggregate, train_publish, and the encode pass
+        # all consume this batch — unpinned, each action replays the
+        # source read
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         # fail loud on NULL ids (r15 probe, lifecycle helper): the
         # doc-id anti-join treats null as always-fresh (duplicate
         # appends on every replay) and encode output collapses rows

@@ -1,0 +1,167 @@
+"""Round-16 regression tests: ADVICE r15 fixes (pinned-batch guard in the
+ingest loops, corrupt fp_version sidecar degradation, redundant LSH-pin
+sidecar for corpus-dedup recovery)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.test_round15 import _tiny_tokenizer
+
+
+# ---------------------------------------------------------------------------
+# corrupt meta_fp_version.json sidecar must degrade, not brick (ADVICE r15 #2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bad", [[1, 2], "two", None, {"v": 1}])
+def test_bpe_corrupt_fp_version_sidecar_degrades(spark, tmp_path, bad):
+    # A corrupted sidecar whose fp_version is not int-coercible must
+    # fall back to the two-recipe acceptance for a versionless meta —
+    # not raise TypeError/ValueError and permanently brick reads of an
+    # otherwise valid artifact.
+    from opensea_datapipeline_spark.operators.text import (
+        _bpe_artifact_fingerprint,
+        bpe_read_tokenizer,
+        bpe_write_tokenizer,
+    )
+
+    merges, alphabet = _tiny_tokenizer(spark)
+    path = str(tmp_path / "tok")
+    bpe_write_tokenizer(merges, alphabet, path, marker="▁")
+    # make the meta versionless (legacy artifact, v1 recipe)
+    legacy_hash, n_m, n_a = _bpe_artifact_fingerprint(
+        merges, alphabet, fp_version=1
+    )
+    spark.createDataFrame(
+        [("▁", n_m, n_a, legacy_hash)],
+        "marker string, n_merges long, alphabet_size long,"
+        " content_hash string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    # corrupt the sidecar with a non-int-coercible fp_version
+    with open(os.path.join(path, "meta_fp_version.json"), "w") as f:
+        json.dump({"fp_version": bad}, f)
+    m2, a2, marker = bpe_read_tokenizer(spark, path, verify=True)
+    assert marker == "▁" and m2.count() == 2 and a2.count() == 3
+    # the verified read re-stamped a GOOD sidecar over the corrupt one
+    with open(os.path.join(path, "meta_fp_version.json")) as f:
+        assert json.load(f)["fp_version"] == 1
+
+
+def test_bpe_garbage_sidecar_file_degrades(spark, tmp_path):
+    # Not-even-JSON sidecar: same degradation path (ValueError branch).
+    from opensea_datapipeline_spark.operators.text import (
+        _bpe_artifact_fingerprint,
+        bpe_read_tokenizer,
+        bpe_write_tokenizer,
+    )
+
+    merges, alphabet = _tiny_tokenizer(spark)
+    path = str(tmp_path / "tok")
+    bpe_write_tokenizer(merges, alphabet, path, marker="▁")
+    legacy_hash, n_m, n_a = _bpe_artifact_fingerprint(
+        merges, alphabet, fp_version=2
+    )
+    spark.createDataFrame(
+        [("▁", n_m, n_a, legacy_hash)],
+        "marker string, n_merges long, alphabet_size long,"
+        " content_hash string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    with open(os.path.join(path, "meta_fp_version.json"), "w") as f:
+        f.write("{not json")
+    m2, a2, marker = bpe_read_tokenizer(spark, path, verify=True)
+    assert marker == "▁" and m2.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# redundant LSH-pin sidecar (ADVICE r15 #3)
+# ---------------------------------------------------------------------------
+
+def _seed_corpus(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "one two three four")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _drop_top_level_meta(state: str) -> None:
+    for name in os.listdir(state):
+        p = os.path.join(state, name)
+        if name.endswith(".json") and os.path.isfile(p) \
+                and name != "_lsh_params.json":
+            os.remove(p)
+
+
+def _corrupt_base_metas(state: str) -> None:
+    for root, _dirs, files in os.walk(state):
+        for name in files:
+            if name == "_base_meta.json":
+                with open(os.path.join(root, name), "w") as f:
+                    f.write("{torn")
+
+
+def test_corpus_dedup_drift_guard_survives_meta_and_base_meta_loss(
+    spark, tmp_path
+):
+    # ADVICE r15 #3: loop meta lost AND base meta corrupted — the
+    # redundant _lsh_params.json sidecar must still arm the
+    # config-drift guard, so a drifted restart fails loud instead of
+    # silently probing the old band table with a new band_key space.
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = _seed_corpus(spark, tmp_path)
+    state = str(tmp_path / "state")
+    run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    assert os.path.exists(os.path.join(state, "_lsh_params.json"))
+    _drop_top_level_meta(state)
+    _corrupt_base_metas(state)
+    spark.createDataFrame(
+        [(2, "five six seven eight")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="LSH params"):
+        run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckpt2"),
+            num_hashes=16, band_size=4, jaccard_threshold=0.5,
+        )
+    # same params restart clean off the sidecar-recovered pin
+    out = run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt3"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    assert out.count() == 3
+
+
+def test_corpus_dedup_fails_loud_when_no_pin_recoverable(spark, tmp_path):
+    # Bands exist but every copy of the pin (loop meta, base meta,
+    # sidecar) is gone/corrupt: recovery must refuse to restart rather
+    # than silently disarm the drift guard.
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = _seed_corpus(spark, tmp_path)
+    state = str(tmp_path / "state")
+    run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    _drop_top_level_meta(state)
+    _corrupt_base_metas(state)
+    os.remove(os.path.join(state, "_lsh_params.json"))
+    spark.createDataFrame(
+        [(2, "five six seven eight")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="could not be recovered"):
+        run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckpt2"),
+            num_hashes=8, band_size=2, jaccard_threshold=0.5,
+        )
