@@ -88,25 +88,12 @@ def _previously_graded() -> tuple[set[str], dict[str, int]]:
 # the r01–r13 union is older than r09. New registrations (ungraded)
 # still sort ahead of every graded query automatically.
 _REGRADE_FIRST = (
-    # --- r14's 10 pins ALL regraded green in r14 (CORRECTNESS_r14,
-    # VERDICT r14), retired. r15 (VERDICT r14 #1): the last 7 queries
-    # whose latest driver row is r09 — the judge re-verified all 7
-    # green in-session with the driver comparator, this is the
-    # official-record catch-up. After this batch the oldest driver
-    # row across the whole registry is >= r10.
-    "user_retention_sets",
-    "daily_stats_unpivot",
-    "embedding_array_stats",
-    "price_rank_dist_scalable",
-    "corpus_dedup_summary",
-    "value_band_peers",
-    "media_knn_pipeline",
-    # --- r15 oracle changes (ADVICE r14 #1/#2: NaN-robust knn oracle
-    # guards — denominator filter instead of IS NOT NULL on 0/0) ---
-    "knn_topk",
-    "knn_topk_quantized",
-    # The remaining ~40 prefix slots fill with the r10/r11 tail
-    # automatically — _ordered sorts graded queries stalest-first.
+    # --- r15's 9 pins ALL regraded green in r15 (CORRECTNESS_r15,
+    # VERDICT r15), retired. r16 (VERDICT r15 #2): no query/oracle
+    # semantics changed this round, so the pin list is EMPTY — all 50
+    # prefix slots go to the stalest driver rows (mann_whitney_value /
+    # kaplan_meier_churn at r10, ~30 queries at r11), which _ordered
+    # reaches automatically by sorting graded queries stalest-first.
 )
 
 

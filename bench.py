@@ -572,7 +572,50 @@ def main() -> None:
         print(f"bench: full record written to {local}", file=sys.stderr)
     except OSError as exc:
         print(f"bench: local record not written: {exc}", file=sys.stderr)
+    _print_compact_marker(record)
     spark.stop()
+
+
+def _compact_marker(record: dict, max_len: int = 1800) -> str:
+    """A compact single-line JSON copy of the headline record, guaranteed
+    under ``max_len`` chars. The driver keeps only a 2000-char tail of
+    stdout and parses a JSON line out of it — the full record line
+    outgrew that window by r6 (71 queries ≈ 2.8 kB), so every BENCH_rNN
+    since has had ``parsed: null`` with the real data living in the
+    committed BENCH_LOCAL file (VERDICT r15 #8). This marker is printed
+    LAST, after every stderr note, so the tail always ends with it. If
+    even the 2-decimal form exceeds the budget, the smallest per-query
+    times are dropped (largest kept — those are the ones the plan audit
+    reads) and ``queries_omitted`` counts the rest; BENCH_LOCAL keeps
+    the full set either way."""
+    base = {
+        "metric": record.get("metric"),
+        "value": round(record.get("value", 0.0), 2),
+        "unit": record.get("unit"),
+        "sf": record.get("sf"),
+    }
+    if record.get("noisy_first_write"):
+        base["noisy_first_write"] = True
+    queries = {
+        k: round(v, 2) for k, v in (record.get("queries") or {}).items()
+    }
+    keep = sorted(queries, key=lambda k: -queries[k])
+    while True:
+        out = dict(base)
+        out["queries"] = {k: queries[k] for k in sorted(keep)}
+        omitted = len(queries) - len(keep)
+        if omitted:
+            out["queries_omitted"] = omitted
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= max_len or not keep:
+            return line
+        keep = keep[:-max(1, len(keep) // 10)]
+
+
+def _print_compact_marker(record: dict) -> None:
+    sys.stderr.flush()
+    print(_compact_marker(record))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

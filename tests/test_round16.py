@@ -13,6 +13,40 @@ from tests.test_round15 import _tiny_tokenizer
 
 
 # ---------------------------------------------------------------------------
+# driver-parseable compact bench marker (VERDICT r15 #8)
+# ---------------------------------------------------------------------------
+
+def test_bench_compact_marker_fits_tail_window():
+    # The driver keeps a 2000-char stdout tail and parses a JSON line
+    # out of it; the marker must always fit with headroom, parse clean,
+    # and keep the LARGEST per-query times when forced to drop.
+    import bench
+
+    rec = {
+        "metric": "suite_seconds", "value": 50.385, "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_with_a_long_name_{i:03d}": 0.1 + i * 0.01
+                    for i in range(200)},
+    }
+    line = bench._compact_marker(rec)
+    assert len(line) <= 1800 and "\n" not in line
+    d = json.loads(line)
+    assert d["metric"] == "suite_seconds" and d["sf"] == 0.1
+    kept = d["queries"]
+    assert kept and d["queries_omitted"] == 200 - len(kept)
+    # largest kept: every kept value >= every dropped value
+    dropped = set(rec["queries"]) - set(kept)
+    assert min(kept.values()) >= max(
+        round(rec["queries"][q], 2) for q in dropped
+    )
+    # small records come through whole
+    small = {"metric": "suite_seconds", "value": 1.0, "unit": "sec",
+             "sf": 0.01, "queries": {"q1": 0.5}}
+    d2 = json.loads(bench._compact_marker(small))
+    assert d2["queries"] == {"q1": 0.5} and "queries_omitted" not in d2
+
+
+# ---------------------------------------------------------------------------
 # corrupt meta_fp_version.json sidecar must degrade, not brick (ADVICE r15 #2)
 # ---------------------------------------------------------------------------
 
