@@ -265,6 +265,100 @@ def corpus_dedup_store_growth_leg(spark, mults=(1, 10),
     return out
 
 
+def corpus_dedup_compaction_100x_leg(spark, seed_base: int = 30_000,
+                                     mult: int = 100,
+                                     docs_per_batch: int = 300) -> dict:
+    """The 100x leg (VERDICT r15 #4): drive a ~3M-row assignment store
+    through ONE FULL COMPACTION CYCLE and record (a) the append-only
+    batch wall at 100x store size, (b) the compaction wall — the
+    O(store) fold of base ∪ delta to a new atomic base version, the one
+    deliberately store-sized cost in the design, paid at threshold
+    cadence rather than per batch — and (c) the post-compaction batch
+    wall, which must return to the append-only floor (the new base must
+    not make later batches dearer). The state is pre-seeded directly
+    (streaming 3M docs in would dominate the leg) and ``compact_ratio``
+    is set so the threshold crosses on the SECOND streamed batch: batch
+    walls then read [append, append+compact, append]. The fold's cost
+    is base-sized regardless of how the delta accumulated, so forcing
+    the crossing early measures the same machinery as a 0.5-ratio
+    crossing at 1.5M delta rows — without a 1.5M-row streaming
+    pre-seed."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import dedup as dd
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+    from opensea_datapipeline_spark.streaming.gold import _write_meta
+
+    base = tempfile.mkdtemp(prefix=f"scaling_dedupstore_{mult}x_")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    seed_n = seed_base * mult
+    t0 = time.time()
+    docs = _unique_docs_df(spark, 0, seed_n)
+    docs.write.mode("overwrite").parquet(os.path.join(state, "corpus"))
+    dd.minhash_band_table(
+        docs, "text", "doc_id", num_hashes=8, band_size=2
+    ).write.mode("overwrite").parquet(os.path.join(state, "bands"))
+    assign = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            (F.col("doc_id") % 10 == 9) & (F.col("doc_id") > 0),
+            F.col("doc_id") - 1,
+        ).otherwise(F.col("doc_id")).alias("group_id"),
+    )
+    base_dir = os.path.join(state, "groups_base_v0")
+    assign.write.mode("overwrite").parquet(os.path.join(base_dir, "groups"))
+    with open(os.path.join(base_dir, "_base_meta.json"), "w") as f:
+        _json.dump({"last_batch_id": -1, "base_rows": seed_n}, f)
+    _write_meta(state, {
+        "last_batch_id": -1, "base_version": 0,
+        "base_rows": seed_n, "delta_rows": 0,
+    })
+    seed_wall = round(time.time() - t0, 1)
+    for b in range(3):
+        _unique_docs_df(
+            spark, seed_n + b * docs_per_batch, docs_per_batch
+        ).coalesce(1).write.mode("append").parquet(src)
+    walls = []
+    # threshold crosses when delta_rows > ratio*base_rows: one batch of
+    # 300 stays under, two cross -> compaction fires on batch index 1
+    ratio = (docs_per_batch + 1) / seed_n
+    run_streaming_corpus_dedup(
+        spark, src, state, os.path.join(base, "ckpt"),
+        compact_ratio=ratio,
+        on_batch=lambda b, w: walls.append(round(w, 2)),
+    )
+    # the new base version + its meta prove the cycle completed
+    vstate = sorted(
+        d for d in os.listdir(state) if d.startswith("groups_base_v")
+    )
+    post_rows = None
+    try:
+        with open(os.path.join(state, vstate[-1], "_base_meta.json")) as f:
+            post_rows = _json.load(f).get("base_rows")
+    except (OSError, ValueError):
+        pass
+    out = {
+        "store_seed_docs": seed_n,
+        "seed_build_wall_s": seed_wall,
+        "dedup_walls_s": walls,
+        "append_only_wall_s": walls[0],
+        "compaction_batch_wall_s": walls[1],
+        "post_compaction_wall_s": walls[2],
+        # overhead vs the WARM append floor (batch 2): batch 0 carries
+        # the process's first-batch codegen/JIT warmup
+        "compaction_overhead_s": round(walls[1] - walls[2], 2),
+        "base_versions_after": vstate,
+        "post_compaction_base_rows": post_rows,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     only = None
     for a in sys.argv[1:]:
@@ -286,6 +380,8 @@ def main() -> None:
         "corpus_dedup_store_growth": lambda: corpus_dedup_store_growth_leg(
             spark
         ),
+        "corpus_dedup_compaction_100x": lambda:
+            corpus_dedup_compaction_100x_leg(spark),
     }
     legs = {
         name: fn()
