@@ -505,18 +505,33 @@ def _resolve_contracted(
 ) -> "DataFrame | None":
     """Resolve a contracted (src, dst) edge table to a component map, or
     None when there are no edges. The shared gate of the incremental
-    folds: pin once, limit-probe the size, then driver union-find below
-    the threshold (2 jobs) or the distributed components loop above it
-    (same min-member labels either way)."""
-    # pin: mapped feeds the size probe and then either the collect or
-    # the distributed run — unpinned, each would replay the
-    # endpoint-mapping join lineage
-    mapped = mapped.localCheckpoint(eager=True)
-    n_edges = mapped.limit(small_graph_edges + 1).count()
-    if n_edges == 0:
+    folds, fused to ONE job on the common path (r16 job-floor trim —
+    the streaming loop pays this every micro-batch): a single
+    limit-bounded Arrow collect both DECIDES and DELIVERS. Fewer than
+    ``small_graph_edges + 1`` rows back ⟹ the collect already holds
+    the complete edge set (a LIMIT that comes back short exhausted its
+    input), so the driver union-find runs on it with no further jobs —
+    the r15 flow paid pin + limit-probe + a second collect for the
+    same result. At the threshold the collected prefix is discarded,
+    the distributed loop runs over the SAME lazily-pinned frame — its
+    partitions cache as computed, so nothing upstream of the pin
+    replays (the wasted bounded collect is capped by the gate)."""
+    # lazy pin: the probe-collect below is the first (and on the small
+    # path, only) job to touch mapped; computed partitions cache as
+    # they materialize, so the large path's later passes re-read them
+    # instead of replaying the endpoint-mapping join lineage — without
+    # paying the old flow's dedicated eager-pin job
+    mapped = mapped.localCheckpoint(eager=False)
+    pdf = mapped.limit(small_graph_edges + 1).toPandas()
+    if len(pdf) == 0:
         return None
-    if n_edges <= small_graph_edges:
-        return _driver_union_find(mapped)
+    if len(pdf) <= small_graph_edges:
+        rows = _union_find_rows(pdf["src"].tolist(), pdf["dst"].tolist())
+        return F.broadcast(
+            mapped.sparkSession.createDataFrame(
+                rows, mapped.select("src", "dst").schema
+            ).toDF("id", "group_id")
+        )
     nodes = (
         nids
         .unionByName(mapped.select(F.col("src").alias("id")))
@@ -1133,15 +1148,11 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("group_id"))
 
 
-def _driver_union_find(canon: DataFrame) -> DataFrame:
-    """Resolve a BOUNDED canonical (src, dst) edge table to its
-    components by driver union-find with min-root union (group_id = min
-    member id — the connected_components contract) and re-enter the
-    plan as a broadcast (id, group_id) map covering every edge-touched
-    node. Callers MUST have size-gated ``canon`` (limit-probe) before
-    collecting; the map only covers edge endpoints, so callers join it
-    left + coalesce(id) for isolated nodes."""
-    pdf = canon.toPandas()
+def _union_find_rows(srcs, dsts) -> "list[tuple]":
+    """Driver union-find with min-root union (group_id = min member id
+    — the connected_components contract) over already-collected edge
+    endpoint lists; returns (id, group_id) tuples covering every
+    edge-touched node. Shared core of the bounded small-graph paths."""
     parent: dict = {}
 
     def find(x):
@@ -1152,19 +1163,14 @@ def _driver_union_find(canon: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+    for a, b in zip(srcs, dsts):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(x, find(x)) for x in parent]
-    return F.broadcast(
-        canon.sparkSession.createDataFrame(
-            rows, canon.select("src", "dst").schema
-        ).toDF("id", "group_id")
-    )
+    return [(x, find(x)) for x in parent]
 
 
 def _symmetrize_edges(
@@ -1382,16 +1388,30 @@ def connected_components_auto(
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            # pin: feeds the probe and then either the collect or the
-            # distributed run — unpinned, each replays pair generation
-            .localCheckpoint(eager=True)
+            # lazy pin (r16 job-floor trim): the probe-collect below is
+            # the first job to touch canon and, on the small path, the
+            # only one — it decides AND delivers (a LIMIT that comes
+            # back short exhausted its input, so the collected frame IS
+            # the complete edge set). Computed partitions cache as they
+            # materialize, so the large path's star iterations re-read
+            # them instead of replaying pair generation — without the
+            # old flow's dedicated eager-pin + probe + second-collect
+            # jobs.
+            .localCheckpoint(eager=False)
         )
-        n_edges = canon.limit(small_graph_edges + 1).count()
+        pdf = canon.limit(small_graph_edges + 1).toPandas()
         ids = nodes.select(F.col(id_col).alias("id"))
-        if n_edges == 0:
+        if len(pdf) == 0:
             return ids.select("id", F.col("id").alias("group_id"))
-        if n_edges <= small_graph_edges:
-            comps = _driver_union_find(canon)
+        if len(pdf) <= small_graph_edges:
+            comps = F.broadcast(
+                canon.sparkSession.createDataFrame(
+                    _union_find_rows(
+                        pdf["src"].tolist(), pdf["dst"].tolist()
+                    ),
+                    canon.select("src", "dst").schema,
+                ).toDF("id", "group_id")
+            )
             return ids.join(comps, "id", "left").select(
                 "id", F.coalesce("group_id", F.col("id")).alias("group_id")
             )

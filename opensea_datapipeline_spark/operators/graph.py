@@ -353,9 +353,13 @@ def label_propagation(
     # exchange (SCALING.md §label-prop, negative result recorded).
     e = e.localCheckpoint(eager=True)
     if weight_col is None and small_graph_edges > 0:
-        n_edges = e.limit(small_graph_edges + 1).count()
-        if n_edges <= small_graph_edges:
-            rows = e.select("src", "dst").collect()
+        # one limit-bounded collect decides AND delivers (r16 job-floor
+        # trim): short of the threshold ⟹ the rows ARE the whole
+        # pinned edge set, so the probe job and the second collect the
+        # r13 gate paid are gone; at the threshold the prefix is
+        # discarded and the distributed loop reads the eager pin
+        rows = e.limit(small_graph_edges + 1).collect()
+        if len(rows) <= small_graph_edges:
             elist = [(r["src"], r["dst"]) for r in rows]
             if undirected:
                 node_set = {s for s, _ in elist}

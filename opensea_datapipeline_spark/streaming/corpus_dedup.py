@@ -382,8 +382,16 @@ def run_streaming_corpus_dedup(
         # recomputes and the anti-join appends skip what landed. The
         # delta is PINNED before the stores mutate: its lineage lazily
         # re-scans corpus/bands, and an unpinned write racing the
-        # appends would read mid-append state.
-        delta = delta.localCheckpoint(eager=True)
+        # appends would read mid-append state. n_delta rides the pin
+        # job as an observed metric (r16 job-floor trim) — the
+        # standalone count after the appends was one whole Spark job
+        # for a number the pin already computes.
+        from pyspark.sql import Observation
+
+        delta_obs = Observation()
+        delta = delta.observe(
+            delta_obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
         new_bands = dd.minhash_band_table(
             batch, text_col, id_col,
             num_hashes=num_hashes, band_size=band_size,
@@ -404,7 +412,7 @@ def run_streaming_corpus_dedup(
         else:
             new_bands.write.mode("overwrite").parquet(bands_dir)
             batch.write.mode("overwrite").parquet(corpus_dir)
-        n_delta = delta.count()
+        n_delta = int(delta_obs.get["n"])
         # atomic per-batch delta publish: a torn write leaves only a
         # _tmp_ dir that recovery ignores, never a half-visible batch
         # (code-review r15); the dir NAME carries the batch id, which

@@ -57,33 +57,28 @@ def batch_key_counts(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def merge_mg_state(
-    existing: DataFrame | None, batch_counts: DataFrame, cap: int
-) -> tuple[DataFrame, int]:
-    """Merge batch counts into the running table and re-impose the cap.
-    Returns (new_state, decrement) — the caller accumulates decrements
-    into eps. Everything here operates on STATE-sized frames
-    (≤ cap + batch-distinct rows), never the raw stream."""
-    if existing is not None:
-        combined = (
-            existing.select(STATE_COLS)
-            .unionByName(batch_counts.select(STATE_COLS))
-            .groupBy("key")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-        )
-    else:
-        combined = batch_counts
-    # pin ONE execution (state-sized: <= cap + batch-distinct rows): the
-    # count, the decrement aggregate, and the state write below would
-    # otherwise each re-run the union+groupBy lineage INCLUDING the raw
-    # micro-batch scan — 2-3x the dominant per-trigger cost (the same
-    # fix pattern as heavy_hitters/mann_whitney, ADVICE r9)
-    combined = combined.localCheckpoint(eager=True)
-    n_keys = combined.count()
-    if n_keys <= cap:
-        return combined, 0
-    # (cap+1)-th largest count = the Misra-Gries batch decrement;
-    # TakeOrderedAndProject over the state-sized frame, 1-row driver agg
+def _merged_counts(
+    existing: DataFrame | None, batch_counts: DataFrame
+) -> DataFrame:
+    """state ∪ batch per-key sum — state-sized (≤ cap + batch-distinct
+    rows), never the raw stream."""
+    if existing is None:
+        return batch_counts
+    return (
+        existing.select(STATE_COLS)
+        .unionByName(batch_counts.select(STATE_COLS))
+        .groupBy("key")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _mg_trim(combined: DataFrame, cap: int) -> tuple[DataFrame, int]:
+    """Re-impose the cap on an over-full MATERIALIZED count table (the
+    Misra-Gries batch decrement): subtract the (cap+1)-th largest count
+    from every key and drop the non-positives. Returns (trimmed, d).
+    TakeOrderedAndProject over the state-sized frame, 1-row driver
+    agg. Callers must pass a pinned/parquet-backed frame — the two
+    passes here would otherwise replay its lineage."""
     d = int(
         combined.orderBy(F.col("cnt").desc())
         .limit(cap + 1)
@@ -94,6 +89,29 @@ def merge_mg_state(
         "key", (F.col("cnt") - F.lit(d)).alias("cnt")
     ).filter(F.col("cnt") > 0)
     return trimmed, d
+
+
+def merge_mg_state(
+    existing: DataFrame | None, batch_counts: DataFrame, cap: int
+) -> tuple[DataFrame, int]:
+    """Merge batch counts into the running table and re-impose the cap.
+    Returns (new_state, decrement) — the caller accumulates decrements
+    into eps. The sketch-math reference form (pinned by the planted-skew
+    property test); the streaming loop uses the same pieces fused with
+    its state write (one job per trigger in the exact regime) via
+    ``_merged_counts`` / ``_mg_trim``."""
+    # pin ONE execution (state-sized): the count, the decrement
+    # aggregate, and the caller's state write would otherwise each
+    # re-run the union+groupBy lineage INCLUDING the raw micro-batch
+    # scan (the same fix pattern as heavy_hitters/mann_whitney,
+    # ADVICE r9)
+    combined = _merged_counts(existing, batch_counts).localCheckpoint(
+        eager=True
+    )
+    n_keys = combined.count()
+    if n_keys <= cap:
+        return combined, 0
+    return _mg_trim(combined, cap)
 
 
 def _recover_meta(state_dir: str) -> dict:
@@ -160,19 +178,36 @@ def run_streaming_topk(
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged (idempotence)
         base_dir = meta.get("version_dir")
+        ss = batch_df.sparkSession
         existing = (
-            batch_df.sparkSession.read.parquet(base_dir)
-            if base_dir is not None
-            else None
+            ss.read.parquet(base_dir) if base_dir is not None else None
         )
-        state, d = merge_mg_state(
-            existing, batch_key_counts(batch_df, key_col), cap
-        )
-        eps = int(meta.get("eps", 0)) + d
+        # ONE job per trigger in the exact regime (r16 job-floor trim —
+        # was 3: checkpoint-pin, count, write): the merged-state write
+        # itself materializes the union+groupBy, and the key count
+        # rides it as an observed metric. The tmp parquet doubles as
+        # the pin for the rare over-cap path, which re-reads it from
+        # disk (state-sized) to trim — no lineage replay, and no
+        # per-batch localCheckpoint blocks to GC.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = _merged_counts(
+            existing, batch_key_counts(batch_df, key_col)
+        ).observe(obs, F.count(F.lit(1)).alias("n_keys"))
         out = os.path.join(state_dir, f"batch_{batch_id:012d}")
         tmp = os.path.join(state_dir, f"_tmp_batch_{batch_id:012d}")
         shutil.rmtree(tmp, ignore_errors=True)
-        state.write.mode("overwrite").parquet(tmp)
+        merged.write.mode("overwrite").parquet(tmp)
+        d = 0
+        if int(obs.get["n_keys"]) > cap:
+            trimmed, d = _mg_trim(ss.read.parquet(tmp), cap)
+            trim_tmp = tmp + "_trim"
+            shutil.rmtree(trim_tmp, ignore_errors=True)
+            trimmed.write.mode("overwrite").parquet(trim_tmp)
+            shutil.rmtree(tmp)
+            os.replace(trim_tmp, tmp)
+        eps = int(meta.get("eps", 0)) + d
         # eps sidecar INSIDE the version dir, before the rename: atomic
         # with the state, ignored by the parquet reader (underscore
         # prefix), and row-independent — recoverable even when an
@@ -187,14 +222,6 @@ def run_streaming_topk(
             state_dir,
             {"last_batch_id": batch_id, "version_dir": out, "eps": eps},
         )
-        # release the per-batch localCheckpoint (merge_mg_state) now
-        # superseded by the parquet version: a long-running stream is
-        # the longest-lived loop in the engine, and dead checkpoints
-        # otherwise accumulate in the block manager until a driver GC
-        # runs (the SCALING.md §r10 dead-checkpoint trap)
-        import gc
-
-        gc.collect()
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
