@@ -251,6 +251,11 @@ def run_streaming_ann_ingest(
         # ... and the sweep clears exactly that crash window's orphans
         # on the NEXT batch (ADVICE r13)
         sweep_orphan_versions(state_dir, ("index",), meta["version"])
+        # release the batch pin's localCheckpoint blocks (the r10
+        # dead-checkpoint discipline — streams are the longest loops)
+        import gc
+
+        gc.collect()
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0, rebuilt)
 

@@ -267,6 +267,11 @@ def run_streaming_tokenizer_ingest(
         sweep_orphan_versions(
             state_dir, ("tokenizer", "encoded"), meta["version"]
         )
+        # release the batch + delta pins' localCheckpoint blocks (the
+        # r10 dead-checkpoint discipline — streams are the longest loops)
+        import gc
+
+        gc.collect()
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0, retrained)
 
