@@ -526,12 +526,7 @@ def _resolve_contracted(
     if len(pdf) == 0:
         return None
     if len(pdf) <= small_graph_edges:
-        rows = _union_find_rows(pdf["src"].tolist(), pdf["dst"].tolist())
-        return F.broadcast(
-            mapped.sparkSession.createDataFrame(
-                rows, mapped.select("src", "dst").schema
-            ).toDF("id", "group_id")
-        )
+        return _broadcast_uf_map(mapped, pdf)
     nodes = (
         nids
         .unionByName(mapped.select(F.col("src").alias("id")))
@@ -1173,6 +1168,19 @@ def _union_find_rows(srcs, dsts) -> "list[tuple]":
     return [(x, find(x)) for x in parent]
 
 
+def _broadcast_uf_map(edge_frame: DataFrame, pdf) -> DataFrame:
+    """Union-find over a fully-collected edge set (pandas frame with
+    ``src``/``dst``), re-entered into the plan as a broadcast
+    (id, group_id) map typed like the edge endpoints. The shared tail
+    of every small-graph gate."""
+    return F.broadcast(
+        edge_frame.sparkSession.createDataFrame(
+            _union_find_rows(pdf["src"].tolist(), pdf["dst"].tolist()),
+            edge_frame.select("src", "dst").schema,
+        ).toDF("id", "group_id")
+    )
+
+
 def _symmetrize_edges(
     edges: DataFrame, src_col: str, dst_col: str, assume_distinct: bool
 ) -> DataFrame:
@@ -1404,14 +1412,7 @@ def connected_components_auto(
         if len(pdf) == 0:
             return ids.select("id", F.col("id").alias("group_id"))
         if len(pdf) <= small_graph_edges:
-            comps = F.broadcast(
-                canon.sparkSession.createDataFrame(
-                    _union_find_rows(
-                        pdf["src"].tolist(), pdf["dst"].tolist()
-                    ),
-                    canon.select("src", "dst").schema,
-                ).toDF("id", "group_id")
-            )
+            comps = _broadcast_uf_map(canon, pdf)
             return ids.join(comps, "id", "left").select(
                 "id", F.coalesce("group_id", F.col("id")).alias("group_id")
             )

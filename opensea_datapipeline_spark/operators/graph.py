@@ -358,7 +358,7 @@ def label_propagation(
         # pinned edge set, so the probe job and the second collect the
         # r13 gate paid are gone; at the threshold the prefix is
         # discarded and the distributed loop reads the eager pin
-        rows = e.limit(small_graph_edges + 1).collect()
+        rows = e.select("src", "dst").limit(small_graph_edges + 1).collect()
         if len(rows) <= small_graph_edges:
             elist = [(r["src"], r["dst"]) for r in rows]
             if undirected:

@@ -2102,9 +2102,8 @@ def bpe_read_tokenizer(
                     declared = int(_json.load(f).get("fp_version"))
             except (OSError, ValueError, TypeError):
                 declared = None
-        candidates = (
-            [int(declared)] if declared is not None else [1, 2]
-        )
+        # declared is int (meta field / coerced sidecar) or None here
+        candidates = [declared] if declared is not None else [1, 2]
         want = (
             meta["content_hash"],
             meta.get("n_merges"),

@@ -184,20 +184,26 @@ def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
     if meta.get("lsh") is None:
         # ADVICE r15: re-establish the config-drift pin from the
         # redundant sidecar when the base meta was unreadable (or no
-        # compaction has happened yet). If a band table exists but NO
-        # pin is recoverable, fail loud — silently accepting a restart
-        # with unknown-provenance bands is exactly the drift the guard
-        # exists to stop.
-        sidecar = _read_lsh_sidecar(state_dir)
-        if sidecar is not None:
-            meta["lsh"] = sidecar
-        else:
-            bands_dir = os.path.join(state_dir, "bands")
-            try:
-                has_bands = bool(os.listdir(bands_dir))
-            except OSError:
-                has_bands = False
-            if has_bands:
+        # compaction has happened yet) — but only when a pinned
+        # artifact actually EXISTS (code-review r16): the sidecar is
+        # written before the first band append, so a crash in that
+        # window leaves a sidecar with nothing to guard, and a
+        # legitimate fresh restart with different params must neither
+        # be refused nor inherit the stale pin.
+        bands_dir = os.path.join(state_dir, "bands")
+        try:
+            has_bands = bool(os.listdir(bands_dir))
+        except OSError:
+            has_bands = False
+        if has_bands:
+            sidecar = _read_lsh_sidecar(state_dir)
+            if sidecar is not None:
+                meta["lsh"] = sidecar
+            else:
+                # a band table with NO recoverable pin anywhere: fail
+                # loud — silently accepting a restart with
+                # unknown-provenance bands is exactly the drift the
+                # guard exists to stop
                 raise RuntimeError(
                     f"corpus-dedup state at {state_dir!r} has a "
                     "persisted band table but its LSH parameters could "
@@ -207,6 +213,13 @@ def _recover_meta(spark: SparkSession, state_dir: str) -> dict:
                     "would silently corrupt the band-key space — "
                     "restore the meta or rebuild the state."
                 )
+        else:
+            # no artifacts: drop any crash-window sidecar so the
+            # rebuild's own params get pinned instead of a stale set
+            try:
+                os.remove(os.path.join(state_dir, _LSH_SIDECAR))
+            except OSError:
+                pass
     return meta
 
 

@@ -174,6 +174,34 @@ def test_corpus_dedup_drift_guard_survives_meta_and_base_meta_loss(
     assert out.count() == 3
 
 
+def test_corpus_dedup_stale_sidecar_without_artifacts_not_enforced(
+    spark, tmp_path
+):
+    # Code-review r16: the sidecar lands BEFORE the first band append,
+    # so a crash in that window leaves a sidecar with nothing to guard.
+    # A fresh restart with DIFFERENT params is legitimate (nothing was
+    # built) — it must run clean and re-pin its own params, not be
+    # refused over artifacts that don't exist.
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = _seed_corpus(spark, tmp_path)
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    with open(os.path.join(state, "_lsh_params.json"), "w") as f:
+        json.dump({"num_hashes": 4, "band_size": 4,
+                   "jaccard_threshold": 0.9}, f)
+    out = run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckpt"),
+        num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    assert out.count() == 2
+    # the stale pin was replaced by the params that actually built it
+    with open(os.path.join(state, "_lsh_params.json")) as f:
+        assert json.load(f)["num_hashes"] == 8
+
+
 def test_corpus_dedup_fails_loud_when_no_pin_recoverable(spark, tmp_path):
     # Bands exist but every copy of the pin (loop meta, base meta,
     # sidecar) is gone/corrupt: recovery must refuse to restart rather
