@@ -85,6 +85,7 @@ from .lifecycle import (
     publish_versioned_dir,
     require_non_null_ids,
     sweep_orphan_versions,
+    writer_lock,
 )
 
 _APPENDERS = {
@@ -181,6 +182,7 @@ def run_streaming_ann_ingest(
         import time
 
         t0 = time.time()
+        lock.refresh()  # heartbeat at batch granularity
         meta = _read_meta(state_dir)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already ingested
@@ -259,13 +261,16 @@ def run_streaming_ann_ingest(
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0, rebuilt)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # single-writer latch (r16 — see lifecycle.writer_lock)
+    lock = writer_lock(state_dir, "ANN ingest stream")
+    with lock:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     meta = _read_meta(state_dir)
     if "version" in meta:
         meta["index_dir"] = _version_dir(state_dir, meta["version"])

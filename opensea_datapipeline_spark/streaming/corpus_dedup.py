@@ -64,6 +64,7 @@ from .lifecycle import (
     publish_versioned_dir,
     require_non_null_ids,
     sweep_orphan_versions,
+    writer_lock,
 )
 
 _BASE_PREFIX = "groups_base"
@@ -318,6 +319,7 @@ def run_streaming_corpus_dedup(
         import time
 
         t0 = time.time()
+        lock.refresh()  # heartbeat at batch granularity
         meta = _read_meta(state_dir)
         ss = batch_df.sparkSession
         if not meta:
@@ -498,13 +500,19 @@ def run_streaming_corpus_dedup(
         if on_batch is not None:
             on_batch(batch_id, time.time() - t0)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # single-writer latch (r16 probe: a second loop on this state dir
+    # interleaves anti-join reads with our appends — double-appended
+    # corpus rows, clobbered meta); held across the whole run,
+    # heartbeat refreshed per batch, released on exit
+    lock = writer_lock(state_dir, "corpus-dedup stream")
+    with lock:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     meta = _read_meta(state_dir) or _recover_meta(spark, state_dir)
     out = current_assignment(spark, state_dir, meta)
     if out is None:  # no batches: empty assignment

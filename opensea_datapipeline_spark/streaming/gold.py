@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..sources.readers import ensure_reader_confs, normalize_event_time
 
 from ..sources.writers import VersionedOutputStore
+from .lifecycle import writer_lock
 
 _META = "_gold_meta.json"
 
@@ -173,6 +174,7 @@ def run_incremental_gold_daily(
     store = VersionedOutputStore(gold_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lock.refresh()  # heartbeat at batch granularity
         meta = _read_meta(gold_dir)
         if not meta:
             # guard: meta missing but committed versions on disk means the
@@ -213,13 +215,16 @@ def run_incremental_gold_daily(
         os.rename(tmp, out)
         _write_meta(gold_dir, {"last_batch_id": batch_id, "version_dir": out})
 
-    query = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # single-writer latch (r16 — see lifecycle.writer_lock)
+    lock = writer_lock(gold_dir, "gold-table stream")
+    with lock:
+        query = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # the committed version per meta is authoritative; directory listing is
     # only the bootstrap fallback for stores predating the meta convention
     latest = _read_meta(gold_dir).get("version_dir") or store.latest_version_dir()

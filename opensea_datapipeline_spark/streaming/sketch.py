@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 from ..operators.sketches import _HEX15_SPAN, _h15
 from ..sources.readers import ensure_reader_confs, normalize_event_time
 from .gold import _read_meta, _recover_meta, _write_meta
+from .lifecycle import writer_lock
 
 
 def batch_bottom_k(df: DataFrame, key_col: str, k: int, salt: str) -> DataFrame:
@@ -97,6 +98,7 @@ def run_streaming_kmv(
     stream = normalize_event_time(stream)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lock.refresh()  # heartbeat at batch granularity
         meta = _read_meta(state_dir)
         if not meta:
             # meta lost but committed versions exist: gold-table recovery
@@ -126,13 +128,16 @@ def run_streaming_kmv(
             state_dir, {"last_batch_id": batch_id, "version_dir": out}
         )
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # single-writer latch (r16 — see lifecycle.writer_lock)
+    lock = writer_lock(state_dir, "kmv stream")
+    with lock:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     meta = _read_meta(state_dir) or {}
     base = meta.get("version_dir")
     if base is None:  # no batches ever merged
@@ -201,6 +206,7 @@ def run_streaming_ddsketch(
     stream = normalize_event_time(stream)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lock.refresh()  # heartbeat at batch granularity
         meta = _read_meta(state_dir)
         if not meta:
             meta = _recover_meta(state_dir)
@@ -229,13 +235,16 @@ def run_streaming_ddsketch(
             state_dir, {"last_batch_id": batch_id, "version_dir": out}
         )
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # single-writer latch (r16 — see lifecycle.writer_lock)
+    lock = writer_lock(state_dir, "ddsketch stream")
+    with lock:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     meta = _read_meta(state_dir) or {}
     base = meta.get("version_dir")
     if base is None:  # no batches ever merged

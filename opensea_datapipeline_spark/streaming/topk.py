@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import ensure_reader_confs, normalize_event_time
 from .gold import _read_meta, _write_meta, latest_committed_batch
+from .lifecycle import writer_lock
 
 STATE_COLS = ["key", "cnt"]
 _EPS_SIDECAR = "_eps.json"
@@ -164,6 +165,7 @@ def run_streaming_topk(
     stream = normalize_event_time(stream)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lock.refresh()  # heartbeat at batch granularity
         meta = _read_meta(state_dir)
         if not meta:
             # meta lost but committed versions exist: recover the base
@@ -223,13 +225,18 @@ def run_streaming_topk(
             {"last_batch_id": batch_id, "version_dir": out, "eps": eps},
         )
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # single-writer latch (r16 — see lifecycle.writer_lock): a second
+    # loop on this state dir would interleave version swaps and meta
+    # writes
+    lock = writer_lock(state_dir, "topk stream")
+    with lock:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     meta = _read_meta(state_dir) or _recover_meta(state_dir)
     base = meta.get("version_dir")
     eps = int(meta.get("eps", 0))

@@ -227,3 +227,113 @@ def test_corpus_dedup_fails_loud_when_no_pin_recoverable(spark, tmp_path):
             spark, src, state, str(tmp_path / "ckpt2"),
             num_hashes=8, band_size=2, jaccard_threshold=0.5,
         )
+
+
+# ---------------------------------------------------------------------------
+# single-writer latch on streaming state dirs (r16 probe: dual-writer
+# interleave left the corpus store with 500 rows / 400 distinct ids)
+# ---------------------------------------------------------------------------
+
+def test_writer_lock_excludes_live_concurrent_writer(spark, tmp_path):
+    # Loop A holds its state dir (parked inside on_batch); loop B
+    # started against the SAME state dir must be refused loudly instead
+    # of interleaving appends with A.
+    import threading
+
+    from opensea_datapipeline_spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    src = _seed_corpus(spark, tmp_path)
+    state = str(tmp_path / "state")
+    started, release = threading.Event(), threading.Event()
+    a_result = {}
+
+    def hold(batch_id, wall_s):
+        started.set()
+        release.wait(timeout=120)
+
+    def run_a():
+        a_result["n"] = run_streaming_corpus_dedup(
+            spark, src, state, str(tmp_path / "ckptA"), on_batch=hold
+        ).count()
+
+    t = threading.Thread(target=run_a)
+    t.start()
+    assert started.wait(timeout=120)
+    try:
+        with pytest.raises(RuntimeError, match="live writer"):
+            run_streaming_corpus_dedup(
+                spark, src, state, str(tmp_path / "ckptB")
+            )
+    finally:
+        release.set()
+        t.join(timeout=180)
+    assert a_result["n"] == 2  # A completed; store uncorrupted
+    # the latch is released after A's clean exit — a sequential
+    # restart (the normal pattern) proceeds
+    out = run_streaming_corpus_dedup(
+        spark, src, state, str(tmp_path / "ckptC")
+    )
+    assert out.count() == 2
+    assert not os.path.exists(os.path.join(state, "_writer_lock.json"))
+
+
+def test_writer_lock_dead_pid_broken_immediately(tmp_path):
+    # A crashed same-host holder (pid gone) must not brick restarts —
+    # the latch is broken on sight, no staleness wait.
+    import socket
+    import subprocess
+    import time
+
+    from opensea_datapipeline_spark.streaming.lifecycle import writer_lock
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # pid now dead (not reaped by us -> but wait() reaps)
+    with open(os.path.join(state, "_writer_lock.json"), "w") as f:
+        json.dump({"pid": proc.pid, "host": socket.gethostname(),
+                   "loop": "crashed loop", "heartbeat": time.time()}, f)
+    with writer_lock(state, "probe") as lk:
+        with open(os.path.join(state, "_writer_lock.json")) as f:
+            assert json.load(f)["pid"] == os.getpid()
+        lk.refresh()
+    assert not os.path.exists(os.path.join(state, "_writer_lock.json"))
+
+
+def test_writer_lock_foreign_host_honors_staleness(tmp_path):
+    # A holder on another host can't be pid-probed: a FRESH heartbeat
+    # is refused, a stale one is broken.
+    import time
+
+    from opensea_datapipeline_spark.streaming.lifecycle import writer_lock
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    lock_path = os.path.join(state, "_writer_lock.json")
+    with open(lock_path, "w") as f:
+        json.dump({"pid": 12345, "host": "some-other-host",
+                   "loop": "remote loop", "heartbeat": time.time()}, f)
+    with pytest.raises(RuntimeError, match="live writer"):
+        writer_lock(state, "probe").__enter__()
+    with open(lock_path, "w") as f:
+        json.dump({"pid": 12345, "host": "some-other-host",
+                   "loop": "remote loop",
+                   "heartbeat": time.time() - 4000}, f)
+    with writer_lock(state, "probe", stale_after_s=1800.0):
+        with open(lock_path) as f:
+            assert json.load(f)["pid"] == os.getpid()
+
+
+def test_writer_lock_torn_lock_file_is_breakable(tmp_path):
+    # A 0-byte / garbage lock file (crash between create and payload
+    # write) is debris, not a holder.
+    from opensea_datapipeline_spark.streaming.lifecycle import writer_lock
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    open(os.path.join(state, "_writer_lock.json"), "w").close()
+    with writer_lock(state, "probe"):
+        pass
+    assert not os.path.exists(os.path.join(state, "_writer_lock.json"))
