@@ -92,14 +92,46 @@ def minhash_signatures(
     """
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
-    words = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("shingle")
+    # r16: the shingle set is already a per-row array, so the per-doc
+    # minimum is a higher-order-function projection — array_min over
+    # transform — not an explode → groupBy(min) aggregation. The old
+    # form shuffled the exploded shingle table and, because min(<string>)
+    # has a non-mutable agg buffer, planned SortAggregate with a full
+    # Sort on BOTH sides of the exchange. This form is ZERO-shuffle
+    # whole-stage codegen: each document's signature is computed where
+    # the document is read (plan: Scan → Project, no Exchange), which is
+    # the first-principles floor for a row-local computation. Values are
+    # identical (same md5 family, same min); the row set is identical
+    # (explode emitted no rows exactly for null text — split/distinct
+    # never yield an empty array otherwise — matching the isNotNull
+    # filter here).
+    # One array traversal computes all num_hashes minima: fold the
+    # shingle array with least() per hash slot (least skips the NULL
+    # init, so the first shingle's hashes seed the accumulator — same
+    # value as min over the exploded set, which also ignores nothing
+    # here: md5 of a non-null string is never null). The three selects
+    # are deliberate barriers: shingling, the fold, and the slot
+    # extraction each reference the previous stage's column more than
+    # once or expensively, and CollapseProject keeps non-cheap
+    # expressions staged instead of inlining them per reference
+    # (measured: inlining the shingle chain into each of 8 transforms
+    # cost 1.6x).
+    init = "array(" + ",".join("CAST(NULL AS STRING)" for _ in range(num_hashes)) + ")"
+    merge = "array(" + ",".join(
+        f"least(acc[{i}], md5(concat('{i}_', s)))" for i in range(num_hashes)
+    ) + ")"
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.array_distinct(_words(text_col)).alias("_wa"))
+        .select(
+            F.col(id_col),
+            F.expr(f"aggregate(_wa, {init}, (acc, s) -> {merge})").alias("_sigs"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col("_sigs")[i].alias(f"sig_{i}") for i in range(num_hashes)],
+        )
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return words.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_table(
@@ -126,19 +158,27 @@ def minhash_band_table(
         )
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     n_bands = num_hashes // band_size
-    band_rows = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-        band_rows.append(
-            sigs.select(
-                F.col(id_col).alias("id"),
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("band_key"),
-            )
+    # r16: single-pass explode instead of a union of n_bands selects. The
+    # union form re-planned the whole scan→explode→min-agg signature
+    # pipeline once PER BAND (each branch projected different sig columns,
+    # so Spark could not reuse the exchange) — n_bands full corpus scans
+    # and shuffles where one suffices. Exploding an inline array of
+    # (band, band_key) structs emits the identical row set from ONE
+    # signature aggregation, and makes the band-table subtree canonical so
+    # self-joins downstream hit ReuseExchange.
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)],
+            ).alias("band_key"),
         )
-    import functools
-
-    return functools.reduce(lambda a, b: a.unionByName(b), band_rows)
+        for b in range(n_bands)
+    ])
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("_bb")
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.band_key").alias("band_key"))
 
 
 def minhash_lsh_pairs(

@@ -45,6 +45,19 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # Broadcast threshold: default 10 MB is right for the dimension tables
     # here; AQE can upgrade larger ones at runtime.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # ObjectHashAggregate degrades to SORT-BASED aggregation after only
+    # 128 distinct groups per task (the default fallback threshold,
+    # sized for giant collect_list buffers). The engine's typed
+    # imperative aggregates keep doc-bounded per-group state (the
+    # collect_list(struct(pos, ids)) rebuilds in the BPE/encode family,
+    # the neighbor-window collects), so per-task hash maps of tens of
+    # thousands of groups are far cheaper than sorting the
+    # pre-aggregation stream (r16). Memory bound: threshold × per-group
+    # buffer per task; 64k × ~1 KB ≈ 64 MB worst case, inside executor
+    # execution memory at any scale. Override via
+    # SPARK_GRAFT_OBJ_AGG_FALLBACK on memory-tight clusters.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
+        os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"),
     # local-mode shuffle sizing; AQE coalesces down when partitions are tiny.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # Quieter local runs.
