@@ -1396,9 +1396,21 @@ def bpe_train(
     )
     if driver_gate > 0 and state.count() <= driver_gate:
         rows = [(r["s"], r["cnt"]) for r in state.collect()]
-        return spark.createDataFrame(
-            _bpe_train_driver_loop(rows, n_merges, min_count), mschema
-        )
+        mrows = _bpe_train_driver_loop(rows, n_merges, min_count)
+        mdf = spark.createDataFrame(mrows, mschema)
+        # rows already live on the driver — let bpe_encode skip the
+        # py4j collect round-trip (see the _bpe_local_rows note there)
+        mdf._bpe_local_rows = [
+            {
+                "merge_rank": m[0],
+                "left_sym": m[1],
+                "right_sym": m[2],
+                "merged": m[3],
+                "n": m[4],
+            }
+            for m in mrows
+        ]
+        return mdf
     merges: list[tuple[int, str, str, str, int]] = []
     for k in range(1, n_merges + 1):
         pairs = (
@@ -1434,7 +1446,18 @@ def bpe_train(
             # release the superseded checkpoint's blocks now (pagerank
             # discipline: late iterations otherwise pay 2x)
             gc.collect()
-    return spark.createDataFrame(merges, mschema)
+    mdf = spark.createDataFrame(merges, mschema)
+    mdf._bpe_local_rows = [
+        {
+            "merge_rank": m[0],
+            "left_sym": m[1],
+            "right_sym": m[2],
+            "merged": m[3],
+            "n": m[4],
+        }
+        for m in merges
+    ]
+    return mdf
 
 
 def bpe_apply_merges(
@@ -1489,6 +1512,15 @@ def bpe_apply_merges_staged(
     CLIP tokenizer) would build an expression tree Catalyst cannot
     compile. This applies the SAME ordered replaces in stages of
     ``stage_size``, with an eager localCheckpoint between stages.
+
+    SUPERSEDED as the routed mid-band path (r16) by
+    ``bpe_apply_merges_fold``: the per-stage plan/optimize/codegen
+    cost is fixed driver overhead (~245 ms/stage measured at a 31-row
+    word table) and each inter-stage checkpoint is a full
+    materialization of the word table, while the fold applies the
+    same chain as one constant-size runtime expression. Kept as an
+    explicit ``merge_applier="staged"`` option and as the reference
+    implementation the fold is equality-tested against.
 
     The checkpoint is load-bearing, not an optimization: Catalyst's
     CollapseProject folds consecutive projections back into one, so a
@@ -1574,6 +1606,59 @@ def _bpe_replace_chain_sql(col_name: str, merge_rows: list) -> str:
     return e
 
 
+def bpe_apply_merges_fold(
+    words: DataFrame,
+    merge_rows: list,
+    *,
+    word_col: str = "w",
+    marker: str | None = None,
+) -> DataFrame:
+    """The JVM-only production-depth merge applier (r16): fold the
+    rendered symbol string over a BROADCAST array of (find, repl)
+    pairs — ``aggregate(_marr, _s, (acc, m) -> replace(acc, m.f,
+    m.r))`` — one constant-size projection at ANY merge depth.
+
+    This replaces ``bpe_apply_merges_staged`` as the mid-band default:
+    the staged form exists only because a 2048-deep nested replace()
+    tree cannot compile, and its per-stage plan/optimize/codegen cost
+    is FIXED driver overhead — measured 3.93 s for 16 stages over a
+    31-row word table (~245 ms/stage of pure compilation; the data
+    work is microseconds). The fold moves the merge chain from
+    COMPILE-TIME unrolling to a RUNTIME loop over an array column:
+    plan size is constant in merge count, there are no checkpoints (the
+    staged form materializes the word table once per stage — at 32k
+    merges that is 125 extra writes of the vocabulary), and no ANTLR /
+    JVM-stack depth ceiling exists because the merge table is DATA
+    (one broadcast row), not code. Measured (noop sink, quiet box):
+    31 words x 2048 merges 0.46 s vs staged-128 3.93 s; 20k words
+    2.95 s vs staged-256 5.05 s; 100k words 4.37 s vs 6.36 s. The
+    Arrow applier stays ~25-40% faster at depth >= 2048 on real vocab
+    tables (vectorized pandas replace vs per-element interpreted HOF),
+    so "auto" still hands production depth to arrow; the fold owns the
+    JVM-only mid band. Output identical by construction (same ordered
+    replaces; pinned by the applier-equality tests and the shared
+    recursive-CTE oracle)."""
+    pairs = [
+        (
+            " " + m["left_sym"] + _BPE_US + " " + m["right_sym"] + _BPE_US,
+            " " + m["left_sym"] + m["right_sym"] + _BPE_US,
+        )
+        for m in merge_rows
+    ]
+    marr = words.sparkSession.createDataFrame(
+        [(pairs,)], "_marr array<struct<f:string,r:string>>"
+    )
+    rendered = words.select(
+        word_col, _bpe_render_word(F.col(word_col), marker).alias("_s")
+    )
+    return rendered.join(F.broadcast(marr)).select(
+        word_col,
+        _bpe_parse_syms(
+            F.expr("aggregate(_marr, _s, (acc, m) -> replace(acc, m.f, m.r))")
+        ).alias("syms"),
+    )
+
+
 def bpe_apply_merges_arrow(
     words: DataFrame,
     merge_rows: list,
@@ -1627,17 +1712,18 @@ def bpe_apply_merges_arrow(
     )
 
 
-# Measured staged→arrow crossover in MERGE COUNT (VERDICT r12 #4;
-# scripts/scaling_bpe.py --crossover, warm, raw legs in
-# SCALING_RUN_r13.json): at 2048 merges the Arrow applier already wins
-# ~2× at BOTH word scales (20k words: 1.6 s vs 3.4 s; 100k words:
-# 2.8 s vs 5.6 s) and the gap widens with depth (8192: 8.0 s vs
-# 21.9 s at 100k words; 32k regime: 28.1 s vs 62.8 s, r12) — staged's
-# per-stage plan/optimize/codegen cost is fixed per stage while
-# arrow's replaces are vectorized. Below ~8 stages the two are within
-# ~2 s of each other, so the JVM-only staged path keeps the mid band
-# (no Python workers at modest vocabulary sizes) and "auto" switches
-# to arrow past this depth.
+# Measured JVM→arrow crossover in MERGE COUNT. r12 measured staged vs
+# arrow (arrow ~2× ahead from 2048 up; 32k regime: 28.1 s vs 62.8 s —
+# staged's per-stage plan/codegen cost is fixed per stage). r16
+# replaced the mid-band JVM path with the broadcast-array fold and
+# re-measured (noop sink, quiet box): at 2048 merges arrow still wins
+# but by ~25-40%, not 2× (20k words: 1.68 s vs fold 2.95 s; 100k:
+# 3.89 s vs 4.37 s), and the gap grows with depth (8192 at 100k
+# words: 10.2 s vs 14.4 s) — the fold's per-element interpreted HOF
+# step loses to pandas' vectorized replace once the word table is
+# real. The JVM-only fold keeps the mid band (no Python workers at
+# modest vocabulary sizes) and "auto" switches to arrow past this
+# depth.
 _BPE_ARROW_CROSSOVER = 2048
 
 
@@ -1647,12 +1733,13 @@ def _bpe_auto_applier(w, m, marker, stage_size):
         # what Catalyst/codegen compile
         return bpe_apply_merges(w, m, marker=marker)
     if len(m) <= _BPE_ARROW_CROSSOVER:
-        # mid band: JVM-only exact path, within ~2 s of arrow
-        return bpe_apply_merges_staged(
-            w, m, marker=marker, stage_size=stage_size
-        )
-    # production depth: the Arrow serving applier wins ≥2× (measured,
-    # see _BPE_ARROW_CROSSOVER) and the win grows with merge count
+        # mid band: JVM-only exact path — the broadcast-array fold
+        # (r16; replaces staged, whose per-stage plan/codegen cost it
+        # eliminates: see bpe_apply_merges_fold for the measurements)
+        return bpe_apply_merges_fold(w, m, marker=marker)
+    # production depth: the Arrow serving applier wins ~25-40% vs the
+    # fold at real vocab sizes (measured, see _BPE_ARROW_CROSSOVER)
+    # and the win grows with merge count
     return bpe_apply_merges_arrow(w, m, marker=marker)
 
 
@@ -1663,14 +1750,18 @@ _BPE_APPLIERS = {
     "staged": lambda w, m, marker, stage_size: bpe_apply_merges_staged(
         w, m, marker=marker, stage_size=stage_size
     ),
+    "fold": lambda w, m, marker, stage_size: bpe_apply_merges_fold(
+        w, m, marker=marker
+    ),
     "arrow": lambda w, m, marker, stage_size: bpe_apply_merges_arrow(
         w, m, marker=marker
     ),
     # the default: project while the single projection compiles (one
-    # stage's worth of replaces), staged through the JVM-only mid band,
-    # arrow past the measured crossover — so the DEFAULT path extends
-    # to a production 32k-merge vocabulary at the measured-best cost
-    # instead of riding staged's fixed per-stage plan cost (r12 #4)
+    # stage's worth of replaces), the broadcast-array fold through the
+    # JVM-only mid band (r16 — constant plan size, no per-stage
+    # codegen), arrow past the measured crossover — so the DEFAULT
+    # path extends to a production 32k-merge vocabulary at the
+    # measured-best cost
     "auto": _bpe_auto_applier,
 }
 
@@ -1743,10 +1834,26 @@ def bpe_encode(
     n_syms, ids_str) — ids_str space-joined per the FIXTURES array
     rule, ordered by (word position, symbol position).
     """
-    merge_rows = [
-        r.asDict()
-        for r in merges.orderBy("merge_rank").collect()
-    ]
+    # Bounded-table collect discipline (r16): merge tables are bounded
+    # (they ARE the vocabulary). Producers that already hold the rows
+    # on the driver (bpe_grid_merge_table, bpe_train's gated loop)
+    # attach them as ``_bpe_local_rows`` — reading that skips a py4j
+    # round-trip that measured ~0.3 s at 2048 rows. Otherwise collect
+    # UNORDERED and sort on the driver: .orderBy before .collect plans
+    # a range-partitioned sort — a sampling job plus a sort job
+    # (measured 0.57 s on a 2048-row LOCAL relation) to order rows the
+    # driver sorts in microseconds.
+    local_rows = getattr(merges, "_bpe_local_rows", None)
+    if local_rows is not None:
+        merge_rows = sorted(
+            (dict(m) for m in local_rows),
+            key=lambda m: m["merge_rank"],
+        )
+    else:
+        merge_rows = sorted(
+            (r.asDict() for r in merges.collect()),
+            key=lambda m: m["merge_rank"],
+        )
     keep = (F.length("w") >= 1) & (~F.col("w").contains(_BPE_US))
     if marker is not None:
         keep = keep & (~F.col("w").contains(marker))
@@ -1764,21 +1871,46 @@ def bpe_encode(
             f"one of {sorted(_BPE_APPLIERS)}"
         )
     seg = _BPE_APPLIERS[merge_applier](words, merge_rows, marker, stage_size)
-    base = (
-        alphabet
-        if alphabet is not None
-        else words.select(
-            F.explode(
-                _bpe_parse_syms(_bpe_render_word(F.col("w"), marker))
-            ).alias("sym")
-        ).distinct()
+    # The vocabulary is built ON THE DRIVER (r16): both inputs are
+    # bounded — the alphabet by charset size (collected here; one tiny
+    # job over the checkpointed word table, or over the caller's
+    # alphabet DF), the merge table already collected above — so the
+    # former bpe_vocab(...).localCheckpoint(eager) path paid two extra
+    # driver-synchronous jobs (the alpha count inside bpe_vocab and
+    # the checkpoint materialization) plus a rank window to compute a
+    # dict the driver builds in microseconds. Same ids by
+    # construction: base symbols sorted asc get 0..A-1 (Python sorted
+    # == UTF8String binary order, the _bpe_train_driver_loop parity
+    # argument), merge k's output gets A+k-1, duplicate syms keep the
+    # LOWEST id (alpha beats merges; earlier rank beats later — the
+    # ADVICE r11 min-id dedupe). The local relation also keeps the
+    # final plan free of the vocab's lineage (the r11 .explain-audit
+    # lesson: 6 parquet scans -> 1), which the checkpoint previously
+    # guaranteed.
+    if alphabet is not None:
+        base_syms = [
+            r["sym"] for r in alphabet.select("sym").distinct().collect()
+        ]
+    else:
+        base_syms = [
+            r["sym"]
+            for r in words.select(
+                F.explode(
+                    _bpe_parse_syms(_bpe_render_word(F.col("w"), marker))
+                ).alias("sym")
+            )
+            .distinct()
+            .collect()
+        ]
+    vocab_ids: dict[str, int] = {
+        s: i for i, s in enumerate(sorted(base_syms))
+    }
+    n_alpha = len(vocab_ids)
+    for m in merge_rows:
+        vocab_ids.setdefault(m["merged"], n_alpha + int(m["merge_rank"]) - 1)
+    vocab = docs.sparkSession.createDataFrame(
+        list(vocab_ids.items()), "sym string, id long"
     )
-    # pinned: the vocab is bounded (alphabet + merge table) but its
-    # LINEAGE may not be — a constructed merge table (bpe_grid_merge_
-    # table) or a corpus-derived alphabet would otherwise re-run its
-    # corpus scan inside the final plan (the r11 .explain-audit lesson,
-    # re-caught here for the staged_2k shape: 6 parquet scans -> 1)
-    vocab = bpe_vocab(base, merges).localCheckpoint(eager=True)
     wid = (
         seg.select("w", F.posexplode("syms").alias("spos", "sym"))
         .join(F.broadcast(vocab), "sym", "left")
@@ -1798,8 +1930,20 @@ def bpe_encode(
             "_n_syms",
         )
     )
+    # Scale-adaptive build side for the token join (r16): the planner's
+    # size estimate for wid (post-explode, post-agg, checkpoint-rooted)
+    # is garbage, and it was observed picking BuildLeft — collecting
+    # and BROADCASTING the 270k-row corpus TOKEN stream to probe it
+    # with 31 words. When the materialized word table is provably small
+    # (one metadata-cheap count over the eager checkpoint), pin wid as
+    # the broadcast side; past the gate (a web-scale distinct-word
+    # table — 100M+ rows, far over any broadcast budget) leave the
+    # planner on the shuffle join the docstring's skew note assumes.
+    # Gate: 2M words x ~100 B/row (word + ids array) ≈ 200 MB built
+    # relation — inside executor memory at any deployment size.
+    wid_side = F.broadcast(wid) if words.count() <= 2_000_000 else wid
     return (
-        tok.join(wid, "w")
+        tok.join(wid_side, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1876,96 +2020,72 @@ def bpe_grid_merge_table(
     extends chunks where its adjacencies survive — real per-merge work
     for the appliers, exactly replayable in SQL.
 
-    Candidate production is O(max_merges), never O(|A|³): the kept
-    merges are a PREFIX of the (tier, i1, i2, i3) order, so the
-    leading-index ranges that can contribute are computable from the
-    alphabet size alone (one bounded count) and the cross joins are
-    pre-pruned to them — a 5,000-char CJK alphabet at max_merges=32k
-    produces ~35k pair candidates instead of the naive 1.25e11 triples
-    (pairs alone cover the cap whenever |A|² ≥ max_merges; the triple
-    tier only exists for |A| < √max_merges, where its pruned size is
-    ≤ max_merges + |A|²). The rank window then runs over the
-    ≤ ~2·max_merges survivor table. Returns the bpe_train schema
+    The grid is built ON THE DRIVER from the collected alphabet (r16):
+    both inputs are bounded — the alphabet by charset size, the output
+    by ``max_merges`` (the 32k regime at most) — so the former
+    crossJoin + rank-window Spark pipeline was pure scheduling
+    overhead: an eager checkpoint, a count and a windowed collect
+    (3 driver-synchronous jobs) to enumerate a list the driver can
+    produce in microseconds. One job remains (collecting the
+    alphabet, the only part that reads the corpus); emission order is
+    the identical (tier, i1, i2, i3) prefix — pairs in (i1, i2) order,
+    then triples — with aid = 1-based rank of the symbol in UTF8
+    binary ascending order (Python ``sorted`` compares by code point,
+    which equals UTF8String's byte order — the _bpe_train_driver_loop
+    parity argument). Candidate production is O(max_merges), never
+    O(|A|³): iteration stops at the cap. Returns the bpe_train schema
     (merge_rank, left_sym, right_sym, merged, n) with n = 0 (no
     training count exists for a constructed merge).
     """
-    import math
-
-    from pyspark.sql import Window
-
-    a = (
-        bpe_alphabet(docs, text_col=text_col, marker=marker)
-        .withColumn(
-            "aid",
-            F.row_number().over(Window.orderBy(F.col("sym").asc())),
-        )
-        # bounded (charset-sized) and read 2-5 times below
-        .localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    schema = (
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, n long"
     )
-    n_alpha = a.count()  # bounded: alphabet size
-    if n_alpha == 0:
-        return docs.sparkSession.createDataFrame(
-            [],
-            "merge_rank long, left_sym string, right_sym string,"
-            " merged string, n long",
-        )
-
-    def al(name: str, max_i1: "int | None" = None) -> DataFrame:
-        src = a if max_i1 is None else a.filter(F.col("aid") <= max_i1)
-        return src.select(
-            F.col("sym").alias(f"s{name}"), F.col("aid").alias(f"i{name}")
-        )
-
-    # prefix-safe leading-index caps: the first p_need pairs in (i1,i2)
-    # order all have i1 <= ceil(p_need/|A|); same arithmetic per tier
-    p_need = min(max_merges, n_alpha * n_alpha)
-    k1_pairs = math.ceil(p_need / n_alpha)
-    pairs = (
-        al("1", k1_pairs)
-        .crossJoin(al("2"))
-        .select(
-            F.lit(0).alias("tier"),
-            F.col("i1"),
-            F.col("i2"),
-            F.lit(0).alias("i3"),
-            F.col("s1").alias("left_sym"),
-            F.col("s2").alias("right_sym"),
-            F.concat("s1", "s2").alias("merged"),
-        )
+    alpha = sorted(
+        r["sym"]
+        for r in bpe_alphabet(
+            docs, text_col=text_col, marker=marker
+        ).collect()
     )
-    t_need = max(0, max_merges - n_alpha * n_alpha)
-    if t_need > 0:
-        k1_triples = math.ceil(t_need / (n_alpha * n_alpha))
-        triples = (
-            al("1", k1_triples)
-            .crossJoin(al("2"))
-            .crossJoin(al("3"))
-            .select(
-                F.lit(1).alias("tier"),
-                F.col("i1"),
-                F.col("i2"),
-                F.col("i3"),
-                F.concat("s1", "s2").alias("left_sym"),
-                F.col("s3").alias("right_sym"),
-                F.concat("s1", "s2", "s3").alias("merged"),
-            )
-        )
-        cand = pairs.unionByName(triples)
-    else:
-        cand = pairs
-    ranked = cand.withColumn(
-        "merge_rank",
-        F.row_number()
-        .over(Window.orderBy("tier", "i1", "i2", "i3"))
-        .cast("long"),
-    )
-    return ranked.filter(F.col("merge_rank") <= max_merges).select(
-        "merge_rank",
-        "left_sym",
-        "right_sym",
-        "merged",
-        F.lit(0).cast("long").alias("n"),
-    )
+    if not alpha:
+        return spark.createDataFrame([], schema)
+    rows: list[tuple[int, str, str, str, int]] = []
+    rank = 0
+    for s1 in alpha:
+        for s2 in alpha:
+            if rank >= max_merges:
+                break
+            rank += 1
+            rows.append((rank, s1, s2, s1 + s2, 0))
+        if rank >= max_merges:
+            break
+    if rank < max_merges:
+        for s1 in alpha:
+            for s2 in alpha:
+                for s3 in alpha:
+                    if rank >= max_merges:
+                        break
+                    rank += 1
+                    rows.append((rank, s1 + s2, s3, s1 + s2 + s3, 0))
+                if rank >= max_merges:
+                    break
+            if rank >= max_merges:
+                break
+    mt = spark.createDataFrame(rows, schema)
+    # the rows already live on the driver — let bpe_encode skip the
+    # py4j collect round-trip (see the _bpe_local_rows note there)
+    mt._bpe_local_rows = [
+        {
+            "merge_rank": r[0],
+            "left_sym": r[1],
+            "right_sym": r[2],
+            "merged": r[3],
+            "n": r[4],
+        }
+        for r in rows
+    ]
+    return mt
 
 
 # Fingerprint format version written to artifact meta. v1 (pre-r13,

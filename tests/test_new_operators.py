@@ -3207,10 +3207,12 @@ def test_bpe_encode_auto_applier_switches_to_staged(spark):
             for r in bpe_encode(docs, mt, **kw).collect()
         )
 
-    # stage_size 8 < 30 merges -> auto goes staged; both equal project
+    # stage_size 8 < 30 merges -> auto goes to the fold (r16); every
+    # applier equals the single-projection reference
     want = rows(merge_applier="project")
     assert rows(merge_applier="auto", stage_size=8) == want
     assert rows(merge_applier="staged", stage_size=8) == want
+    assert rows(merge_applier="fold") == want
 
 
 def test_band_table_reappend_idempotent(spark, tmp_path):

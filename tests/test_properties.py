@@ -646,6 +646,7 @@ def test_staged_applier_survives_hostile_symbols(spark, merges, words):
     from opensea_datapipeline_spark.operators.text import (
         bpe_apply_merges,
         bpe_apply_merges_arrow,
+        bpe_apply_merges_fold,
         bpe_apply_merges_staged,
     )
 
@@ -665,8 +666,15 @@ def test_staged_applier_survives_hostile_symbols(spark, merges, words):
         r.w: r.syms
         for r in bpe_apply_merges_arrow(wdf, rows).collect()
     }
+    # r16: the fold ships symbols as broadcast DATA (no SQL literals at
+    # all), but must still segment hostile symbols identically
+    fold = {
+        r.w: r.syms
+        for r in bpe_apply_merges_fold(wdf, rows).collect()
+    }
     assert staged == base
     assert arrow == base
+    assert fold == base
 
 
 # Hostile alphabet for the tokenizer chain: ASCII, whitespace that Java

@@ -228,8 +228,8 @@ def test_bpe_auto_router_picks_measured_applier(monkeypatch):
         lambda w, m, marker=None: picked.append("project"),
     )
     monkeypatch.setattr(
-        tx, "bpe_apply_merges_staged",
-        lambda w, m, marker=None, stage_size=256: picked.append("staged"),
+        tx, "bpe_apply_merges_fold",
+        lambda w, m, marker=None: picked.append("fold"),
     )
     monkeypatch.setattr(
         tx, "bpe_apply_merges_arrow",
@@ -240,7 +240,9 @@ def test_bpe_auto_router_picks_measured_applier(monkeypatch):
     auto(None, [{}] * 257, None, 256)
     auto(None, [{}] * tx._BPE_ARROW_CROSSOVER, None, 256)
     auto(None, [{}] * (tx._BPE_ARROW_CROSSOVER + 1), None, 256)
-    assert picked == ["project", "staged", "staged", "arrow"]
+    # r16: the broadcast-array fold owns the JVM-only mid band the
+    # staged applier used to hold (same replaces, constant plan size)
+    assert picked == ["project", "fold", "fold", "arrow"]
 
 
 def test_incremental_groups_small_and_distributed_paths_agree(spark):
