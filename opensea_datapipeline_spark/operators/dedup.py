@@ -286,7 +286,20 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     )
-    cand = cross_cand.unionByName(intra_cand).distinct()
+    # Pin the candidate set ONCE (r16): cand feeds the output rows,
+    # the id_a wordset join, the id_b wordset join AND (through old_ws)
+    # the candidate-pruning semi-join — four references that each
+    # re-planned the whole shard-shingle → band-join → distinct
+    # pipeline (the probe query's before-plan was 171 operators with
+    # the new-bands subtree planned 4x). The pin is shard-proportional
+    # by the operator's own cost argument (candidates ∝ batch, never
+    # corpus); streaming callers release the blocks per batch via their
+    # existing gc discipline.
+    cand = (
+        cross_cand.unionByName(intra_cand)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # verification word sets: new docs always; old docs ONLY where a
     # candidate touches them (semi-join first => candidate-pruned scan)
     new_ws = new_docs.select(
@@ -307,7 +320,12 @@ def minhash_lsh_pairs_incremental(
             F.array_distinct(_words(text_col)).alias("wordset"),
         )
     )
-    ws = new_ws.unionByName(old_ws)
+    # same duplication argument for the wordsets: ws is joined on both
+    # pair sides; unpinned, each side re-ran the new-docs shingle scan
+    # and the candidate-pruned old-corpus scan. Rows ∝ shard +
+    # candidate-touched old docs — the bounded set the docstring's
+    # scale story already commits to materializing.
+    ws = new_ws.unionByName(old_ws).localCheckpoint(eager=True)
     return (
         cand.join(
             ws.select(F.col("_id").alias("id_a"), F.col("wordset").alias("wa")),

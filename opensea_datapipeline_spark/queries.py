@@ -3634,7 +3634,13 @@ def q_neighbor_peer_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a neighbor map. Neighbor map here is the deterministic ±1 ring over
     # user ids (stands in for the KNN map, which is itself q knn_topk).
     events = _t(spark, sf_dir, "events")
-    users = events.select("user_id").distinct()
+    # pinned (r16): the distinct-user table feeds the two shifted
+    # branches AND the existence semi-join — unpinned, the before-plan
+    # ran the events scan + distinct aggregation three times (plan
+    # operators 5-9 / 17-21 duplicated). The pin is user-cardinality
+    # bounded (ids only) — the same table any materialized neighbor
+    # map is built from.
+    users = events.select("user_id").distinct().localCheckpoint(eager=True)
     shifted = users.select(
         "user_id", (F.col("user_id") + 1).alias("neighbor_id")
     ).unionByName(
@@ -5098,7 +5104,18 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = tx.contamination_flags(
         ranked.filter("in_train"), eval_set, n=5
     ).select("doc_id", F.lit(1).alias("is_contam"))
-    staged = ranked.join(flagged, "doc_id", "left")
+    # Pinned WITHOUT text (r16): staged feeds both the audit aggregate
+    # and the packing branch — unpinned, the whole quality → dedup
+    # window → contamination join pipeline planned (and shuffled)
+    # twice. The pin carries only the per-doc decision columns (the
+    # guide-§8 proxy-rows discipline: ids, counts, flags — never the
+    # payload), so the materialization is rows × ~40 bytes while both
+    # consumers read it for free.
+    staged = (
+        ranked.join(flagged, "doc_id", "left")
+        .select("doc_id", "n_words", "rn", "in_train", "is_contam")
+        .localCheckpoint(eager=True)
+    )
     kept = F.col("in_train") & F.col("is_contam").isNull()
     audit = staged.agg(
         F.count(F.lit(1)).alias("n_quality"),
