@@ -793,13 +793,21 @@ GROUP BY 1, 2
 )
 def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3 shape: 3-way join; customer is small → Catalyst broadcasts
-    # it, lineitem⨝orders shuffles on the order key.
+    # it. The lineitem join is pinned to sort-merge (r16): lineitem is
+    # the FACT table, but at bench scale its 3-column projection
+    # estimates under the broadcast threshold and the planner was
+    # observed broadcasting it — collecting the biggest table in the
+    # query to the driver (measured 3.7 s vs 1.0 s same-session). A
+    # fact-fact equi-join on the order key shuffles both sides at any
+    # real scale; the hint makes the strategy deliberate instead of
+    # estimate-dependent (guide §3.1; merge beat shuffle_hash 1.04 s
+    # vs 1.37 s here).
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
         .groupBy(
             "c_mktsegment", F.year("o_orderdate").cast("long").alias("order_year")
         )
@@ -3789,7 +3797,10 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        # merge-pinned (r16): same small-SF estimate pathology as
+        # segment_revenue — the planner broadcast LINEITEM into the
+        # c⨝o stream; the fact-fact join shuffles at any real scale
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -3932,7 +3943,12 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        # merge-pinned (r16): the planner's small-SF estimate broadcast
+        # LINEITEM here (the fact table — same pathology as
+        # segment_revenue); a fact-fact join on the order key is a
+        # shuffle join at any real scale, and AQE still upgrades it at
+        # runtime when the filtered build side is genuinely tiny
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
         .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
         .groupBy(
             "c_name", "o_orderkey",
