@@ -158,6 +158,7 @@ def run_production_depth_leg(spark, docs, depth):
     is the documented non-option this leg exists to replace."""
     from opensea_datapipeline_spark.operators.text import (
         bpe_apply_merges_arrow,
+        bpe_apply_merges_fold,
         bpe_apply_merges_staged,
     )
 
@@ -169,6 +170,7 @@ def run_production_depth_leg(spark, docs, depth):
            "n_words": words.count(), "ops": []}
     for tag, fn in (
         ("staged", lambda: bpe_apply_merges_staged(words, rows)),
+        ("fold", lambda: bpe_apply_merges_fold(words, rows)),
         ("arrow", lambda: bpe_apply_merges_arrow(words, rows)),
     ):
         _, m = timed(
@@ -237,6 +239,7 @@ def run_crossover_leg(spark, docs, depths):
     (256), one JIT warm-up pass at the smallest depth first."""
     from opensea_datapipeline_spark.operators.text import (
         bpe_apply_merges_arrow,
+        bpe_apply_merges_fold,
         bpe_apply_merges_staged,
     )
 
@@ -246,9 +249,12 @@ def run_crossover_leg(spark, docs, depths):
     rows = synth_merge_rows(max(depths))
     leg = {"leg": "applier_crossover",
            "n_words": words.count(), "ops": []}
-    # warm-up: JIT both paths once at the smallest depth, unrecorded
+    # warm-up: JIT all paths once at the smallest depth, unrecorded
     warm = rows[: min(depths)]
     bpe_apply_merges_staged(words, warm).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    bpe_apply_merges_fold(words, warm).write.mode(
         "overwrite"
     ).format("noop").save()
     bpe_apply_merges_arrow(words, warm).write.mode(
@@ -258,6 +264,10 @@ def run_crossover_leg(spark, docs, depths):
         sub = rows[:depth]
         for tag, fn in (
             ("staged", lambda: bpe_apply_merges_staged(words, sub)),
+            # r16: the broadcast-array fold that replaced staged as the
+            # routed JVM mid band — the crossover now compared is
+            # fold vs arrow
+            ("fold", lambda: bpe_apply_merges_fold(words, sub)),
             ("arrow", lambda: bpe_apply_merges_arrow(words, sub)),
         ):
             _, m = timed(
