@@ -928,7 +928,15 @@ def bigram_logprob_scores(
         / (F.col("c1").cast("double") + F.col("vocab"))
     )
     return (
-        bg.join(model, ["w1", "w2"])
+        # merge-pinned (r16): the docstring's shape — ONE equi-shuffle
+        # of doc bigrams against the model — is what the planner must
+        # not invert; at bench SF it was observed BROADCASTING the
+        # exploded corpus bigram stream (BuildLeft) to probe it with
+        # the model, a plan that cannot exist when the doc side is
+        # data-proportional. The model side is vocab²-bounded but not
+        # broadcastable at web scale either, so sort-merge on (w1, w2)
+        # is the strategy that survives scale.
+        bg.join(model.hint("merge"), ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
