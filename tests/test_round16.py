@@ -337,3 +337,65 @@ def test_writer_lock_torn_lock_file_is_breakable(tmp_path):
     with writer_lock(state, "probe"):
         pass
     assert not os.path.exists(os.path.join(state, "_writer_lock.json"))
+
+
+# ---------------------------------------------------------------------------
+# r16 optimization: driver-side reads of bounded index artifacts
+# (meta JSON + centroids/codebooks) must be value-identical to the
+# Spark reads they replace — the probe's fixed job floor drops from
+# ~4 driver-synchronous jobs to 1 (the query-batch collect).
+# ---------------------------------------------------------------------------
+
+def test_ann_local_artifact_reads_match_spark(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import ann_index as ai
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = ai.build_ivfpq_index(
+        emb, "vec_id", "embedding", n_lists=4, m=4, k=16, residual=True
+    )
+    path = str(tmp_path / "idx")
+    ai.write_ivfpq_index(idx, path)
+
+    # meta: local fast path == schema'd Spark read, field for field
+    local = ai._read_meta_local(path)
+    via_spark = (
+        spark.read.schema(ai._META_SCHEMA).json(f"{path}/meta").first().asDict()
+    )
+    assert local == via_spark
+
+    # unreadable/garbled metas degrade to None (Spark fallback), never raise
+    assert ai._read_meta_local(str(tmp_path / "nope")) is None
+    bad = tmp_path / "bad" / "meta"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.json").write_text("{not json")
+    assert ai._read_meta_local(str(tmp_path / "bad")) is None
+
+    # bounded-rows fast path == collect on the tagged tables
+    loaded = ai.read_ivfpq_index(spark, path)
+    assert getattr(loaded.centroids, "_ann_local_src", None)
+    br = sorted(ai._bounded_rows(loaded.centroids), key=lambda r: r.list_id)
+    cl = sorted(loaded.centroids.collect(), key=lambda r: r.list_id)
+    assert [(r.list_id, list(r.centroid)) for r in br] == [
+        (r.list_id, list(r.centroid)) for r in cl
+    ]
+    # a derived frame loses the tag and falls back to a plain collect
+    derived = loaded.centroids.select("list_id", "centroid")
+    assert getattr(derived, "_ann_local_src", None) is None
+
+    # end to end: persisted-read probe == in-memory probe, bit for bit
+    q = emb.filter(F.col("vec_id") < 15)
+    a = sorted(
+        (r.query_id, r.neighbor_id, round(r.sim, 9), r.rank)
+        for r in ai.ivfpq_probe(idx, q, k=5, n_probe=3).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, round(r.sim, 9), r.rank)
+        for r in ai.ivfpq_probe(loaded, q, k=5, n_probe=3).collect()
+    )
+    assert a == b and a
