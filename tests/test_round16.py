@@ -399,3 +399,64 @@ def test_ann_local_artifact_reads_match_spark(spark, tmp_path):
         for r in ai.ivfpq_probe(loaded, q, k=5, n_probe=3).collect()
     )
     assert a == b and a
+
+
+def test_bpe_local_artifact_reads_match_spark(spark, tmp_path, monkeypatch):
+    # r16 §8: local tokenizer artifacts are read driver-side (pyarrow)
+    # and returned as local relations with _bpe_local_rows/_bpe_local_syms
+    # — value-identical to the Spark parquet read, encode output included.
+    from opensea_datapipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cdcd"), (1, "abab cdcd cdcd"), (2, "ab cd ab")],
+        "doc_id long, text string",
+    )
+    merges = tx.bpe_train(docs, n_merges=3, min_count=2)
+    alpha = tx.bpe_alphabet(docs)
+    path = str(tmp_path / "tok")
+    tx.bpe_write_tokenizer(merges, alpha, path, marker="▁")
+
+    # local fast path engages and carries the local-row tags
+    lm, la, lmk = tx.bpe_read_tokenizer(spark, path)
+    assert getattr(lm, "_bpe_local_rows", None)
+    assert getattr(la, "_bpe_local_syms", None)
+    assert lmk == "▁"
+
+    # forced Spark read: field-for-field table equality
+    monkeypatch.setattr(tx, "_bpe_read_tokenizer_local", lambda *a: None)
+    sm, sa, smk = tx.bpe_read_tokenizer(spark, path)
+    assert getattr(sm, "_bpe_local_rows", None) is None
+    assert smk == lmk
+    key = lambda r: r["merge_rank"]
+    assert sorted((r.asDict() for r in lm.collect()), key=key) == sorted(
+        (r.asDict() for r in sm.collect()), key=key
+    )
+    assert sorted(r.sym for r in la.collect()) == sorted(
+        r.sym for r in sa.collect()
+    )
+
+    # end to end: encode via either read path is bit-identical
+    enc_s = sorted(
+        (r.doc_id, r.n_tokens, r.n_syms, r.ids_str)
+        for r in tx.bpe_encode(docs, sm, alphabet=sa, marker=smk).collect()
+    )
+    monkeypatch.undo()
+    enc_l = sorted(
+        (r.doc_id, r.n_tokens, r.n_syms, r.ids_str)
+        for r in tx.bpe_encode(docs, lm, alphabet=la, marker=lmk).collect()
+    )
+    assert enc_l == enc_s and enc_l
+
+    # non-canonical layout degrades to the Spark read, never raises
+    weird = tmp_path / "weird"
+    for d in ("merges", "alphabet", "meta"):
+        (weird / d).mkdir(parents=True)
+    extra = spark.createDataFrame(
+        [(1, "a", "b", "ab", 3, "x")],
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, n long, extra string",
+    )
+    extra.coalesce(1).write.mode("overwrite").parquet(
+        str(weird / "merges")
+    )
+    assert tx._bpe_read_tokenizer_local(str(weird)) is None
