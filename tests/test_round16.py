@@ -402,9 +402,10 @@ def test_ann_local_artifact_reads_match_spark(spark, tmp_path):
 
 
 def test_bpe_local_artifact_reads_match_spark(spark, tmp_path, monkeypatch):
-    # r16 §8: local tokenizer artifacts are read driver-side (pyarrow)
-    # and returned as local relations with _bpe_local_rows/_bpe_local_syms
-    # — value-identical to the Spark parquet read, encode output included.
+    # r16 §8: local tokenizer artifacts' bounded rows are read
+    # driver-side (pyarrow) and tagged onto the parquet-backed frames as
+    # _bpe_local_rows/_bpe_local_syms — value-identical to the pure Spark
+    # read path, encode output included.
     from opensea_datapipeline_spark.operators import text as tx
 
     docs = spark.createDataFrame(
