@@ -306,10 +306,13 @@ def minhash_lsh_pairs_incremental(
         F.col(id_col).alias("_id"),
         F.array_distinct(_words(text_col)).alias("wordset"),
     )
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
+    # no distinct on the id stream: left_semi dedups its build side by
+    # construction, so the distinct bought nothing but a full exchange +
+    # two-phase aggregate of its own (guide §2.4). The semi-join's
+    # shuffle carries raw candidate-endpoint ids (16 bytes/row, ∝ 2×
+    # candidates — the same volume the distinct's map phase shuffled).
+    cand_ids = cand.select(F.col("id_a").alias("_id")).unionByName(
+        cand.select(F.col("id_b").alias("_id"))
     )
     old_ws = (
         old_docs.join(
@@ -375,7 +378,35 @@ def append_band_table(
 
 def read_band_table(spark, path: str) -> DataFrame:
     """Load the persisted (id, band, band_key) snapshot for
-    ``minhash_lsh_pairs_incremental(old_band_table=...)`` probes."""
+    ``minhash_lsh_pairs_incremental(old_band_table=...)`` probes.
+
+    For a LOCAL artifact the parquet schema is read from one footer on
+    the driver (pyarrow, ~ms) and passed explicitly, skipping the
+    schema-inference job Spark otherwise runs before the first action
+    (guide §5: that job is pure fixed overhead — one per probe, and one
+    per micro-batch in the streaming corpus-dedup loop, which re-reads
+    the snapshot every batch). Non-local URIs and unreadable footers
+    fall back to the inferred read; rows and types are identical either
+    way — appends write the same schema by construction, and the
+    explicit schema comes from the artifact's own footer, not a
+    hard-coded guess (the id column's type follows the caller's corpus).
+    """
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            try:
+                import pyarrow.parquet as pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                schema = from_arrow_schema(
+                    pq.ParquetFile(parts[0]).schema_arrow
+                )
+                return spark.read.schema(schema).parquet(path)
+            except (OSError, ValueError, TypeError, ImportError):
+                pass
     return spark.read.parquet(path)
 
 

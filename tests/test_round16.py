@@ -461,3 +461,58 @@ def test_bpe_local_artifact_reads_match_spark(spark, tmp_path, monkeypatch):
         str(weird / "merges")
     )
     assert tx._bpe_read_tokenizer_local(str(weird)) is None
+
+
+def test_band_table_explicit_schema_read_matches_inferred(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opensea_datapipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} tok{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands")
+    dd.minhash_band_table(
+        docs.filter(F.col("doc_id") < 20), "text", "doc_id",
+        num_hashes=8, band_size=2,
+    ).write.parquet(path)
+    dd.append_band_table(
+        dd.minhash_band_table(
+            docs.filter(F.col("doc_id") >= 20), "text", "doc_id",
+            num_hashes=8, band_size=2,
+        ),
+        path,
+    )
+
+    # local fast path == inferred Spark read: same schema, same rows
+    fast = dd.read_band_table(spark, path)
+    inferred = spark.read.parquet(path)
+    assert fast.schema == inferred.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, inferred.collect())
+    )
+
+    # the schema'd read construction launches NO job (the saved
+    # schema-inference job is the point of the fast path)
+    sc = spark.sparkContext
+    sc.setJobGroup("band-schema-read", "band-schema-read")
+    dd.read_band_table(spark, path)  # plan construction only
+    assert sc.statusTracker().getJobIdsForGroup("band-schema-read") == []
+    sc.setJobGroup(None, None)
+
+    # a STRING id corpus keeps its type through the footer round-trip
+    # (the schema follows the artifact, not a hard-coded guess)
+    spath = str(tmp_path / "bands_str")
+    dd.minhash_band_table(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        "text", "doc_id", num_hashes=8, band_size=2,
+    ).write.parquet(spath)
+    assert dict(dd.read_band_table(spark, spath).dtypes)["id"] == "string"
+
+    # non-directory path falls through to the plain Spark read (raises
+    # the normal AnalysisException, not a pyarrow error)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        dd.read_band_table(spark, str(tmp_path / "missing")).collect()
