@@ -391,23 +391,9 @@ def read_band_table(spark, path: str) -> DataFrame:
     explicit schema comes from the artifact's own footer, not a
     hard-coded guess (the id column's type follows the caller's corpus).
     """
-    import glob
-    import os
+    from ..sources.readers import load_parquet_footer_schema
 
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if parts:
-            try:
-                import pyarrow.parquet as pq
-                from pyspark.sql.pandas.types import from_arrow_schema
-
-                schema = from_arrow_schema(
-                    pq.ParquetFile(parts[0]).schema_arrow
-                )
-                return spark.read.schema(schema).parquet(path)
-            except (OSError, ValueError, TypeError, ImportError):
-                pass
-    return spark.read.parquet(path)
+    return load_parquet_footer_schema(spark, path)
 
 
 def incremental_dedup_groups(

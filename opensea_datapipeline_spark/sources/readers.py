@@ -68,6 +68,43 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_parquet_footer_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that skips the schema-inference job when ``path`` is
+    a LOCAL directory: the schema comes from one footer read on the
+    driver (pyarrow, ~ms) instead of a driver-synchronous Spark job
+    (guide §5) — for the streaming state loops that re-read their
+    persisted state every micro-batch, that job recurs per trigger.
+
+    Falls back to the plain inferred read when the path is not a local
+    directory, has no parquet files, the footer is unreadable, or the
+    footer schema carries any timestamp field: arrow↔spark timestamp
+    conversion (NTZ vs LTZ, ns units) does not round-trip the session's
+    reader confs (``nanosAsLong``/``inferTimestampNTZ``), and a saved
+    fixed job is not worth an ambiguous type. Rows and types are
+    identical on the fast path: the schema is the file's own footer.
+    """
+    import glob
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            try:
+                import pyarrow.parquet as pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                schema = from_arrow_schema(
+                    pq.ParquetFile(parts[0]).schema_arrow
+                )
+                if not any(
+                    "timestamp" in f.dataType.simpleString()
+                    for f in schema.fields
+                ):
+                    return spark.read.schema(schema).parquet(path)
+            except (OSError, ValueError, TypeError, ImportError):
+                pass
+    return spark.read.parquet(path)
+
+
 def load_parquet_partitioned(
     spark: SparkSession, base_dir: str, filters: Mapping[str, object] | None = None
 ) -> DataFrame:

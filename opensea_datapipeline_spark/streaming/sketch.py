@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.sketches import _HEX15_SPAN, _h15
-from ..sources.readers import ensure_reader_confs, normalize_event_time
+from ..sources.readers import (
+    ensure_reader_confs,
+    load_parquet_footer_schema,
+    normalize_event_time,
+)
 from .gold import _read_meta, _recover_meta, _write_meta
 from .lifecycle import writer_lock
 
@@ -110,8 +114,10 @@ def run_streaming_kmv(
         if batch_id <= meta.get("last_batch_id", -1):
             return  # replayed batch — already merged (idempotence)
         base_dir = meta.get("version_dir")
+        # footer-schema'd state read (§10): the bottom-k state is this
+        # loop's own last write — skip the per-trigger inference job
         existing = (
-            batch_df.sparkSession.read.parquet(base_dir)
+            load_parquet_footer_schema(batch_df.sparkSession, base_dir)
             if base_dir is not None
             else None
         )
@@ -145,7 +151,7 @@ def run_streaming_kmv(
             [], T.StructType([T.StructField("h", T.LongType())])
         )
     else:
-        final = spark.read.parquet(base)
+        final = load_parquet_footer_schema(spark, base)
     kth = final.agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("h").alias("m_k"),
@@ -218,7 +224,7 @@ def run_streaming_ddsketch(
         batch_buckets = dd_bucket_counts(batch_df, value_col, gamma=gamma)
         if base_dir is not None:
             state = (
-                batch_df.sparkSession.read.parquet(base_dir)
+                load_parquet_footer_schema(batch_df.sparkSession, base_dir)
                 .unionByName(batch_buckets)
                 .groupBy("bucket")
                 .agg(F.sum("c").cast("long").alias("c"))
@@ -258,5 +264,5 @@ def run_streaming_ddsketch(
             ),
         )
     else:
-        final = spark.read.parquet(base)
+        final = load_parquet_footer_schema(spark, base)
     return dd_quantiles_from_buckets(final, qs, gamma=gamma)

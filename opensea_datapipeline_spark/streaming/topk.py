@@ -40,7 +40,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import ensure_reader_confs, normalize_event_time
+from ..sources.readers import (
+    ensure_reader_confs,
+    load_parquet_footer_schema,
+    normalize_event_time,
+)
 from .gold import _read_meta, _write_meta, latest_committed_batch
 from .lifecycle import writer_lock
 
@@ -181,8 +185,13 @@ def run_streaming_topk(
             return  # replayed batch — already merged (idempotence)
         base_dir = meta.get("version_dir")
         ss = batch_df.sparkSession
+        # footer-schema'd state read: the (key, cnt) state is this
+        # loop's own last write — skipping the per-trigger schema-
+        # inference job trims one fixed job from every batch (§9/§10)
         existing = (
-            ss.read.parquet(base_dir) if base_dir is not None else None
+            load_parquet_footer_schema(ss, base_dir)
+            if base_dir is not None
+            else None
         )
         # ONE job per trigger in the exact regime (r16 job-floor trim —
         # was 3: checkpoint-pin, count, write): the merged-state write
@@ -203,7 +212,7 @@ def run_streaming_topk(
         merged.write.mode("overwrite").parquet(tmp)
         d = 0
         if int(obs.get["n_keys"]) > cap:
-            trimmed, d = _mg_trim(ss.read.parquet(tmp), cap)
+            trimmed, d = _mg_trim(load_parquet_footer_schema(ss, tmp), cap)
             trim_tmp = tmp + "_trim"
             shutil.rmtree(trim_tmp, ignore_errors=True)
             trimmed.write.mode("overwrite").parquet(trim_tmp)
@@ -252,6 +261,6 @@ def run_streaming_topk(
             ]
         )
         return spark.createDataFrame([], out_schema)
-    return spark.read.parquet(base).withColumn(
+    return load_parquet_footer_schema(spark, base).withColumn(
         "eps", F.lit(eps).cast("long")
     )
