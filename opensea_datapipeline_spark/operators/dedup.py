@@ -832,28 +832,57 @@ def simhash_signatures(
     (hex digit >> position) & 1 on the md5 hex string, identical in any
     engine. 16 bits keeps the SQL-oracle expression tractable; the Spark
     implementation accepts any width ≤ 64.
+
+    r17 (guide §2.4, the r16 minhash-fold pattern): the distinct word
+    set is already a per-row array, so the per-doc ±1 bit sums are a
+    ZERO-shuffle projection — fold the word array's md5 hex digits into
+    a ``bits``-slot counter array — instead of explode → groupBy(sum),
+    which shuffled one 17-column row per (doc, word). Plan: Scan →
+    Project, 0 Exchange (was Generate + 2-phase HashAggregate + 1
+    Exchange). Values are identical: same md5 family, same per-distinct-
+    word ±1 integer sums (order-free), same sign packing; the row set is
+    identical (explode emitted no rows exactly for null text, matching
+    the isNotNull filter here — split of a non-null string never yields
+    an empty array). Like the minhash fold, the staged selects are
+    deliberate: the word array, the per-word hex-digit arrays, and the
+    fold each reference the previous stage's column more than once, and
+    CollapseProject keeps non-cheap expressions staged.
+    Assumes one row per ``id_col`` (every caller's contract): the old
+    groupBy form would have merged duplicate-id rows into one signature.
     """
-    words = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
-    ).withColumn("h", F.md5(F.col("w")))
-    # bit b = bit (b % 4) of hex digit floor(b/4): conv is cheap and exact.
-    bit_cols = [
-        (
-            F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
-            .bitwiseAND(F.lit(1 << (b % 4)))
-            > 0
-        ).cast("int")
+    ndigits = (bits + 3) // 4
+    # per word: md5 hex → array of the ndigits hex-digit VALUES it needs
+    digit_arr = "array(" + ",".join(
+        f"CAST(conv(substring(h, {i + 1}, 1), 16, 10) AS INT)"
+        for i in range(ndigits)
+    ) + ")"
+    init = "array(" + ",".join("0" for _ in range(bits)) + ")"
+    merge = "array(" + ",".join(
+        f"acc[{b}] + (CASE WHEN (d[{b // 4}] & {1 << (b % 4)}) > 0 "
+        "THEN 1 ELSE -1 END)"
         for b in range(bits)
-    ]
-    contrib = words.select(
-        id_col, *[(bit_cols[b] * 2 - 1).alias(f"c_{b}") for b in range(bits)]
-    )
-    sums = contrib.groupBy(id_col).agg(
-        *[F.sum(f"c_{b}").alias(f"s_{b}") for b in range(bits)]
+    ) + ")"
+    sums = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col), F.array_distinct(_words(text_col)).alias("_wa")
+        )
+        .select(
+            F.col(id_col),
+            F.expr("transform(_wa, w -> md5(w))").alias("_ha"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(_ha, h -> {digit_arr})").alias("_da"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"aggregate(_da, {init}, (acc, d) -> {merge})").alias("_ss"),
+        )
     )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(F.col("_ss")[b] > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 

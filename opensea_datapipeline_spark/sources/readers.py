@@ -82,10 +82,24 @@ def load_parquet_footer_schema(spark: SparkSession, path: str) -> DataFrame:
     reader confs (``nanosAsLong``/``inferTimestampNTZ``), and a saved
     fixed job is not worth an ambiguous type. Rows and types are
     identical on the fast path: the schema is the file's own footer.
+
+    Single-footer assumption: the explicit schema comes from the first
+    (alphabetically sorted) part file, which is correct for the
+    one-writer state/artifact dirs this reader serves but would pin one
+    file's schema for a directory with evolved per-file schemas. When
+    the session asks for schema merging (``spark.sql.parquet.mergeSchema``)
+    the fast path is skipped so Spark's footer-merging read keeps its
+    semantics.
     """
     import glob
 
-    if os.path.isdir(path):
+    try:
+        merge_schema = (
+            spark.conf.get("spark.sql.parquet.mergeSchema", "false") or "false"
+        ).lower() == "true"
+    except Exception:
+        merge_schema = False
+    if os.path.isdir(path) and not merge_schema:
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if parts:
             try:
@@ -100,7 +114,12 @@ def load_parquet_footer_schema(spark: SparkSession, path: str) -> DataFrame:
                     for f in schema.fields
                 ):
                     return spark.read.schema(schema).parquet(path)
-            except (OSError, ValueError, TypeError, ImportError):
+            except Exception:
+                # Deliberately broad: pyarrow raises ArrowException
+                # subclasses (and even NotImplementedError for footers
+                # with unsupported features) that are not OSError /
+                # ValueError; any failure here must land on the plain
+                # inferred read, never crash it.
                 pass
     return spark.read.parquet(path)
 

@@ -2,10 +2,11 @@
 
 Usage: python scripts/capture_plans.py SUFFIX [query ...]
 
-Writes plans/r16/<query>_<SUFFIX>.txt for each query (all headline
-queries when none are named). The plan is captured at $SPARK_GRAFT_SF_DIR
-(default sf0.1) with the same session the bench uses, so Exchange counts
-and join strategies match what the bench times.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<SUFFIX>.txt for each query
+(round dir defaults to r17; all headline queries when none are named).
+The plan is captured at $SPARK_GRAFT_SF_DIR (default sf0.1) with the same
+session the bench uses, so Exchange counts and join strategies match what
+the bench times.
 """
 
 from __future__ import annotations
@@ -20,7 +21,9 @@ from opensea_datapipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"),
 )
 
 
