@@ -1396,14 +1396,23 @@ def bpe_train(
     state = _bpe_word_freq(docs, text_col, marker).select(
         _bpe_render_word(F.col("w"), marker).alias("s"), "cnt"
     )
-    # pin: the loop below must never re-run the corpus pass
-    state = state.localCheckpoint(eager=True)
+    # lazy pin (r17, the r16 CC-gate job-floor trim): the gate probe
+    # below is the first job to touch state and, on the gated path, the
+    # only one — a LIMIT that comes back short exhausted its input, so
+    # the probe DECIDES and DELIVERS in one job where the old flow paid
+    # three (eager-pin + count + collect). Computed partitions cache as
+    # they materialize, so the distributed loop's iterations re-read
+    # them instead of replaying the corpus pass.
+    state = state.localCheckpoint(eager=False)
     mschema = (
         "merge_rank long, left_sym string, right_sym string,"
         " merged string, n long"
     )
-    if driver_gate > 0 and state.count() <= driver_gate:
-        rows = [(r["s"], r["cnt"]) for r in state.collect()]
+    probe = (
+        state.limit(driver_gate + 1).collect() if driver_gate > 0 else None
+    )
+    if probe is not None and len(probe) <= driver_gate:
+        rows = [(r["s"], r["cnt"]) for r in probe]
         mrows = _bpe_train_driver_loop(rows, n_merges, min_count)
         mdf = spark.createDataFrame(mrows, mschema)
         # rows already live on the driver — let bpe_encode skip the
