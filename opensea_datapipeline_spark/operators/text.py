@@ -2283,8 +2283,16 @@ def bpe_read_tokenizer(
     aggregate job over the two vocabulary-sized tables. Legacy
     artifacts whose meta predates the integrity fields load unverified
     (same grace as index_staleness's pre-counter metas)."""
-    merges = spark.read.parquet(path + "/merges")
-    alphabet = spark.read.parquet(path + "/alphabet")
+    # r17 (guide §5, the r16 band-table §9 form): the two bounded-table
+    # reads each ran a schema-inference job before the first action;
+    # for LOCAL artifacts the schema comes from the artifact's own
+    # parquet footer on the driver (~ms, 0 jobs) and follows whatever
+    # types the artifact was written with. Non-local URIs keep the
+    # inferred read.
+    from ..sources.readers import load_parquet_footer_schema
+
+    merges = load_parquet_footer_schema(spark, path + "/merges")
+    alphabet = load_parquet_footer_schema(spark, path + "/alphabet")
     local = _bpe_read_tokenizer_local(path)
     if local is not None:
         merge_rows, syms, meta = local
